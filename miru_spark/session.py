@@ -1,0 +1,67 @@
+"""SparkSession factory with engine defaults.
+
+Ships the miru_spark package to executor Python workers via addPyFile --
+the programmatic equivalent of `spark-submit --py-files miru_spark.zip`
+(the deployment mode BASELINE.json mandates), so the engine works no matter
+where the driver process was launched from.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import zipfile
+
+from pyspark.sql import SparkSession
+
+
+def package_zip() -> str:
+    """Zip the miru_spark package for --py-files / addPyFile shipping."""
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    out = os.path.join(tempfile.gettempdir(), "miru_spark_pyfiles.zip")
+    with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            if "__pycache__" in root:
+                continue
+            for fn in files:
+                if fn.endswith(".py"):
+                    full = os.path.join(root, fn)
+                    rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                    zf.write(full, rel)
+    return out
+
+
+def get_spark(
+    app_name: str = "miru_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    master = master or os.environ.get("MIRU_SPARK_MASTER", "local[*]")
+    cores = os.cpu_count() or 8
+    if shuffle_partitions is None:
+        if master.startswith("local[") and master[6:-1].isdigit():
+            shuffle_partitions = max(int(master[6:-1]), 4)
+        else:
+            shuffle_partitions = cores
+    b = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("MIRU_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try:
+        spark.sparkContext.addPyFile(package_zip())
+    except Exception:
+        pass  # already added in a reused session
+    return spark

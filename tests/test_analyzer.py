@@ -1,0 +1,82 @@
+"""Analyzer goldens -- freeze tokenizer/stemmer behavior (FIXTURES.md §4
+tokens_golden). The engine and oracle share this module, so these goldens
+define the normative tokenization."""
+
+from miru_spark.analyzer import (
+    ENGLISH_STOPWORDS,
+    analyze,
+    porter2_stem,
+    standard_tokenize,
+)
+
+GOLDEN_TOKENS = {
+    "": [],
+    "   ": [],
+    "Hello, World!": ["hello", "world"],
+    "The quick-brown FOX jumps.": ["the", "quick", "brown", "fox", "jumps"],
+    "foo_bar baz2000 3.14": ["foo_bar", "baz2000", "3", "14"],
+    "état Café ÜBER": ["état", "café", "über"],
+    "a-b--c": ["a", "b", "c"],
+    "w000042* AND (x)": ["w000042", "and", "x"],
+    "тест кириллица": ["тест", "кириллица"],
+}
+
+GOLDEN_STEMS = {
+    "caresses": "caress",
+    "ponies": "poni",
+    "ties": "tie",
+    "cats": "cat",
+    "feed": "feed",
+    "agreed": "agre",  # Porter2 step-5 e-deletion (differs from Porter1)
+    "plastered": "plaster",
+    "motoring": "motor",
+    "hopping": "hop",
+    "falling": "fall",
+    "hissing": "hiss",
+    "filing": "file",
+    "dying": "die",
+    "lying": "lie",
+    "news": "news",
+    "running": "run",
+    "generate": "generat",
+    "generously": "generous",
+    "nationality": "nation",
+    "rationalization": "ration",  # ization->ize, alize->al, step-4 al-deletion
+    "sensational": "sensat",
+    "happy": "happi",
+    "skies": "sky",
+    "w000123": "w000123",
+    "a": "a",
+    "be": "be",
+}
+
+
+def test_standard_tokenize_goldens():
+    for text, want in GOLDEN_TOKENS.items():
+        assert standard_tokenize(text) == want, text
+
+
+def test_porter2_goldens():
+    for word, want in GOLDEN_STEMS.items():
+        assert porter2_stem(word) == want, word
+
+
+def test_en_analyzer_stops_and_stems():
+    got = analyze("The foxes were running in the gardens", "en")
+    assert "the" not in got and "in" not in got
+    assert got == ["fox", "were", "run", "garden"]
+
+
+def test_locale_fallback_is_standard():
+    text = "The Running Foxes"
+    for loc in ("de", "fr", "und", None, "zh"):
+        assert analyze(text, loc) == ["the", "running", "foxes"]
+
+
+def test_locale_suffix_stripping():
+    # en_ie etc. resolve to en (TermAnalyzers.java:117-131)
+    assert analyze("the foxes", "en_IE") == analyze("the foxes", "en")
+
+
+def test_stopword_list_is_classic_33():
+    assert len(ENGLISH_STOPWORDS) == 33

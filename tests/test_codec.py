@@ -1,0 +1,57 @@
+"""Varint/delta-gap codec: property-based round-trips (SURVEY.md §5)."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from miru_spark.codec import (
+    decode_postings,
+    decode_varint,
+    encode_postings,
+    encode_varint,
+)
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=2**63 - 1), max_size=500)
+)
+@settings(max_examples=200, deadline=None)
+def test_varint_roundtrip(vals):
+    arr = np.array(vals, dtype=np.int64)
+    assert decode_varint(encode_varint(arr)).tolist() == vals
+
+
+@given(
+    st.sets(st.integers(min_value=0, max_value=10**9), max_size=500)
+)
+@settings(max_examples=200, deadline=None)
+def test_postings_roundtrip(ids):
+    arr = np.array(sorted(ids), dtype=np.int64)
+    assert decode_postings(encode_postings(arr)).tolist() == sorted(ids)
+
+
+def test_empty():
+    assert encode_varint(np.array([], dtype=np.int64)) == b""
+    assert decode_varint(b"").size == 0
+    assert encode_postings(np.array([], dtype=np.int64)) == b""
+    assert decode_postings(b"").size == 0
+
+
+def test_single_byte_values_compact():
+    arr = np.arange(128, dtype=np.int64)
+    assert len(encode_varint(arr)) == 128
+
+
+def test_delta_gap_compresses_dense_runs():
+    ids = np.arange(10_000, dtype=np.int64) * 2
+    # gaps of 2 -> 1 byte each (plus the head)
+    assert len(encode_postings(ids)) <= 10_001
+
+
+def test_non_increasing_rejected():
+    import pytest
+
+    with pytest.raises(ValueError):
+        encode_postings(np.array([3, 3], dtype=np.int64))
+    with pytest.raises(ValueError):
+        encode_postings(np.array([5, 2], dtype=np.int64))

@@ -1,0 +1,188 @@
+"""End-to-end rank-identity: Spark engine vs pure-Python BM25 oracle.
+
+Mirrors the reference e2e shape (MiruFullTextNGTest.java:142-183: random
+docs from a small dictionary, N-term AND queries, TIME + TF_IDF strategies)
+but with exact assertions: top-10 (pid, doc_id) rank-identical and scores
+equal to 1e-9 (same float64 summation order on both sides).
+"""
+
+import math
+import os
+
+import pytest
+
+from miru_spark.index.build import build_index
+from miru_spark.oracle import OracleIndex
+from miru_spark.query.engine import SearchEngine
+from miru_spark.webtext import generate_rows, webtext_df
+
+N_DOCS = 600
+PARTITION_SECONDS = 600  # 600 docs x 7s => ~7 pids
+BLOCK_SPAN = 64
+
+# Reference query set shape per FIXTURES.md §2: conjunctive, disjunctive,
+# boolean mixes, NOT, prefix, head(stopword-tier) terms.
+QUERIES = [
+    "w000001 AND w000004",
+    "w000002 AND w000007 AND w000011",
+    "w000001 OR w000009",
+    "w000003 OR w000014 OR w000033 OR w000100",
+    "w000001 AND (w000002 OR w000003)",
+    "(w000005 OR w000006) AND (w000007 OR w000008)",
+    "w000001 AND NOT w000002",
+    "w000004 -w000001",
+    "w00004*",
+    "w000000",
+    "w000000 AND w000512",
+    "the OR w000200",  # head stopword term: survives only in non-en docs
+    "w000731 w000294",  # implicit AND (default operator)
+]
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return generate_rows(range(N_DOCS))
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus):
+    return OracleIndex(corpus, partition_seconds=PARTITION_SECONDS)
+
+
+@pytest.fixture(scope="module")
+def engine(spark, corpus, tmp_path_factory):
+    index_dir = str(tmp_path_factory.mktemp("idx"))
+    wt = webtext_df(spark, N_DOCS, parallelism=4)
+    build_index(
+        spark,
+        wt,
+        index_dir,
+        partition_seconds=PARTITION_SECONDS,
+        block_span=BLOCK_SPAN,
+    )
+    return SearchEngine(spark, index_dir)
+
+
+def _assert_rank_identical(got, want, query):
+    assert len(got) == len(want), f"{query}: row count {len(got)} vs {len(want)}"
+    for i, (g, w) in enumerate(zip(got, want)):
+        assert (g[0], g[1]) == (w[0], w[1]), (
+            f"{query} rank {i}: engine doc {(g[0], g[1], g[2])} vs "
+            f"oracle {(w[0], w[1], w[2])}"
+        )
+        assert math.isclose(g[2], w[2], rel_tol=0, abs_tol=1e-9), (
+            f"{query} rank {i}: score {g[2]} vs {w[2]}"
+        )
+        assert g[3] == w[3], f"{query} rank {i}: url mismatch"
+
+
+@pytest.mark.parametrize("query", QUERIES)
+def test_rank_identity(engine, oracle, query):
+    want = oracle.search(query, k=10)
+    got = engine.search_collect(query, k=10)
+    _assert_rank_identical(got, want, query)
+
+
+@pytest.mark.parametrize("query", ["w000001 OR w000009", "w000000", "w00004*"])
+def test_blockmax_equals_exhaustive(engine, query):
+    a = engine.search_collect(query, k=10, use_blockmax=True)
+    b = engine.search_collect(query, k=10, use_blockmax=False)
+    assert a == b
+
+
+def test_time_range(engine, oracle, corpus):
+    # restrict to the middle third of the corpus timeline
+    t0 = corpus[N_DOCS // 3]["warc_us"]
+    t1 = corpus[2 * N_DOCS // 3]["warc_us"]
+    query = "w000001 OR w000002"
+    got = engine.search_collect(query, k=10, time_range_us=(t0, t1))
+    want = [
+        r
+        for r in oracle.search(query, k=N_DOCS)
+        if t0 <= oracle.docs[(r[0], r[1])]["warc_us"] <= t1
+    ][:10]
+    _assert_rank_identical(got, want, query + " [time]")
+
+
+def test_newest_k(engine, corpus):
+    rows = engine.newest(k=5).collect()
+    urls = [r["url"] for r in rows]
+    want = [corpus[N_DOCS - 1 - i]["url"] for i in range(5)]
+    assert urls == want
+
+
+def test_resume_skips_completed(spark, tmp_path):
+    """Kill between batches, restart: identical index + lineage
+    (FullTextGatherer.java:176-252 checkpoint pattern)."""
+    from pyspark.sql import functions as F
+
+    index_dir = str(tmp_path / "idx_resume")
+    wt = webtext_df(spark, 200, parallelism=4)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        build_index(
+            spark,
+            wt,
+            index_dir,
+            partition_seconds=300,
+            block_span=BLOCK_SPAN,
+            batch_partitions=2,
+            _fail_after_batches=1,
+        )
+    report = build_index(
+        spark,
+        wt,
+        index_dir,
+        partition_seconds=300,
+        block_span=BLOCK_SPAN,
+        batch_partitions=2,
+    )
+    assert report.pids_skipped, "resume should skip completed partitions"
+
+    # compare against a from-scratch build
+    clean_dir = str(tmp_path / "idx_clean")
+    build_index(spark, wt, clean_dir, partition_seconds=300, block_span=BLOCK_SPAN)
+
+    for sub in ("docmap", "postings"):
+        a = (
+            spark.read.parquet(os.path.join(index_dir, sub))
+            .orderBy(*spark.read.parquet(os.path.join(index_dir, sub)).columns)
+            .collect()
+        )
+        b = (
+            spark.read.parquet(os.path.join(clean_dir, sub))
+            .orderBy(*spark.read.parquet(os.path.join(clean_dir, sub)).columns)
+            .collect()
+        )
+        assert a == b, f"{sub} differs between resumed and clean build"
+
+    lin = spark.read.parquet(os.path.join(index_dir, "lineage"))
+    n_pids = spark.read.parquet(os.path.join(index_dir, "docmap")).select("pid").distinct().count()
+    assert lin.filter(F.col("status") == "complete").select("pid").distinct().count() == n_pids
+
+
+def test_postings_roundtrip_vs_oracle(spark, engine, oracle):
+    """Engine postings decode to exactly the oracle's per-term postings
+    (FIXTURES.md §4 postings_golden check, computed live)."""
+    import numpy as np
+
+    from miru_spark.codec import decode_postings, decode_varint
+
+    rows = engine.postings.filter(engine.postings.term == "w000001").collect()
+    by_pid = {}
+    for r in sorted(rows, key=lambda r: (r["pid"], r["blk"])):
+        ids = decode_postings(r["ids_bin"])
+        tfs = decode_varint(r["tfs_bin"])
+        by_pid.setdefault(r["pid"], []).append((ids, tfs))
+    got = {
+        pid: (
+            np.concatenate([x[0] for x in parts]).tolist(),
+            np.concatenate([x[1] for x in parts]).tolist(),
+        )
+        for pid, parts in by_pid.items()
+    }
+    want = {}
+    for (pid, doc_id), tf in sorted(oracle.postings.get("w000001", {}).items()):
+        want.setdefault(pid, ([], []))
+        want[pid][0].append(doc_id)
+        want[pid][1].append(tf)
+    assert {p: (v[0], v[1]) for p, v in want.items()} == got

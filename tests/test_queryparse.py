@@ -1,0 +1,87 @@
+"""Parser: Lucene-classic subset -> filter tree
+(LuceneBackedQueryParser.java:48-144 semantics, default operator AND)."""
+
+import pytest
+
+from miru_spark.queryparse import (
+    QueryParseError,
+    all_referenced_terms,
+    collect_terms,
+    parse_query,
+)
+
+
+def test_single_term():
+    assert parse_query("foo") == ("term", "foo")
+
+
+def test_default_and():
+    assert parse_query("foo bar") == ("and", [("term", "foo"), ("term", "bar")])
+
+
+def test_explicit_and_or():
+    assert parse_query("a AND b") == ("and", [("term", "a"), ("term", "b")])
+    assert parse_query("a OR b") == ("or", [("term", "a"), ("term", "b")])
+
+
+def test_precedence_or_binds_looser():
+    assert parse_query("a AND b OR c") == (
+        "or",
+        [("and", [("term", "a"), ("term", "b")]), ("term", "c")],
+    )
+
+
+def test_parens():
+    assert parse_query("a AND (b OR c)") == (
+        "and",
+        [("term", "a"), ("or", [("term", "b"), ("term", "c")])],
+    )
+
+
+def test_not_and_minus():
+    want = ("not", ("term", "a"), ("term", "b"))
+    assert parse_query("a AND NOT b") == want
+    assert parse_query("a -b") == want
+
+
+def test_multiple_nots_or_together():
+    assert parse_query("a -b -c") == (
+        "not",
+        ("term", "a"),
+        ("or", [("term", "b"), ("term", "c")]),
+    )
+
+
+def test_pure_not_matches_all_minus():
+    assert parse_query("NOT b") == ("not", ("all",), ("term", "b"))
+
+
+def test_prefix():
+    assert parse_query("w0042*") == ("prefix", "w0042")
+
+
+def test_lowercasing_via_analyzer():
+    assert parse_query("FOO") == ("term", "foo")
+
+
+def test_en_stopword_dropped_to_all():
+    # under the en analyzer "the" is a stopword -> clause matches all
+    assert parse_query("the AND fox", locale="en") == ("term", "fox")
+
+
+def test_collect_terms():
+    tree = parse_query("a AND (b OR c) -d")
+    pos, prefixes, neg = collect_terms(tree)
+    assert pos == {"a", "b", "c"}
+    assert neg == {"d"}
+    terms, pfx = all_referenced_terms(tree)
+    assert terms == {"a", "b", "c", "d"} and pfx == set()
+
+
+def test_unbalanced_paren_raises():
+    with pytest.raises(QueryParseError):
+        parse_query("(a AND b")
+
+
+def test_empty_query():
+    assert parse_query("") == ("none",)
