@@ -1,0 +1,258 @@
+"""SQL-oracle-checkable fulltext operators over the `documents` table.
+
+These re-express the reference's fulltext/query-side semantics
+(FullText.java, MiruAggregateUtil.java) as Catalyst-plannable DataFrame
+pipelines over the driver-provided `documents` table (whitespace-tokenized
+text), each paired with an ANSI-SQL oracle DuckDB can run. The real engine
+(blocked postings + kernels) is exercised separately over webtext in
+tests/; `ft_engine_bm25` below routes the *actual* engine through the same
+DuckDB oracle.
+
+Conventions for driver hash parity: every aggregate/computed column is
+aliased identically in Spark and SQL; sums are cast to bigint; scores are
+rounded to 4 decimals; top-k orders by (rounded score desc, doc_id asc).
+BM25 uses k1=1.2, b=0.75, idf = ln(1 + (N - df + 0.5)/(df + 0.5)).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+K1 = 1.2
+B = 0.75
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _toks(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+
+
+# -- ft_term_stats: per-term df + ctf (termstats table analog;
+#    global cardinality at docId -1, LabFieldIndex.java:510-536) ----------
+
+def ft_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _toks(_docs(spark, sf_dir))
+    return toks.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("long").alias("df"),
+        F.count("*").cast("long").alias("ctf"),
+    )
+
+
+FT_TERM_STATS_SQL = """
+SELECT term,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+       CAST(count(*) AS BIGINT) AS ctf
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+GROUP BY term
+"""
+
+
+# -- BM25 top-k (FullText.collectTfIdf analog, upgraded to BM25) ----------
+
+def _bm25_scores(spark, sf_dir, terms: list[str]) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = _toks(docs)
+    dl = toks.groupBy("doc_id").agg(F.count("*").cast("long").alias("dl"))
+    tf = (
+        toks.filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    n_docs = docs.count()
+    avgdl = dl.agg(F.avg("dl")).collect()[0][0]
+    df = tf.groupBy("term").agg(F.countDistinct("doc_id").cast("long").alias("df"))
+    idf = F.log(F.lit(1.0) + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    contrib = idf * F.col("tf") * (K1 + 1.0) / (
+        F.col("tf") + K1 * (1.0 - B + B * F.col("dl") / F.lit(float(avgdl)))
+    )
+    return (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .withColumn("contrib", contrib)
+        .groupBy("doc_id")
+        .agg(
+            F.sum("contrib").alias("raw_score"),
+            F.count("*").cast("long").alias("nterms"),
+        )
+    )
+
+
+def _bm25_sql(terms: list[str], conjunctive: bool, k: int) -> str:
+    term_list = ", ".join(f"'{t}'" for t in terms)
+    match_pred = f"WHERE nterms = {len(terms)}" if conjunctive else ""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), dl AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks
+  WHERE term IN ({term_list}) GROUP BY doc_id, term
+), stats AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n,
+         (SELECT avg(dl) FROM dl) AS avgdl
+), dfreq AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+), scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * tf.tf * {K1 + 1.0}
+              / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl)) ) AS raw_score,
+         CAST(count(*) AS BIGINT) AS nterms
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY tf.doc_id
+), matched AS (SELECT doc_id, raw_score FROM scores {match_pred})
+SELECT doc_id, round(raw_score, 4) AS score
+FROM matched
+ORDER BY round(raw_score, 4) DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+_BM25_AND_TERMS = ["spark", "join"]
+_BM25_OR_TERMS = ["window", "stream", "dup"]
+
+
+def ft_bm25_and_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _bm25_scores(spark, sf_dir, _BM25_AND_TERMS)
+    return (
+        s.filter(F.col("nterms") == len(_BM25_AND_TERMS))
+        .select("doc_id", F.round("raw_score", 4).alias("score"))
+        .orderBy(F.desc(F.round(F.col("raw_score"), 4)), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+FT_BM25_AND_SQL = _bm25_sql(_BM25_AND_TERMS, conjunctive=True, k=10)
+
+
+def ft_bm25_or_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _bm25_scores(spark, sf_dir, _BM25_OR_TERMS)
+    return (
+        s.select("doc_id", F.round("raw_score", 4).alias("score"))
+        .orderBy(F.desc(F.round(F.col("raw_score"), 4)), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+FT_BM25_OR_SQL = _bm25_sql(_BM25_OR_TERMS, conjunctive=False, k=10)
+
+
+# -- conjunctive / disjunctive match sets (filter compiler analog,
+#    MiruAggregateUtil.filterInOut:1122-1202) ------------------------------
+
+def ft_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _toks(_docs(spark, sf_dir)).distinct()
+    a = toks.filter(F.col("term") == "spark").select("doc_id")
+    b = toks.filter(F.col("term") == "merge").select("doc_id")
+    out = a.join(b, "doc_id", "inner").join(
+        _docs(spark, sf_dir).select("doc_id", "lang"), "doc_id"
+    )
+    return out.select("doc_id", "lang")
+
+
+FT_CONJUNCTIVE_SQL = """
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+)
+SELECT d.doc_id, d.lang
+FROM documents d
+WHERE d.doc_id IN (SELECT doc_id FROM toks WHERE term = 'spark')
+  AND d.doc_id IN (SELECT doc_id FROM toks WHERE term = 'merge')
+"""
+
+
+def ft_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    terms = ["window", "stream", "dup"]
+    toks = _toks(_docs(spark, sf_dir)).distinct()
+    return (
+        toks.filter(F.col("term").isin(terms))
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_matched"))
+    )
+
+
+FT_DISJUNCTIVE_SQL = """
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matched
+FROM (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+WHERE term IN ('window', 'stream', 'dup')
+GROUP BY doc_id
+"""
+
+
+# -- prefix / wildcard expansion (MiruAggregateUtil.java:1154-1167) --------
+
+def ft_prefix_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _toks(_docs(spark, sf_dir))
+    return (
+        toks.filter(F.col("term").startswith("s"))
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").cast("long").alias("df"))
+    )
+
+
+FT_PREFIX_EXPAND_SQL = """
+SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+WHERE term LIKE 's%'
+GROUP BY term
+"""
+
+
+# -- the REAL engine routed through the SQL oracle -------------------------
+
+def ft_engine_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a real blocked-postings index over `documents` (lang forced to
+    'und' so the standard analyzer == whitespace split on this corpus) and
+    run the distributed BM25 kernel; the DuckDB oracle recomputes BM25 in
+    plain SQL. This gates the actual engine, not a SQL re-expression."""
+    import tempfile
+
+    from ..index.build import build_index
+    from ..query.engine import SearchEngine
+
+    docs = _docs(spark, sf_dir)
+    wt = docs.select(
+        F.format_string("doc%08d", F.col("doc_id")).alias("url"),
+        F.timestamp_micros(
+            F.lit(1704067200_000_000) + F.col("doc_id").cast("long") * 1_000_000
+        ).alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        "text",
+        F.lit("und").alias("lang"),
+    )
+    index_dir = tempfile.mkdtemp(prefix="ft_engine_idx_")
+    build_index(
+        spark,
+        wt,
+        index_dir,
+        partition_seconds=10**9,
+        block_span=64,
+        shuffle_partitions=max(8, spark.sparkContext.defaultParallelism),
+    )
+    eng = SearchEngine(spark, index_dir)
+    res = eng.search("spark AND join", k=10)
+    return res.select(
+        F.col("doc_id"),
+        F.round("score", 4).alias("score"),
+    ).orderBy(F.desc(F.round(F.col("score"), 4)), F.asc("doc_id"))
+
+
+FT_ENGINE_BM25_SQL = FT_BM25_AND_SQL
+
+
+QUERIES = {
+    "ft_term_stats": (ft_term_stats, FT_TERM_STATS_SQL),
+    "ft_bm25_and_topk": (ft_bm25_and_topk, FT_BM25_AND_SQL),
+    "ft_bm25_or_topk": (ft_bm25_or_topk, FT_BM25_OR_SQL),
+    "ft_conjunctive": (ft_conjunctive, FT_CONJUNCTIVE_SQL),
+    "ft_disjunctive": (ft_disjunctive, FT_DISJUNCTIVE_SQL),
+    "ft_prefix_expand": (ft_prefix_expand, FT_PREFIX_EXPAND_SQL),
+    "ft_engine_bm25": (ft_engine_bm25, FT_ENGINE_BM25_SQL),
+}

@@ -1,0 +1,94 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Image/audio decode libraries are not available in this environment, so the
+decode step is a clearly-marked deterministic stub; everything Spark-side
+is real: binary column handling, Arrow-batched mapInPandas over bytes,
+stable output schema, partition-preserving batch shape. The stub derives
+"decoded" metadata purely from the byte length, which makes the whole
+pipeline SQL-oracle-checkable (octet_length in DuckDB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+MM_SCHEMA = "doc_id long, n_bytes long, width int, height int, n_frames int"
+
+
+def _fake_decode_meta(n_bytes: int) -> tuple[int, int, int]:
+    """STUB: stands in for image/video decode (no codec libs here).
+    Deterministic pure function of payload size."""
+    width = 64 + n_bytes % 640
+    height = 64 + (n_bytes * 7) % 480
+    n_frames = 1 + n_bytes % 30
+    return width, height, n_frames
+
+
+def mm_decode_meta(spark, sf_dir):
+    """Binary payload -> decoded metadata via Arrow-batched mapInPandas.
+
+    The payload is synthesized from `text` (UTF-8 bytes) since the test
+    tables carry no real media; on a production table this is the
+    image/audio bytes column and _fake_decode_meta is replaced by a real
+    decoder (PIL/ffmpeg) with the same Spark plumbing.
+    """
+    import pandas as pd
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+
+    def decode(batches):
+        for pdf in batches:
+            n = pdf["payload"].map(len)
+            meta = n.map(_fake_decode_meta)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": n.astype("int64"),
+                    "width": meta.map(lambda m: m[0]).astype("int32"),
+                    "height": meta.map(lambda m: m[1]).astype("int32"),
+                    "n_frames": meta.map(lambda m: m[2]).astype("int32"),
+                }
+            )
+
+    return docs.mapInPandas(decode, MM_SCHEMA)
+
+
+MM_DECODE_META_SQL = """
+SELECT doc_id,
+       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+       CAST(64 + octet_length(CAST(text AS BLOB)) % 640 AS INT) AS width,
+       CAST(64 + (octet_length(CAST(text AS BLOB)) * 7) % 480 AS INT) AS height,
+       CAST(1 + octet_length(CAST(text AS BLOB)) % 30 AS INT) AS n_frames
+FROM documents
+"""
+
+
+def mm_frame_sample(spark, sf_dir):
+    """Frame sampling plan: explode a deterministic frame index per doc
+    (every 10th frame). Non-oracle variant exercises the same plumbing at
+    array granularity; this one is SQL-checkable."""
+    meta = mm_decode_meta(spark, sf_dir)
+    return meta.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(10))
+        ).alias("frame_idx"),
+    )
+
+
+MM_FRAME_SAMPLE_SQL = """
+WITH meta AS (
+  SELECT doc_id, CAST(1 + octet_length(CAST(text AS BLOB)) % 30 AS INT) AS n_frames
+  FROM documents
+)
+SELECT doc_id, CAST(unnest(range(0, n_frames, 10)) AS INT) AS frame_idx
+FROM meta
+"""
+
+
+QUERIES = {
+    "mm_decode_meta": (mm_decode_meta, MM_DECODE_META_SQL),
+    "mm_frame_sample": (mm_frame_sample, MM_FRAME_SAMPLE_SQL),
+}

@@ -1,0 +1,151 @@
+"""Similarity search over the `embeddings` table (vec_id, embedding:
+array<float>, label).
+
+Brute-force cosine top-k is the exact baseline; the LSH/bucketed variant
+(label-blocked pair scan here; random-hyperplane buckets at scale) is the
+scale path: at 10^9 vectors the cross join is replaced by a bucket
+equi-join so each task scores only its bucket. Dot products run JVM-side
+via zip_with/aggregate (whole-stage codegen, no Python).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+TOP_K = 5
+N_QUERIES = 3  # vec_id 0..2 are the query vectors
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+
+
+def _cosine(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+# -- brute-force cosine top-k ANN ------------------------------------------
+
+def ann_cosine_topk(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    cand = emb.select(
+        F.col("vec_id").alias("vid"), F.col("embedding").alias("cv")
+    )
+    scored = (
+        cand.crossJoin(F.broadcast(q))
+        .filter(F.col("vid") != F.col("qid"))
+        .withColumn("cos_r", F.round(_cosine(F.col("qv"), F.col("cv")), 4))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_r"), F.asc("vid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "qid", "vid", F.col("cos_r").alias("cosine"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+ANN_COSINE_TOPK_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < {N_QUERIES}
+), scored AS (
+  SELECT q.qid, e.vec_id AS vid,
+         round(list_cosine_similarity(q.qv, e.embedding), 4) AS cos_r
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.qid
+), ranked AS (
+  SELECT qid, vid, cos_r,
+         row_number() OVER (PARTITION BY qid ORDER BY cos_r DESC, vid ASC) AS rank
+  FROM scored
+)
+SELECT qid, vid, cos_r AS cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+# -- label-blocked near-duplicate pairs (bucketed scale path) ---------------
+
+def emb_dup_pairs(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    a = emb.select(
+        F.col("label").alias("lbl"),
+        F.col("vec_id").alias("vid_a"),
+        F.col("embedding").alias("va"),
+    )
+    b = emb.select(
+        F.col("label").alias("lbl"),
+        F.col("vec_id").alias("vid_b"),
+        F.col("embedding").alias("vb"),
+    )
+    pairs = a.join(b, "lbl").filter(F.col("vid_a") < F.col("vid_b"))
+    scored = pairs.withColumn(
+        "cos_r", F.round(_cosine(F.col("va"), F.col("vb")), 4)
+    )
+    return (
+        scored.filter(F.col("cos_r") >= 0.9)
+        .select(
+            F.col("lbl").alias("label"),
+            "vid_a",
+            "vid_b",
+            F.col("cos_r").alias("cosine"),
+        )
+    )
+
+
+EMB_DUP_PAIRS_SQL = """
+SELECT a.label AS label, a.vec_id AS vid_a, b.vec_id AS vid_b,
+       round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cosine
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.embedding, b.embedding), 4) >= 0.9
+"""
+
+
+# -- label centroid similarity (aggregate over vectors, JVM-side) -----------
+
+def emb_label_norms(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    return (
+        emb.select("label", _norm(F.col("embedding")).alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.round(F.avg("nrm"), 4).alias("avg_norm"),
+            F.count("*").cast("long").alias("n_vecs"),
+        )
+    )
+
+
+EMB_LABEL_NORMS_SQL = """
+SELECT label,
+       round(avg(sqrt(list_dot_product(embedding, embedding))), 4) AS avg_norm,
+       CAST(count(*) AS BIGINT) AS n_vecs
+FROM embeddings GROUP BY label
+"""
+
+
+QUERIES = {
+    "ann_cosine_topk": (ann_cosine_topk, ANN_COSINE_TOPK_SQL),
+    "emb_dup_pairs": (emb_dup_pairs, EMB_DUP_PAIRS_SQL),
+    "emb_label_norms": (emb_label_norms, EMB_LABEL_NORMS_SQL),
+}

@@ -1,0 +1,163 @@
+"""Text-analysis operators over the `documents` table: language ID
+heuristic, quality scoring, token counting, document fingerprinting.
+
+All JVM-side (split/explode/aggregate -- whole-stage codegen); the
+fingerprint uses portable integer arithmetic over dense token codes so the
+DuckDB oracle reproduces it exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..analyzer import ENGLISH_STOPWORDS
+
+_STOP_LIST = sorted(ENGLISH_STOPWORDS)
+_STOP_SQL = ", ".join(f"'{s}'" for s in _STOP_LIST)
+_FP_MOD = 2_147_483_647
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _toks_pos(docs):
+    return docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "term")
+    )
+
+
+# -- token counting ---------------------------------------------------------
+
+def tx_token_count(spark, sf_dir):
+    toks = _toks_pos(_docs(spark, sf_dir))
+    return toks.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.countDistinct("term").cast("long").alias("n_uniq"),
+    )
+
+
+TX_TOKEN_COUNT_SQL = """
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(count(DISTINCT term) AS BIGINT) AS n_uniq
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+GROUP BY doc_id
+"""
+
+
+# -- quality scoring: length + stopword-ratio + mean token length ----------
+
+def tx_quality(spark, sf_dir):
+    toks = _toks_pos(_docs(spark, sf_dir))
+    agg = toks.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        (
+            F.sum(F.col("term").isin(_STOP_LIST).cast("int"))
+            / F.count("*")
+        ).alias("stop_ratio_raw"),
+        F.avg(F.length("term")).alias("avg_len_raw"),
+    )
+    quality = F.round(
+        F.log(F.lit(1.0) + F.col("n_tokens")) * 0.1
+        + F.col("stop_ratio_raw") * 0.5
+        + F.col("avg_len_raw") * 0.05,
+        4,
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        F.round("stop_ratio_raw", 4).alias("stop_ratio"),
+        F.round("avg_len_raw", 4).alias("avg_token_len"),
+        quality.alias("quality"),
+    )
+
+
+TX_QUALITY_SQL = f"""
+WITH agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         sum(CASE WHEN term IN ({_STOP_SQL}) THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE) AS stop_ratio_raw,
+         avg(length(term)) AS avg_len_raw
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+  GROUP BY doc_id
+)
+SELECT doc_id, n_tokens,
+       round(stop_ratio_raw, 4) AS stop_ratio,
+       round(avg_len_raw, 4) AS avg_token_len,
+       round(ln(1.0 + n_tokens) * 0.1 + stop_ratio_raw * 0.5 + avg_len_raw * 0.05, 4) AS quality
+FROM agg
+"""
+
+
+# -- language-ID heuristic: stopword density --------------------------------
+
+def tx_langid(spark, sf_dir):
+    toks = _toks_pos(_docs(spark, sf_dir))
+    agg = toks.groupBy("doc_id").agg(
+        (
+            F.sum(F.col("term").isin(_STOP_LIST).cast("int"))
+            / F.count("*")
+        ).alias("sr")
+    )
+    pred = F.when(F.col("sr") >= 0.08, F.lit("en")).otherwise(F.lit("und"))
+    return (
+        agg.join(_docs(spark, sf_dir).select("doc_id", "lang"), "doc_id")
+        .select("doc_id", "lang", pred.alias("pred_lang"))
+    )
+
+
+TX_LANGID_SQL = f"""
+WITH agg AS (
+  SELECT doc_id,
+         sum(CASE WHEN term IN ({_STOP_SQL}) THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE) AS sr
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+  GROUP BY doc_id
+)
+SELECT a.doc_id, d.lang,
+       CASE WHEN a.sr >= 0.08 THEN 'en' ELSE 'und' END AS pred_lang
+FROM agg a JOIN documents d USING (doc_id)
+"""
+
+
+# -- document fingerprint: position-weighted token-code sum (portable) ------
+
+def tx_fingerprint(spark, sf_dir):
+    toks = _toks_pos(_docs(spark, sf_dir))
+    w = Window.orderBy("term")
+    codes = toks.select("term").distinct().withColumn(
+        "code", F.row_number().over(w).cast("long")
+    )
+    return (
+        toks.join(F.broadcast(codes), "term")
+        .groupBy("doc_id")
+        .agg(
+            (F.sum((F.col("pos") + 1) * F.col("code")) % _FP_MOD)
+            .cast("long")
+            .alias("fingerprint")
+        )
+    )
+
+
+TX_FINGERPRINT_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS term,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+), codes AS (
+  SELECT term, CAST(row_number() OVER (ORDER BY term) AS BIGINT) AS code
+  FROM (SELECT DISTINCT term FROM toks)
+)
+SELECT t.doc_id,
+       CAST(sum(t.pos * c.code) % {_FP_MOD} AS BIGINT) AS fingerprint
+FROM toks t JOIN codes c USING (term)
+GROUP BY t.doc_id
+"""
+
+
+QUERIES = {
+    "tx_token_count": (tx_token_count, TX_TOKEN_COUNT_SQL),
+    "tx_quality": (tx_quality, TX_QUALITY_SQL),
+    "tx_langid": (tx_langid, TX_LANGID_SQL),
+    "tx_fingerprint": (tx_fingerprint, TX_FINGERPRINT_SQL),
+}
