@@ -1,0 +1,132 @@
+#!/usr/bin/env python
+"""Headline benchmark for the miru_spark engine.
+
+Runs at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>, ...extras}
+
+Workload (the north-star metrics from BASELINE.md):
+  1. index build over the deterministic synthetic webtext corpus sized to
+     the sf (2M rows/sf unit -> 200k docs at sf0.1) -- docs/sec reported;
+  2. BM25 top-10 query latencies over that index (conjunctive,
+     disjunctive, mixed, NOT, prefix, head-term shapes from FIXTURES.md §2);
+  3. breadth ops over the driver tables at the sf dir (fulltext SQL path,
+     dedup, ANN, aggregate-counts, text-quality).
+
+Set BENCH_SCALE_DOCS to override the synthetic corpus size, BENCH_SKIP_OPS=1
+to run only the build+query core (used by the scaling-efficiency runner).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+BM25_QUERIES = {
+    "q_and2": "w000017 AND w000031",
+    "q_and4": "w000101 AND w000205 AND w000046 AND w000088",
+    "q_or3": "w000013 OR w000201 OR w000502",
+    "q_mixed": "w000040 AND (w000150 OR w000222)",
+    "q_not": "w000019 AND NOT w000404",
+    "q_prefix": "w00042*",
+    "q_head_tail": "w000003 AND w004242",
+}
+
+
+def _sf_from_dir(d: str) -> float:
+    m = re.search(r"sf([0-9.]+)", os.path.basename(d.rstrip("/")))
+    return float(m.group(1)) if m else 0.1
+
+
+def main() -> None:
+    sf = _sf_from_dir(SF_DIR)
+    n_docs = int(os.environ.get("BENCH_SCALE_DOCS", str(int(2_000_000 * sf))))
+
+    from miru_spark.index.build import build_index
+    from miru_spark.query.engine import SearchEngine
+    from miru_spark.session import get_spark
+    from miru_spark.webtext import webtext_df
+
+    spark = get_spark(
+        app_name="miru_spark_bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=CPUS,
+    )
+
+    timings: dict[str, float] = {}
+    extras: dict = {"n_docs": n_docs, "cpus": CPUS}
+
+    index_dir = tempfile.mkdtemp(prefix="miru_bench_idx_")
+    try:
+        # -- 1. index build (throughput metric) ---------------------------
+        wt = webtext_df(spark, n_docs, parallelism=CPUS * 2)
+        t0 = time.time()
+        report = build_index(
+            spark,
+            wt,
+            index_dir,
+            partition_seconds=86400,
+            block_span=4096,
+            resume=False,
+            shuffle_partitions=CPUS,
+        )
+        timings["build_index"] = time.time() - t0
+        extras["build_docs_per_sec"] = round(n_docs / timings["build_index"], 1)
+        extras["n_partitions"] = len(report.pids_built)
+
+        # -- 2. BM25 top-10 latencies -------------------------------------
+        eng = SearchEngine(spark, index_dir)
+        eng.search("w000001", k=10).collect()  # warm the scan path once
+        for name, q in BM25_QUERIES.items():
+            t0 = time.time()
+            rows = eng.search(q, k=10).collect()
+            timings[name] = time.time() - t0
+            extras.setdefault("rows", {})[name] = len(rows)
+        qtimes = [timings[n] for n in BM25_QUERIES]
+        extras["query_p50_ms"] = round(sorted(qtimes)[len(qtimes) // 2] * 1000, 1)
+        extras["query_qps"] = round(len(qtimes) / sum(qtimes), 2)
+
+        # -- 3. breadth ops over driver tables ----------------------------
+        if os.environ.get("BENCH_SKIP_OPS", "0") != "1":
+            from miru_spark.ops import dedup, events_ops, fulltext_sql
+            from miru_spark.ops import similarity, textstats
+
+            breadth = {
+                "op_ft_bm25_sql": fulltext_sql.ft_bm25_and_topk,
+                "op_dd_minhash": dedup.dd_minhash_pairs,
+                "op_ann_cosine": similarity.ann_cosine_topk,
+                "op_ev_aggcounts": events_ops.ev_aggregate_counts,
+                "op_tx_quality": textstats.tx_quality,
+            }
+            for name, fn in breadth.items():
+                t0 = time.time()
+                fn(spark, SF_DIR).collect()
+                timings[name] = time.time() - t0
+    finally:
+        shutil.rmtree(index_dir, ignore_errors=True)
+        spark.stop()
+
+    out = {
+        "metric": "index_build+bm25_topk+breadth_ops_total_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": sf,
+    }
+    out.update(extras)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -124,7 +124,7 @@ def _contains_vowel(word: str, start: int, end: int) -> bool:
     return any(word[i] in _VOWELS for i in range(start, end))
 
 
-def porter2_stem(word: str) -> str:
+def _porter2_stem_uncached(word: str) -> str:
     """Porter2 / Snowball English stemmer. Input must be lowercase."""
     if len(word) <= 2:
         return word
@@ -242,6 +242,12 @@ def porter2_stem(word: str) -> str:
         word = word[:-1]
 
     return word.replace("Y", "y")
+
+
+# Natural-language term distributions are Zipfian, so a bounded memo on the
+# stemmer turns the hot tokenize path from O(tokens) stem runs into
+# O(distinct terms) -- ~10-20x on web text.
+porter2_stem = lru_cache(maxsize=1 << 18)(_porter2_stem_uncached)
 
 
 # ---------------------------------------------------------------------------

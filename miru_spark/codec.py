@@ -64,6 +64,57 @@ def decode_varint(buf: bytes | memoryview) -> np.ndarray:
     return vals.astype(np.int64)
 
 
+def encode_varint_grouped(
+    values: np.ndarray, group_starts: np.ndarray, group_ends: np.ndarray
+) -> list[bytes]:
+    """LEB128-encode `values` once, sliced into one bytes blob per
+    [start, end) group. Equivalent to `[encode_varint(values[s:e]) ...]`
+    but with a single vectorized pass -- the per-group-call overhead
+    dominates when a partition holds tens of thousands of small posting
+    blocks."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    n = v.size
+    if n == 0:
+        return [b"" for _ in range(len(group_starts))]
+    nb = np.ones(n, dtype=np.int64)
+    for k in range(1, 10):
+        nb += (v >= (_U64(1) << _U64(7 * k))).astype(np.int64)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(nb, out=offsets[1:])
+    out = np.zeros(int(offsets[-1]), dtype=np.uint8)
+    starts = offsets[:-1]
+    maxb = int(nb.max())
+    for b in range(maxb):
+        mask = nb > b
+        idx = starts[mask] + b
+        chunk = ((v[mask] >> _U64(7 * b)) & _MASK7).astype(np.uint8)
+        cont = (nb[mask] - 1 > b)
+        out[idx] = chunk | np.where(cont, _CONT, np.uint8(0))
+    buf = out.tobytes()
+    bs = offsets[group_starts]
+    be = offsets[group_ends]
+    return [buf[s:e] for s, e in zip(bs.tolist(), be.tolist())]
+
+
+def encode_postings_grouped(
+    doc_ids: np.ndarray, group_starts: np.ndarray, group_ends: np.ndarray
+) -> list[bytes]:
+    """Delta-gap + varint encode per [start, end) group in one pass; each
+    group's docIDs must be strictly increasing."""
+    ids = np.ascontiguousarray(doc_ids, dtype=np.int64)
+    if ids.size == 0:
+        return [b"" for _ in range(len(group_starts))]
+    gaps = np.empty_like(ids)
+    gaps[0] = ids[0]
+    np.subtract(ids[1:], ids[:-1], out=gaps[1:])
+    gaps[group_starts] = ids[group_starts]
+    interior = np.ones(ids.size, dtype=bool)
+    interior[group_starts] = False
+    if interior.any() and gaps[interior].min() <= 0:
+        raise ValueError("doc_ids must be strictly increasing within groups")
+    return encode_varint_grouped(gaps, group_starts, group_ends)
+
+
 def encode_postings(doc_ids: np.ndarray) -> bytes:
     """Delta-gap + varint encode a strictly-increasing docID array."""
     ids = np.ascontiguousarray(doc_ids, dtype=np.int64)

@@ -55,3 +55,28 @@ def test_non_increasing_rejected():
         encode_postings(np.array([3, 3], dtype=np.int64))
     with pytest.raises(ValueError):
         encode_postings(np.array([5, 2], dtype=np.int64))
+
+
+def test_grouped_encoders_match_per_group():
+    import numpy as np
+
+    from miru_spark.codec import (
+        encode_postings,
+        encode_postings_grouped,
+        encode_varint,
+        encode_varint_grouped,
+    )
+
+    rng = np.random.default_rng(7)
+    vals = rng.integers(0, 1 << 40, size=997).astype(np.int64)
+    cuts = np.sort(rng.choice(np.arange(1, 997), size=30, replace=False))
+    starts = np.concatenate([[0], cuts])
+    ends = np.concatenate([cuts, [997]])
+    got = encode_varint_grouped(vals, starts, ends)
+    want = [bytes(encode_varint(vals[s:e])) for s, e in zip(starts, ends)]
+    assert got == want
+
+    ids = np.cumsum(rng.integers(1, 50, size=997)).astype(np.int64)
+    got_p = encode_postings_grouped(ids, starts, ends)
+    want_p = [bytes(encode_postings(ids[s:e])) for s, e in zip(starts, ends)]
+    assert got_p == want_p
