@@ -1,30 +1,34 @@
 """Deduplication operators over the `documents` table.
 
 Large-scale training-data pipeline dedup family: exact (hash-groupBy),
-MinHash signatures + LSH candidate pairs, SimHash, n-gram Jaccard. Every
-hash is built from *portable integer arithmetic over dense token codes*
-(dense rank of the token in the sorted term dictionary), so the DuckDB
-oracle reproduces the exact same signatures -- no engine-specific hash
-functions.
+MinHash over 3-token shingles + banded-LSH candidate pairs, SimHash,
+n-gram Jaccard. Every hash is *portable integer arithmetic over
+md5-derived values* -- `H(s) = int(md5(s)[:14 hex], 16)` computes
+identically in Spark (`conv(substring(md5(s),1,14),16,10)`) and DuckDB
+(`CAST('0x'||substr(md5(s),1,14) AS BIGINT)`), so the oracle reproduces
+the exact signatures with no engine-specific hash functions and no
+global term-dictionary rank (a global dense rank would serialize into one
+window task at web scale; md5 is embarrassingly parallel).
 
-Scale notes: token-code assignment is a broadcast dictionary join; MinHash
-is one explode + groupBy(doc, hash_id) min; LSH bucketing groups by
-(hash_id, minhash) -- at web scale bucket skew is capped by banding and by
-salting hot buckets, and candidate verification stays within buckets.
+Scale notes: shingling runs as array higher-order functions on each row
+(zero shuffles); MinHash computes all 8 minima in one map-side-combinable
+aggregation (no xN_HASHES row explosion through the shuffle); LSH banding
+(4 bands x 2 rows) buckets by the band key so candidate generation touches
+only same-bucket pairs, and signature verification runs per candidate
+pair -- never all pairs.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 N_HASHES = 8
-_P = 1009
-# deterministic hash params (hid, a, b)
+BAND_ROWS = 2  # 4 bands x 2 rows
+_P = 1_000_000_007
+# deterministic hash params (hid, a, b); a*H < 70e9 stays in int64
 HASH_PARAMS = [(i, 13 + 8 * i, 7 + 3 * i) for i in range(N_HASHES)]
 SIM_BITS = 16
-_SIM_MULT = 2654435761  # Knuth multiplicative constant
 _SIM_MOD = 65536
 
 
@@ -36,23 +40,53 @@ def _toks(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
 
 
-def _codes(toks: DataFrame) -> DataFrame:
-    """Dense token codes: rank in the sorted distinct-term dictionary."""
-    w = Window.orderBy("term")
-    return toks.select("term").distinct().withColumn(
-        "code", F.row_number().over(w).cast("long")
+def _md5i(col):
+    """Portable md5-derived int in [0, 2^56): same value in DuckDB."""
+    return F.conv(F.substring(F.md5(col), 1, 14), 16, 10).cast("long")
+
+
+def _md5i_sql(expr: str) -> str:
+    return f"CAST(('0x' || substr(md5({expr}), 1, 14)) AS BIGINT)"
+
+
+def _shingles(docs: DataFrame) -> DataFrame:
+    """Distinct 3-token shingles per doc, built with array higher-order
+    functions on the row itself -- zero shuffles (no explode+window, no
+    global distinct), which is what survives a 100TB corpus."""
+    arr = F.split(F.col("text"), " ")
+    sh = F.filter(
+        F.transform(
+            arr,
+            lambda x, i: F.when(
+                F.get(arr, i + 2).isNotNull(),
+                F.concat_ws(" ", x, F.get(arr, i + 1), F.get(arr, i + 2)),
+            ),
+        ),
+        lambda s: s.isNotNull(),
+    )
+    return docs.select(
+        "doc_id", F.explode(F.array_distinct(sh)).alias("shingle")
     )
 
-
-_CODES_SQL = """
-codes AS (
-  SELECT term, CAST(row_number() OVER (ORDER BY term) AS BIGINT) AS code
-  FROM (SELECT DISTINCT unnest(string_split(text, ' ')) AS term FROM documents)
-)"""
 
 _TOKS_SQL = """
 toks AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+)"""
+
+_SHINGLES_SQL = """
+postoks AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS term,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+), sh0 AS (
+  SELECT DISTINCT doc_id,
+         term || ' ' || lead(term, 1) OVER w || ' ' || lead(term, 2) OVER w AS shingle
+  FROM postoks
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), shingles AS (
+  SELECT doc_id, shingle FROM sh0 WHERE shingle IS NOT NULL
 )"""
 
 
@@ -74,78 +108,121 @@ FROM documents GROUP BY md5(text)
 """
 
 
-# -- MinHash signatures: min over contained token codes of (a*c+b) mod p --
+# -- MinHash signatures: min over shingle hashes of (a*H+b) mod p ----------
 
 def dd_minhash_sig(spark, sf_dir):
-    toks = _toks(_docs(spark, sf_dir)).distinct()
-    codes = _codes(toks)
-    params = spark.createDataFrame(HASH_PARAMS, "hid int, a long, b long")
-    return (
-        toks.join(F.broadcast(codes), "term")
-        .crossJoin(F.broadcast(params))
-        .groupBy("doc_id", "hid")
-        .agg(
-            F.min((F.col("a") * F.col("code") + F.col("b")) % _P)
-            .cast("long")
-            .alias("minhash")
-        )
+    sh = _shingles(_docs(spark, sf_dir)).withColumn(
+        "hv", _md5i(F.col("shingle")) % _P
     )
+    # all 8 minima in ONE map-side-combinable aggregation (no x8 row
+    # explosion through the shuffle), then unpivot to (doc_id, hid, minhash)
+    wide = sh.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("hv") + F.lit(b)) % _P)
+            .cast("long")
+            .alias(f"mh{h}")
+            for h, a, b in HASH_PARAMS
+        ]
+    )
+    stack_expr = f"stack({N_HASHES}, " + ", ".join(
+        f"{h}, mh{h}" for h, _a, _b in HASH_PARAMS
+    ) + ") as (hid, minhash)"
+    return wide.select("doc_id", F.expr(stack_expr))
 
 
 _PARAMS_SQL = "params(hid, a, b) AS (VALUES " + ", ".join(
     f"({h}, {a}, {b})" for h, a, b in HASH_PARAMS
 ) + ")"
 
+_SIG_SQL_BODY = f"""
+sig AS (
+  SELECT s.doc_id, p.hid,
+         CAST(min((p.a * ({_md5i_sql('s.shingle')} % {_P}) + p.b) % {_P}) AS BIGINT)
+           AS minhash
+  FROM shingles s CROSS JOIN params p
+  GROUP BY s.doc_id, p.hid
+)"""
+
 DD_MINHASH_SIG_SQL = f"""
-WITH {_TOKS_SQL.strip()}, {_CODES_SQL.strip()}, {_PARAMS_SQL}
-SELECT t.doc_id, p.hid,
-       CAST(min((p.a * c.code + p.b) % {_P}) AS BIGINT) AS minhash
-FROM (SELECT DISTINCT doc_id, term FROM toks) t
-JOIN codes c USING (term) CROSS JOIN params p
-GROUP BY t.doc_id, p.hid
+WITH {_SHINGLES_SQL.strip()}, {_PARAMS_SQL}, {_SIG_SQL_BODY.strip()}
+SELECT doc_id, hid, minhash FROM sig
 """
 
 
-# -- MinHash LSH candidate pairs: bucket-join on (hid, minhash), estimate
-#    Jaccard as fraction of agreeing hashes --------------------------------
+# -- MinHash banded LSH: candidates share a full band (BAND_ROWS consecutive
+#    minhashes), then signature agreement estimates Jaccard per candidate --
 
 def dd_minhash_pairs(spark, sf_dir):
-    sig = dd_minhash_sig(spark, sf_dir)
-    a = sig.alias("a")
-    b = sig.alias("b")
-    pairs = (
+    sig = dd_minhash_sig(spark, sf_dir).persist()
+    bands = (
+        sig.withColumn("band", (F.col("hid") / BAND_ROWS).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("hid", "minhash"))),
+                    lambda x: x["minhash"].cast("string"),
+                ),
+                ",",
+            ).alias("bkey")
+        )
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
         a.join(
             b,
-            (F.col("a.hid") == F.col("b.hid"))
-            & (F.col("a.minhash") == F.col("b.minhash"))
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .groupBy(
+        .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
-        .agg((F.count("*") / F.lit(float(N_HASHES))).alias("est_raw"))
+        .distinct()
     )
-    return (
-        pairs.filter(F.col("est_raw") >= 0.5)
-        .select("doc_a", "doc_b", F.round("est_raw", 4).alias("est_jaccard"))
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"), "hid", F.col("minhash").alias("mh_a")
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"), "hid", F.col("minhash").alias("mh_b")
+    )
+    est = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "hid"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            (
+                F.sum((F.col("mh_a") == F.col("mh_b")).cast("long"))
+                / F.lit(float(N_HASHES))
+            ).alias("est_raw")
+        )
+    )
+    return est.filter(F.col("est_raw") >= 0.25).select(
+        "doc_a", "doc_b", F.round("est_raw", 4).alias("est_jaccard")
     )
 
 
 DD_MINHASH_PAIRS_SQL = f"""
-WITH {_TOKS_SQL.strip()}, {_CODES_SQL.strip()}, {_PARAMS_SQL},
-sig AS (
-  SELECT t.doc_id, p.hid,
-         CAST(min((p.a * c.code + p.b) % {_P}) AS BIGINT) AS minhash
-  FROM (SELECT DISTINCT doc_id, term FROM toks) t
-  JOIN codes c USING (term) CROSS JOIN params p
-  GROUP BY t.doc_id, p.hid
+WITH {_SHINGLES_SQL.strip()}, {_PARAMS_SQL}, {_SIG_SQL_BODY.strip()},
+bands AS (
+  SELECT doc_id, hid // {BAND_ROWS} AS band,
+         string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY hid) AS bkey
+  FROM sig GROUP BY doc_id, hid // {BAND_ROWS}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+), est AS (
+  SELECT c.doc_a, c.doc_b,
+         sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END)
+           / {float(N_HASHES)} AS est_raw
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.doc_a
+  JOIN sig sb ON sb.doc_id = c.doc_b AND sb.hid = sa.hid
+  GROUP BY c.doc_a, c.doc_b
 )
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       round(count(*) / {float(N_HASHES)}, 4) AS est_jaccard
-FROM sig a JOIN sig b
-  ON a.hid = b.hid AND a.minhash = b.minhash AND a.doc_id < b.doc_id
-GROUP BY a.doc_id, b.doc_id
-HAVING count(*) / {float(N_HASHES)} >= 0.5
+SELECT doc_a, doc_b, round(est_raw, 4) AS est_jaccard
+FROM est WHERE est_raw >= 0.25
 """
 
 
@@ -156,11 +233,9 @@ def dd_simhash(spark, sf_dir):
     tf = toks.groupBy("doc_id", "term").agg(
         F.count("*").cast("long").alias("tf")
     )
-    codes = _codes(toks)
     bits = spark.createDataFrame([(j,) for j in range(SIM_BITS)], "j int")
     joined = (
-        tf.join(F.broadcast(codes), "term")
-        .withColumn("h", ((F.col("code") * _SIM_MULT) % _SIM_MOD).cast("long"))
+        tf.withColumn("h", _md5i(F.col("term")) % _SIM_MOD)
         .crossJoin(F.broadcast(bits))
         .withColumn(
             # (h >> j) & 1 via exact power-of-two division (shiftright
@@ -188,15 +263,15 @@ def dd_simhash(spark, sf_dir):
 
 
 DD_SIMHASH_SQL = f"""
-WITH {_TOKS_SQL.strip()}, {_CODES_SQL.strip()},
+WITH {_TOKS_SQL.strip()},
 tf AS (
   SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY doc_id, term
 ),
 bits(j) AS (SELECT * FROM range(0, {SIM_BITS})),
 votes AS (
   SELECT tf.doc_id, bits.j,
-         sum(tf.tf * ((((c.code * {_SIM_MULT}) % {_SIM_MOD}) >> bits.j & 1) * 2 - 1)) AS v
-  FROM tf JOIN codes c USING (term) CROSS JOIN bits
+         sum(tf.tf * ((({_md5i_sql('tf.term')} % {_SIM_MOD}) >> bits.j & 1) * 2 - 1)) AS v
+  FROM tf CROSS JOIN bits
   GROUP BY tf.doc_id, bits.j
 )
 SELECT doc_id,
@@ -208,20 +283,7 @@ FROM votes GROUP BY doc_id
 # -- n-gram (3-token shingle) Jaccard over candidate pairs -----------------
 
 def dd_ngram_jaccard(spark, sf_dir):
-    toks = _docs(spark, sf_dir).select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "term")
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    shingles = (
-        toks.withColumn("t2", F.lead("term", 1).over(w))
-        .withColumn("t3", F.lead("term", 2).over(w))
-        .filter(F.col("t3").isNotNull())
-        .select(
-            "doc_id",
-            F.concat_ws(" ", "term", "t2", "t3").alias("shingle"),
-        )
-        .distinct()
-    )
+    shingles = _shingles(_docs(spark, sf_dir))
     sizes = shingles.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("sz")
     )
