@@ -86,8 +86,8 @@ def main() -> None:
         extras["n_partitions"] = len(report.pids_built)
 
         # -- 2. BM25 top-10 latencies -------------------------------------
-        eng = SearchEngine(spark, index_dir)
-        eng.search("w000001", k=10).collect()  # warm the scan path once
+        eng = SearchEngine(spark, index_dir).cache()
+        eng.search("w000001", k=10).collect()  # warm cache + scan path once
         for name, q in BM25_QUERIES.items():
             t0 = time.time()
             rows = eng.search(q, k=10).collect()

@@ -116,7 +116,7 @@ def _tree_tags(node) -> set:
 def _make_kernel(
     tree,
     scoring_terms: list[str],
-    idf: dict,
+    n_docs: int,
     avgdl: float,
     k: int,
     pid_counts: dict,
@@ -125,7 +125,11 @@ def _make_kernel(
     use_blockmax: bool,
 ):
     """Build the per-partition applyInPandas kernel (closure ships to
-    executors with the task -- all members are small)."""
+    executors with the task -- all members are small).
+
+    Per-term global df arrives as a `df` column broadcast-joined onto the
+    posting blocks, so idf is computed executor-side and the driver never
+    runs a separate idf-lookup job per query."""
     import pandas as pd
 
     has_all = "all" in _tree_tags(tree)
@@ -145,7 +149,7 @@ def _make_kernel(
             ) if len(grp) else ids
         return term_ids, term_tfs, term_dls
 
-    def score_subset(pid: int, rows: "pd.DataFrame"):
+    def score_subset(pid: int, rows: "pd.DataFrame", idf: dict):
         """Exact match+score over a doc-range-aligned blk subset.
         Returns (doc_ids, scores) sorted by doc_id."""
         term_ids, term_tfs, term_dls = decode_terms(rows)
@@ -190,9 +194,13 @@ def _make_kernel(
             return pd.DataFrame(columns=["pid", "doc_id", "score"])
         pid = int(pdf["pid"].iloc[0])
         pdf = pdf.sort_values(["term", "blk"], kind="stable")
+        idf = {
+            t: bm25_idf(n_docs, int(d))
+            for t, d in zip(pdf["term"], pdf["df"])
+        }
 
         if not use_blockmax or has_all or k <= 0:
-            ids, scores = score_subset(pid, pdf)
+            ids, scores = score_subset(pid, pdf, idf)
             out_ids, out_scores = topk_of(ids, scores)
         else:
             # ---- exact block-max pruning over aligned blk ranges ----
@@ -223,7 +231,7 @@ def _make_kernel(
                 new = subset - scored_blks
                 if new:
                     sub_rows = pdf[pdf["blk"].isin(subset)]
-                    scored_ids, scored_scores = score_subset(pid, sub_rows)
+                    scored_ids, scored_scores = score_subset(pid, sub_rows, idf)
                     scored_blks = subset
                 if scored_ids.size >= k or m >= len(blks_desc):
                     break
@@ -236,7 +244,7 @@ def _make_kernel(
                 cand |= scored_blks
                 if cand != scored_blks:
                     sub_rows = pdf[pdf["blk"].isin(cand)]
-                    scored_ids, scored_scores = score_subset(pid, sub_rows)
+                    scored_ids, scored_scores = score_subset(pid, sub_rows, idf)
             out_ids, out_scores = topk_of(scored_ids, scored_scores)
 
         return pd.DataFrame(
@@ -285,16 +293,14 @@ class SearchEngine:
         )
         return [r["term"] for r in rows]
 
-    def _idfs(self, terms: list[str]) -> dict[str, float]:
-        if not terms:
-            return {}
-        rows = (
-            self.termstats.filter(F.col("term").isin(terms))
-            .select("term", "df")
-            .collect()
-        )
-        df = {r["term"]: int(r["df"]) for r in rows}
-        return {t: bm25_idf(self.n_docs, df.get(t, 0)) for t in terms}
+    def cache(self) -> "SearchEngine":
+        """Pin the index tables in executor memory for repeated queries --
+        the batch-engine analog of miru's memory-mapped hot partitions
+        (LabInvertedIndex reads). Returns self."""
+        self.postings = self.postings.cache()
+        self.termstats = self.termstats.cache()
+        self.docmap = self.docmap.cache()
+        return self
 
     def _time_bounds(self, pids: list[int], t0_us: int, t1_us: int) -> dict:
         """Per-pid contiguous docID interval [lo, hi) for the time range --
@@ -330,7 +336,6 @@ class SearchEngine:
         for p in pos_prefixes:
             scoring_terms.update(expansions[p])
         scoring_terms = sorted(scoring_terms)
-        idf = self._idfs(scoring_terms)
 
         fetch_terms = set(terms)
         for exp in expansions.values():
@@ -356,10 +361,17 @@ class SearchEngine:
         elif not has_all_node:
             blocks = blocks.filter(F.lit(False))
 
+        # global df rides along via a broadcast join so idf is computed in
+        # the kernel -- no separate driver-side idf lookup job per query
+        tstats = self.termstats.select("term", "df")
+        if fetch_terms:
+            tstats = tstats.filter(F.col("term").isin(fetch_terms))
+        blocks = blocks.join(F.broadcast(tstats), "term", "left")
+
         kernel = _make_kernel(
             tree,
             scoring_terms,
-            idf,
+            self.n_docs,
             self.avgdl,
             k,
             self.pid_counts,
@@ -404,10 +416,11 @@ class SearchEngine:
         topk = per_part.orderBy(
             F.desc("score"), F.asc("pid"), F.asc("doc_id")
         ).limit(k)
-        winners = topk.join(
-            self.docmap.select("pid", "doc_id", "url", "warc_us"),
-            ["pid", "doc_id"],
-            "left",
+        # k rows vs the full docmap: broadcast the winners into the docmap
+        # scan instead of shuffling the forward index (inner is safe -- every
+        # scored docID was minted from the docmap)
+        winners = self.docmap.select("pid", "doc_id", "url", "warc_us").join(
+            F.broadcast(topk), ["pid", "doc_id"], "inner"
         )
         return winners.select(
             "url",
