@@ -38,11 +38,19 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _all_ops() -> dict[str, tuple]:
-    from miru_spark.ops import dedup, events_ops, fulltext_sql, multimodal
-    from miru_spark.ops import similarity, textstats
+    from miru_spark.ops import dedup, events_ops, fulltext_sql, gather_ops
+    from miru_spark.ops import multimodal, similarity, textstats
 
     merged: dict[str, tuple] = {}
-    for mod in (fulltext_sql, events_ops, dedup, similarity, textstats, multimodal):
+    for mod in (
+        fulltext_sql,
+        events_ops,
+        gather_ops,
+        dedup,
+        similarity,
+        textstats,
+        multimodal,
+    ):
         merged.update(mod.QUERIES)
     return merged
 

@@ -62,15 +62,32 @@ def main() -> None:
         app_name="miru_spark_bench",
         master=f"local[{CPUS}]",
         shuffle_partitions=CPUS,
+        extra_conf={
+            # one local JVM hosts driver+executors; the big-corpus shuffle
+            # OOMs the 8g default (same heap at every parallelism level)
+            "spark.driver.memory": os.environ.get("BENCH_DRIVER_MEM", "48g"),
+        },
     )
 
     timings: dict[str, float] = {}
     extras: dict = {"n_docs": n_docs, "cpus": CPUS}
 
     index_dir = tempfile.mkdtemp(prefix="miru_bench_idx_")
+    corpus_dir = None
     try:
         # -- 1. index build (throughput metric) ---------------------------
         wt = webtext_df(spark, n_docs, parallelism=CPUS * 2)
+        if os.environ.get("BENCH_MATERIALIZE", "0") == "1":
+            # write the corpus to parquet first (untimed) and build from the
+            # storage read -- matches a real pipeline and avoids charging
+            # the synthetic generator to the build metric twice
+            corpus_dir = os.environ.get(
+                "BENCH_CORPUS_DIR", ""
+            ) or tempfile.mkdtemp(prefix="miru_bench_corpus_")
+            marker = os.path.join(corpus_dir, "_SUCCESS")
+            if not os.path.exists(marker):
+                wt.write.mode("overwrite").parquet(corpus_dir)
+            wt = spark.read.parquet(corpus_dir)
         t0 = time.time()
         report = build_index(
             spark,
@@ -115,6 +132,8 @@ def main() -> None:
                 timings[name] = time.time() - t0
     finally:
         shutil.rmtree(index_dir, ignore_errors=True)
+        if corpus_dir and not os.environ.get("BENCH_CORPUS_DIR"):
+            shutil.rmtree(corpus_dir, ignore_errors=True)
         spark.stop()
 
     out = {

@@ -175,87 +175,90 @@ def _encode_block_groups(batches):
     encoded posting block per (pid, term, blk) group. Groups may span Arrow
     batch boundaries; a carry buffer keeps the trailing (possibly
     incomplete) group until the next batch or flush.
+
+    Pure Arrow + NumPy: term strings stay inside Arrow buffers end-to-end
+    (adjacent-row comparison via pyarrow.compute, group keys via pc.take).
+    Materializing tens of millions of per-row Python strings (the pandas
+    route) is memory-bandwidth-bound and stops scaling past ~8 cores.
     """
-    import pandas as pd
+    import pyarrow.compute as pc
 
-    carry: pd.DataFrame | None = None
-
-    def emit(df: pd.DataFrame, complete_until: int):
-        """Encode all groups fully contained in df[:complete_until]."""
-        sub = df.iloc[:complete_until]
-        if sub.empty:
-            return None
-        pid = sub["pid"].to_numpy()
-        term = sub["term"].to_numpy()
-        blk = sub["blk"].to_numpy()
-        ids = sub["doc_id"].to_numpy()
-        tfs = sub["tf"].to_numpy()
-        dls = sub["dl"].to_numpy()
-        change = np.empty(len(sub), dtype=bool)
-        change[0] = True
-        change[1:] = (
-            (pid[1:] != pid[:-1]) | (blk[1:] != blk[:-1]) | (term[1:] != term[:-1])
-        )
-        starts = np.flatnonzero(change)
-        ends = np.empty_like(starts)
-        ends[:-1] = starts[1:]
-        ends[-1] = len(sub)
-        # fully vectorized per-group stats + single-pass grouped codec --
-        # a partition holds O(100k) tiny blocks, per-group Python calls
-        # would dominate the build
-        ids64 = ids.astype(np.int64)
-        tfs64 = tfs.astype(np.int64)
-        dls64 = dls.astype(np.int64)
+    def emit(tbl: pa.Table, starts: np.ndarray, upto: int):
+        """Encode groups starting at `starts` (all < upto), covering
+        rows [0, upto)."""
+        sub_starts = starts[starts < upto]
+        ends = np.empty_like(sub_starts)
+        ends[:-1] = sub_starts[1:]
+        ends[-1] = upto
+        ids64 = tbl.column("doc_id").to_numpy()[:upto]
+        tfs64 = tbl.column("tf").to_numpy()[:upto].astype(np.int64)
+        dls64 = tbl.column("dl").to_numpy()[:upto].astype(np.int64)
+        starts_arr = pa.array(sub_starts)
         return pa.RecordBatch.from_arrays(
             [
-                pa.array(pid[starts].astype(np.int64)),
-                pa.array(term[starts]),
-                pa.array(blk[starts].astype(np.int64)),
-                pa.array((ends - starts).astype(np.int32)),
-                pa.array(ids64[starts]),
+                pc.take(tbl.column("pid"), starts_arr).combine_chunks(),
+                pc.take(tbl.column("term"), starts_arr).combine_chunks(),
+                pc.take(tbl.column("blk"), starts_arr).combine_chunks(),
+                pa.array((ends - sub_starts).astype(np.int32)),
+                pa.array(ids64[sub_starts]),
                 pa.array(ids64[ends - 1]),
-                pa.array(np.maximum.reduceat(tfs64, starts).astype(np.int32)),
-                pa.array(np.minimum.reduceat(dls64, starts).astype(np.int32)),
-                pa.array(np.add.reduceat(tfs64, starts)),
                 pa.array(
-                    encode_postings_grouped(ids64, starts, ends), type=pa.binary()
+                    np.maximum.reduceat(tfs64, sub_starts).astype(np.int32)
                 ),
                 pa.array(
-                    encode_varint_grouped(tfs64, starts, ends), type=pa.binary()
+                    np.minimum.reduceat(dls64, sub_starts).astype(np.int32)
+                ),
+                pa.array(np.add.reduceat(tfs64, sub_starts)),
+                pa.array(
+                    encode_postings_grouped(ids64, sub_starts, ends),
+                    type=pa.binary(),
                 ),
                 pa.array(
-                    encode_varint_grouped(dls64, starts, ends), type=pa.binary()
+                    encode_varint_grouped(tfs64, sub_starts, ends),
+                    type=pa.binary(),
+                ),
+                pa.array(
+                    encode_varint_grouped(dls64, sub_starts, ends),
+                    type=pa.binary(),
                 ),
             ],
             schema=_BLOCK_PA_SCHEMA,
         )
 
+    def change_mask(tbl: pa.Table) -> np.ndarray:
+        n = tbl.num_rows
+        pid = tbl.column("pid").to_numpy()
+        blk = tbl.column("blk").to_numpy()
+        term = tbl.column("term").chunk(0)
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        if n > 1:
+            neq = pc.not_equal(
+                term.slice(1), term.slice(0, n - 1)
+            ).to_numpy(zero_copy_only=False)
+            change[1:] = (pid[1:] != pid[:-1]) | (blk[1:] != blk[:-1]) | neq
+        return change
+
+    carry: pa.Table | None = None
     for batch in batches:
-        df = batch.to_pandas()
+        tbl = pa.Table.from_batches([batch])
         if carry is not None:
-            df = pd.concat([carry, df], ignore_index=True)
-        if df.empty:
+            tbl = pa.concat_tables([carry, tbl])
+        tbl = tbl.combine_chunks()
+        n = tbl.num_rows
+        if n == 0:
             carry = None
             continue
+        starts = np.flatnonzero(change_mask(tbl))
         # hold back the trailing group -- it may continue in the next batch
-        last = df.iloc[-1]
-        tail_mask = (
-            (df["pid"] == last["pid"])
-            & (df["term"] == last["term"])
-            & (df["blk"] == last["blk"])
-        )
-        # trailing run length
-        rev = tail_mask.to_numpy()[::-1]
-        run = int(np.argmin(rev)) if not rev.all() else len(rev)
-        cut = len(df) - run
-        out = emit(df, cut)
-        if out is not None:
-            yield out
-        carry = df.iloc[cut:].copy() if run else None
-    if carry is not None and not carry.empty:
-        out = emit(carry, len(carry))
-        if out is not None:
-            yield out
+        cut = int(starts[-1])
+        if cut > 0:
+            yield emit(tbl, starts, cut)
+        carry = tbl.slice(cut)
+    if carry is not None and carry.num_rows:
+        carry = carry.combine_chunks()
+        starts = np.flatnonzero(change_mask(carry))
+        yield emit(carry, starts, carry.num_rows)
 
 
 def _with_pid(webtext: DataFrame, partition_seconds: int) -> DataFrame:
@@ -291,14 +294,55 @@ def _read_done_pids(spark: SparkSession, paths: IndexPaths) -> set[int]:
     return {r["pid"] for r in rows}
 
 
-def _cleanup_orphans(paths: IndexPaths, pids: list[int]) -> None:
-    """Remove partial parquet partitions for pids not recorded complete
-    (idempotent restart; Iceberg-snapshot rollback analog)."""
+def _read_parquet_dir(spark: SparkSession, base: str) -> DataFrame:
+    """Read a batch-subdir table (docmap/postings). Subdirs are commit
+    units (`b_<tag>/`), committed by atomic rename -- the local-fs stand-in
+    for an Iceberg snapshot commit."""
+    return spark.read.option("recursiveFileLookup", "true").parquet(base)
+
+
+def _valid_tags(spark: SparkSession, paths: IndexPaths) -> set[str]:
+    if not os.path.exists(paths.lineage):
+        return set()
+    return {
+        r["batch_tag"]
+        for r in spark.read.parquet(paths.lineage)
+        .filter(F.col("status") == "complete")
+        .select("batch_tag")
+        .distinct()
+        .collect()
+    }
+
+
+def _cleanup_orphans(spark: SparkSession, paths: IndexPaths) -> None:
+    """Remove batch dirs not committed to lineage (crash between rename
+    and lineage write) and stray _tmp_ write dirs. Idempotent restart --
+    the Iceberg-snapshot rollback analog."""
+    valid = _valid_tags(spark, paths)
     for base in (paths.docmap, paths.postings):
-        for pid in pids:
-            d = os.path.join(base, f"pid={pid}")
-            if os.path.exists(d):
-                shutil.rmtree(d)
+        if not os.path.isdir(base):
+            continue
+        for d in os.listdir(base):
+            full = os.path.join(base, d)
+            if d.startswith("_tmp_"):
+                shutil.rmtree(full, ignore_errors=True)
+            elif d.startswith("b_") and d[2:] not in valid:
+                shutil.rmtree(full, ignore_errors=True)
+
+
+def _commit_write(df: DataFrame, base: str, tag: str, sort_cols: list[str]) -> None:
+    """Write df sorted by sort_cols to base/_tmp_<tag>, then atomically
+    rename to base/b_<tag>. One parquet writer per task (no dynamic
+    partitioning fan-out), rows sorted so row-group min/max stats prune
+    pid/term predicates at read time."""
+    tmp = os.path.join(base, f"_tmp_{tag}")
+    final = os.path.join(base, f"b_{tag}")
+    if os.path.exists(final):
+        shutil.rmtree(final)
+    if sort_cols:
+        df = df.sortWithinPartitions(*sort_cols)
+    df.write.mode("overwrite").parquet(tmp)
+    os.rename(tmp, final)
 
 
 def build_index(
@@ -359,7 +403,7 @@ def build_index(
         report.wall_time_s = time.time() - t0
         return report
 
-    _cleanup_orphans(paths, todo)
+    _cleanup_orphans(spark, paths)
 
     nbatch = batch_partitions or len(todo)
     batches = [todo[i : i + nbatch] for i in range(0, len(todo), nbatch)]
@@ -373,6 +417,7 @@ def build_index(
                 f"simulated crash before batch {bi} (test hook)"
             )
         bt0 = time.time()
+        tag = f"{bi:04d}_{int(batch_pids[0])}"
         sub = ids_df.filter(F.col("pid").isin([int(p) for p in batch_pids]))
         # after minting, rows sit in one partition per pid; round-robin
         # repartition so tokenization (the CPU-heavy stage) uses every core
@@ -385,12 +430,15 @@ def build_index(
         )
 
         # docmap (forward-index keys + doc_len; the source table itself is
-        # the forward index for stored fields -- MiruActivityIndex analog)
-        (
-            tokenized.select("pid", "doc_id", "url", "warc_us", "doc_len")
-            .write.mode("append")
-            .partitionBy("pid")
-            .parquet(paths.docmap)
+        # the forward index for stored fields -- MiruActivityIndex analog).
+        # Plain files per batch dir: partitionBy(pid) would open one parquet
+        # writer per (task, pid) -- ~40x the writers, and the resulting
+        # buffer churn made GC dominate the stage at high core counts.
+        _commit_write(
+            tokenized.select("pid", "doc_id", "url", "warc_us", "doc_len"),
+            paths.docmap,
+            tag,
+            ["pid", "doc_id"],
         )
 
         exploded = (
@@ -417,11 +465,8 @@ def build_index(
             .mapInArrow(_encode_block_groups, _BLOCK_SCHEMA)
             .persist()
         )
-        (
-            blocks.write.mode("append")
-            .partitionBy("pid")
-            .parquet(paths.postings)
-        )
+        # already (pid, term, blk)-sorted by construction; no re-sort
+        _commit_write(blocks, paths.postings, tag, [])
 
         # lineage metrics from the cached blocks (no parquet re-read)
         sizes = {
@@ -450,13 +495,14 @@ def build_index(
                 int(sizes.get(p, (0, 0))[1] or 0),
                 wall_ms,
                 "complete",
+                tag,
             )
             for p in batch_pids
         ]
         spark.createDataFrame(
             lineage_rows,
             "pid long, doc_count long, postings_bytes long, n_terms long, "
-            "wall_time_ms long, status string",
+            "wall_time_ms long, status string, batch_tag string",
         ).write.mode("append").parquet(paths.lineage)
 
         blocks.unpersist()
@@ -478,7 +524,7 @@ def finalize_index(spark: SparkSession, index_dir: str) -> None:
     (LabFieldIndex.java:510-536).
     """
     paths = IndexPaths(index_dir)
-    docmap = spark.read.parquet(paths.docmap)
+    docmap = _read_parquet_dir(spark, paths.docmap)
     stats = docmap.agg(
         F.count("*").alias("n_docs"),
         (F.sum("doc_len") / F.count("*")).alias("avgdl"),
@@ -486,7 +532,7 @@ def finalize_index(spark: SparkSession, index_dir: str) -> None:
     )
     stats.coalesce(1).write.mode("overwrite").parquet(paths.stats)
 
-    postings = spark.read.parquet(paths.postings)
+    postings = _read_parquet_dir(spark, paths.postings)
     termstats = postings.groupBy("term").agg(
         F.sum("n").alias("df"), F.sum("ctf").alias("ctf")
     )

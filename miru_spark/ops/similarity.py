@@ -144,8 +144,113 @@ FROM embeddings GROUP BY label
 """
 
 
+# -- LSH-bucketed ANN (random-hyperplane signs; the 10^9-vector scale
+#    path). Hyperplane weights are small integers w(i,j) = ((i*j+7)%5)-2
+#    and embeddings are quantized to round(v*1000) before the dot product,
+#    so bucket assignment is EXACT integer arithmetic -- identical in Spark
+#    and DuckDB with no float-summation-order hazard. Query scores exact
+#    cosine only within its bucket (candidates /= 2^N_PLANES on average). --
+
+N_PLANES = 4
+
+
+def _lsh_buckets(emb: DataFrame, spark: SparkSession) -> DataFrame:
+    """(vec_id, bucket) via integer random-hyperplane signs."""
+    planes = spark.createDataFrame(
+        [(j,) for j in range(N_PLANES)], "j int"
+    )
+    comp = emb.select(
+        "vec_id", F.posexplode("embedding").alias("i", "v")
+    ).withColumn("qv", F.round(F.col("v") * 1000).cast("long"))
+    dots = (
+        comp.crossJoin(F.broadcast(planes))
+        .withColumn(
+            "w", ((F.col("i") * F.col("j") + 7) % 5 - 2).cast("long")
+        )
+        .groupBy("vec_id", "j")
+        .agg(F.sum(F.col("qv") * F.col("w")).alias("dot"))
+    )
+    return dots.groupBy("vec_id").agg(
+        F.sum(
+            F.when(F.col("dot") > 0, F.expr("shiftleft(1, j)")).otherwise(0)
+        )
+        .cast("long")
+        .alias("bucket")
+    )
+
+
+_LSH_BUCKETS_SQL = f"""
+comp AS (
+  SELECT vec_id,
+         generate_subscripts(embedding, 1) - 1 AS i,
+         CAST(round(unnest(embedding) * 1000) AS BIGINT) AS qv
+  FROM embeddings
+), dots AS (
+  SELECT c.vec_id, p.j, sum(c.qv * (((c.i * p.j + 7) % 5) - 2)) AS dot
+  FROM comp c CROSS JOIN (SELECT unnest(range({N_PLANES})) AS j) p
+  GROUP BY c.vec_id, p.j
+), buckets AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN dot > 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS bucket
+  FROM dots GROUP BY vec_id
+)"""
+
+
+def ann_lsh_topk(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    buckets = _lsh_buckets(emb, spark)
+    eb = emb.join(buckets, "vec_id")
+    q = eb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        "bucket",
+    )
+    cand = eb.select(
+        F.col("vec_id").alias("vid"),
+        F.col("embedding").alias("cv"),
+        "bucket",
+    )
+    scored = (
+        cand.join(F.broadcast(q), "bucket")
+        .filter(F.col("vid") != F.col("qid"))
+        .withColumn("cos_r", F.round(_cosine(F.col("qv"), F.col("cv")), 4))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_r"), F.asc("vid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "qid", "vid", F.col("cos_r").alias("cosine"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+ANN_LSH_TOPK_SQL = f"""
+WITH {_LSH_BUCKETS_SQL.strip()},
+eb AS (
+  SELECT e.vec_id, e.embedding, b.bucket
+  FROM embeddings e JOIN buckets b USING (vec_id)
+), q AS (
+  SELECT vec_id AS qid, embedding AS qv, bucket FROM eb WHERE vec_id < {N_QUERIES}
+), scored AS (
+  SELECT q.qid, c.vec_id AS vid,
+         round(list_cosine_similarity(q.qv, c.embedding), 4) AS cos_r
+  FROM eb c JOIN q USING (bucket)
+  WHERE c.vec_id <> q.qid
+), ranked AS (
+  SELECT qid, vid, cos_r,
+         row_number() OVER (PARTITION BY qid ORDER BY cos_r DESC, vid ASC) AS rank
+  FROM scored
+)
+SELECT qid, vid, cos_r AS cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
 QUERIES = {
     "ann_cosine_topk": (ann_cosine_topk, ANN_COSINE_TOPK_SQL),
+    "ann_lsh_topk": (ann_lsh_topk, ANN_LSH_TOPK_SQL),
     "emb_dup_pairs": (emb_dup_pairs, EMB_DUP_PAIRS_SQL),
     "emb_label_norms": (emb_label_norms, EMB_LABEL_NORMS_SQL),
 }

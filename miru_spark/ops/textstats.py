@@ -2,14 +2,13 @@
 heuristic, quality scoring, token counting, document fingerprinting.
 
 All JVM-side (split/explode/aggregate -- whole-stage codegen); the
-fingerprint uses portable integer arithmetic over dense token codes so the
-DuckDB oracle reproduces it exactly.
+fingerprint uses portable integer arithmetic over md5-derived token hashes
+so the DuckDB oracle reproduces it exactly.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from ..analyzer import ENGLISH_STOPWORDS
 
@@ -119,22 +118,22 @@ FROM agg a JOIN documents d USING (doc_id)
 """
 
 
-# -- document fingerprint: position-weighted token-code sum (portable) ------
+# -- document fingerprint: position-weighted rolling hash over portable
+#    md5-derived token values (no global dictionary rank -- embarrassingly
+#    parallel, survives any corpus size) ------------------------------------
+
+_FP_TERM_MOD = 1_000_000_007
+
 
 def tx_fingerprint(spark, sf_dir):
+    from .dedup import _md5i
+
     toks = _toks_pos(_docs(spark, sf_dir))
-    w = Window.orderBy("term")
-    codes = toks.select("term").distinct().withColumn(
-        "code", F.row_number().over(w).cast("long")
-    )
-    return (
-        toks.join(F.broadcast(codes), "term")
-        .groupBy("doc_id")
-        .agg(
-            (F.sum((F.col("pos") + 1) * F.col("code")) % _FP_MOD)
-            .cast("long")
-            .alias("fingerprint")
-        )
+    hv = _md5i(F.col("term")) % _FP_TERM_MOD
+    return toks.groupBy("doc_id").agg(
+        (F.sum((F.col("pos") + 1) * hv) % _FP_MOD)
+        .cast("long")
+        .alias("fingerprint")
     )
 
 
@@ -144,14 +143,13 @@ WITH toks AS (
          unnest(string_split(text, ' ')) AS term,
          generate_subscripts(string_split(text, ' '), 1) AS pos
   FROM documents
-), codes AS (
-  SELECT term, CAST(row_number() OVER (ORDER BY term) AS BIGINT) AS code
-  FROM (SELECT DISTINCT term FROM toks)
 )
-SELECT t.doc_id,
-       CAST(sum(t.pos * c.code) % {_FP_MOD} AS BIGINT) AS fingerprint
-FROM toks t JOIN codes c USING (term)
-GROUP BY t.doc_id
+SELECT doc_id,
+       CAST(sum(pos * (CAST(('0x' || substr(md5(term), 1, 14)) AS BIGINT)
+                        % {_FP_TERM_MOD})) % {_FP_MOD} AS BIGINT)
+         AS fingerprint
+FROM toks
+GROUP BY doc_id
 """
 
 

@@ -265,12 +265,14 @@ class SearchEngine:
         if os.path.exists(meta_path):
             with open(meta_path) as f:
                 self.meta = json.load(f)
+        from ..index.build import _read_parquet_dir
+
         srow = spark.read.parquet(self.paths.stats).collect()[0]
         self.n_docs = int(srow["n_docs"])
         self.avgdl = float(srow["avgdl"])
         self.termstats = spark.read.parquet(self.paths.termstats)
-        self.postings = spark.read.parquet(self.paths.postings)
-        self.docmap = spark.read.parquet(self.paths.docmap)
+        self.postings = _read_parquet_dir(spark, self.paths.postings)
+        self.docmap = _read_parquet_dir(spark, self.paths.docmap)
         lineage = spark.read.parquet(self.paths.lineage)
         self.pid_counts = {
             int(r["pid"]): int(r["doc_count"])

@@ -53,6 +53,12 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("MIRU_DRIVER_MEM", "8g"))
+        # throughput GC: the build's explode shuffle is allocation-heavy
+        # and G1 falls behind at high thread counts (GCLocker stalls)
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get("MIRU_DRIVER_JAVA_OPTS", "-XX:+UseParallelGC"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")
     )

@@ -1,0 +1,72 @@
+"""Physical-plan assertions: the things that must hold at 100 TB.
+
+- term predicates reach the parquet scan (PushedFilters)
+- the scan projects only needed columns (ReadSchema pruning)
+- no row-at-a-time Python (BatchEvalPython) anywhere; only Arrow-batched
+  exchange (ArrowEvalPython / FlatMapGroupsInPandas / MapInArrow)
+- query-side small joins broadcast instead of shuffling
+"""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from miru_spark.index.build import build_index
+from miru_spark.query.engine import SearchEngine
+from miru_spark.webtext import webtext_df
+
+
+@pytest.fixture(scope="module")
+def engine(spark, tmp_path_factory):
+    idx = str(tmp_path_factory.mktemp("planidx") / "idx")
+    build_index(
+        spark, webtext_df(spark, 600), idx,
+        partition_seconds=3600, block_span=256,
+    )
+    return SearchEngine(spark, idx)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_term_filter_pushdown(engine):
+    df = engine.postings.filter(engine.postings.term == "w000001")
+    plan = _plan(df)
+    assert "PushedFilters" in plan
+    assert "term" in plan.split("PushedFilters")[1][:200]
+
+
+def test_search_plan_no_row_python_and_pruned(engine):
+    df = engine.search("w000001 AND w000002", k=10)
+    plan = _plan(df)
+    assert "BatchEvalPython" not in plan, "row-at-a-time Python in hot path"
+    assert "FlatMapGroupsInPandas" in plan  # the Arrow-batched kernel
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_build_plan_no_row_python(spark):
+    from miru_spark.index.build import (
+        _TOKENIZED_SCHEMA,
+        _tokenize_map,
+        _with_ids,
+    )
+
+    wt = _with_ids(webtext_df(spark, 100), 3600)
+    df = wt.select(
+        "pid", "doc_id", "url", "warc_us", "lang", "text"
+    ).mapInArrow(_tokenize_map, _TOKENIZED_SCHEMA)
+    plan = _plan(df)
+    assert "BatchEvalPython" not in plan
+    assert "MapInArrow" in plan or "PythonMapInArrow" in plan
+
+
+def test_docmap_scan_prunes_columns(engine):
+    df = engine.docmap.select("pid", "doc_id")
+    plan = _plan(df)
+    assert "ReadSchema" in plan
+    rs = plan.split("ReadSchema:")[1][:200]
+    assert "url" not in rs and "doc_len" not in rs

@@ -1,0 +1,122 @@
+"""Incremental (sip) build tests: Structured Streaming tail-consume with
+checkpoint cursor must equal a from-scratch batch build, late arrivals
+must not be silently dropped, and reopen_pids must repair."""
+
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from miru_spark.index.build import IndexPaths, build_index
+from miru_spark.query.engine import SearchEngine
+from miru_spark.streaming import reopen_pids, sip_build
+from miru_spark.webtext import webtext_df
+
+PSEC = 3600
+N = 1200  # 7s apart -> 8400s -> 3 hourly pids
+
+
+def _postings_sorted(spark, index_dir):
+    from miru_spark.index.build import _read_parquet_dir
+
+    rows = (
+        _read_parquet_dir(spark, IndexPaths(index_dir).postings)
+        .select("pid", "term", "blk", "n", "ids_bin", "tfs_bin")
+        .collect()
+    )
+    return sorted(
+        (r["pid"], r["term"], r["blk"], r["n"], bytes(r["ids_bin"]),
+         bytes(r["tfs_bin"]))
+        for r in rows
+    )
+
+
+@pytest.fixture(scope="module")
+def dirs(tmp_path_factory):
+    root = tmp_path_factory.mktemp("sip")
+    return {
+        "input": str(root / "input"),
+        "index": str(root / "index"),
+        "ckpt": str(root / "ckpt"),
+        "full": str(root / "full_index"),
+    }
+
+
+def test_sip_incremental_equals_batch(spark, dirs):
+    wt = webtext_df(spark, N).withColumn(
+        "hour", F.date_trunc("hour", "warc_ts")
+    )
+    hours = sorted(r["hour"] for r in wt.select("hour").distinct().collect())
+    assert len(hours) >= 3
+
+    # batch 1: first hour only
+    wt.filter(F.col("hour") == hours[0]).drop("hour").write.mode(
+        "append"
+    ).parquet(dirs["input"])
+    reps1 = sip_build(
+        spark, dirs["input"], dirs["index"], dirs["ckpt"],
+        partition_seconds=PSEC, block_span=256,
+    )
+    assert sum(len(r["pids_built"]) for r in reps1) == 1
+
+    # no new files -> no-op (cursor at head)
+    reps_noop = sip_build(
+        spark, dirs["input"], dirs["index"], dirs["ckpt"],
+        partition_seconds=PSEC, block_span=256,
+    )
+    assert sum(len(r.get("pids_built", [])) for r in reps_noop) == 0
+
+    # batch 2: remaining hours arrive
+    wt.filter(F.col("hour") != hours[0]).drop("hour").write.mode(
+        "append"
+    ).parquet(dirs["input"])
+    reps2 = sip_build(
+        spark, dirs["input"], dirs["index"], dirs["ckpt"],
+        partition_seconds=PSEC, block_span=256,
+    )
+    built2 = [p for r in reps2 for p in r["pids_built"]]
+    assert len(built2) == len(hours) - 1
+
+    # incremental result == from-scratch batch build, bit for bit
+    build_index(
+        spark, webtext_df(spark, N), dirs["full"],
+        partition_seconds=PSEC, block_span=256, resume=False,
+    )
+    assert _postings_sorted(spark, dirs["index"]) == _postings_sorted(
+        spark, dirs["full"]
+    )
+
+    # and the engine answers identically over both
+    e1 = SearchEngine(spark, dirs["index"])
+    e2 = SearchEngine(spark, dirs["full"])
+    q = "w000001 AND w000002"
+    assert e1.search_collect(q, k=10) == e2.search_collect(q, k=10)
+
+
+def test_sip_late_arrival_raises_then_reopen(spark, dirs, tmp_path):
+    # a file whose rows fall into the already-complete first pid
+    late_dir = str(tmp_path / "late_input")
+    ckpt2 = str(tmp_path / "ckpt2")
+    idx = dirs["index"]
+    wt = webtext_df(spark, 100)  # rows 0..99 live in hour 0 (complete)
+    wt.write.mode("append").parquet(late_dir)
+    with pytest.raises(Exception, match="already-complete"):
+        sip_build(
+            spark, late_dir, idx, ckpt2,
+            partition_seconds=PSEC, block_span=256,
+        )
+
+    # repair path: reopen the pid, rebuild from the full input
+    lineage = spark.read.parquet(IndexPaths(idx).lineage)
+    first_pid = min(r["pid"] for r in lineage.collect())
+    reopen_pids(spark, idx, [first_pid])
+    rep = build_index(
+        spark, webtext_df(spark, N), idx,
+        partition_seconds=PSEC, block_span=256, resume=True,
+    )
+    assert rep.pids_built == [first_pid]
+    full = dirs["full"]
+    assert _postings_sorted(spark, idx) == _postings_sorted(spark, full)
