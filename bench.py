@@ -114,6 +114,14 @@ def main() -> None:
         extras["query_p50_ms"] = round(sorted(qtimes)[len(qtimes) // 2] * 1000, 1)
         extras["query_qps"] = round(len(qtimes) / sum(qtimes), 2)
 
+        # batched qps: all queries in ONE Spark job (stress-harness shape)
+        t0 = time.time()
+        eng.search_many(list(BM25_QUERIES.values()), k=10)
+        timings["q_batch_all"] = time.time() - t0
+        extras["query_qps_batched"] = round(
+            len(BM25_QUERIES) / timings["q_batch_all"], 2
+        )
+
         # -- 3. breadth ops over driver tables ----------------------------
         if os.environ.get("BENCH_SKIP_OPS", "0") != "1":
             from miru_spark.ops import dedup, events_ops, fulltext_sql

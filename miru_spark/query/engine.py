@@ -50,6 +50,7 @@ import os
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..codec import decode_postings, decode_varint
 from ..index.build import IndexPaths
@@ -436,6 +437,116 @@ class SearchEngine:
         """Collect top-k as [(pid, doc_id, score, url)] for tests."""
         rows = self.search(query, k=k, **kw).collect()
         return [(r["pid"], r["doc_id"], r["score"], r["url"]) for r in rows]
+
+    def search_many(
+        self,
+        queries: list[str],
+        k: int = 10,
+        locale: str | None = None,
+        use_blockmax: bool = True,
+    ) -> dict[str, list]:
+        """Batch N queries into ONE Spark job (the qps path -- the
+        reference's stress harness fires queries concurrently,
+        WikiMiruStressService.java:58-120). Each (query, pid) group runs
+        the same kernel as `search`; per-query results are identical to
+        sequential `search_collect` calls.
+
+        Returns {query: [(pid, doc_id, score, url), ...]}.
+        """
+        import pandas as pd
+
+        specs = []       # per-qid (tree, scoring_terms, expansions)
+        fallback = {}    # queries with match-all nodes -> individual path
+        qterm_rows = []  # (qid, term)
+        fetch_all: set = set()
+        for qid, q in enumerate(queries):
+            tree = parse_query(q, locale)
+            if "all" in _tree_tags(tree):
+                fallback[q] = None
+                specs.append(None)
+                continue
+            terms, prefixes = all_referenced_terms(tree)
+            expansions = {p: self.expand_prefix(p) for p in prefixes}
+            pos_terms, pos_prefixes, _ = collect_terms(tree)
+            scoring = set(pos_terms)
+            for p in pos_prefixes:
+                scoring.update(expansions[p])
+            fetch = set(terms)
+            for exp in expansions.values():
+                fetch.update(exp)
+            specs.append((tree, sorted(scoring), expansions))
+            fetch_all.update(fetch)
+            qterm_rows.extend((qid, t) for t in sorted(fetch))
+
+        out: dict[str, list] = {}
+        for q in fallback:
+            out[q] = self.search_collect(q, k=k, locale=locale,
+                                         use_blockmax=use_blockmax)
+        if not qterm_rows:
+            for q in queries:
+                out.setdefault(q, [])
+            return out
+
+        blocks = self.postings.filter(
+            F.col("term").isin(sorted(fetch_all))
+        ).join(
+            F.broadcast(
+                self.termstats.select("term", "df").filter(
+                    F.col("term").isin(sorted(fetch_all))
+                )
+            ),
+            "term",
+            "left",
+        )
+        qmap = self.spark.createDataFrame(qterm_rows, "qid int, term string")
+        tagged = blocks.join(F.broadcast(qmap), "term")
+
+        n_docs, avgdl, pid_counts = self.n_docs, self.avgdl, self.pid_counts
+        kernels = {}
+        for qid, spec in enumerate(specs):
+            if spec is None:
+                continue
+            tree, scoring, expansions = spec
+            kernels[qid] = _make_kernel(
+                tree, scoring, n_docs, avgdl, k, pid_counts,
+                expansions, None, use_blockmax,
+            )
+
+        def dispatch(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            if pdf.empty:
+                return pd.DataFrame(
+                    columns=["qid", "pid", "doc_id", "score"]
+                )
+            qid = int(pdf["qid"].iloc[0])
+            res = kernels[qid](pdf.drop(columns=["qid"]))
+            res.insert(0, "qid", qid)
+            return res
+
+        per = tagged.groupBy("qid", "pid").applyInPandas(
+            dispatch, "qid int, pid long, doc_id long, score double"
+        )
+        w = Window.partitionBy("qid").orderBy(
+            F.desc("score"), F.asc("pid"), F.asc("doc_id")
+        )
+        topk = per.withColumn("rn", F.row_number().over(w)).filter(
+            F.col("rn") <= k
+        )
+        winners = (
+            self.docmap.select("pid", "doc_id", "url")
+            .join(F.broadcast(topk), ["pid", "doc_id"], "inner")
+            .collect()
+        )
+        by_qid: dict[int, list] = {}
+        for r in winners:
+            by_qid.setdefault(int(r["qid"]), []).append(
+                (r["rn"], r["pid"], r["doc_id"], r["score"], r["url"])
+            )
+        for qid, q in enumerate(queries):
+            if specs[qid] is None:
+                continue
+            rows = sorted(by_qid.get(qid, []))
+            out[q] = [(p, d, s, u) for _rn, p, d, s, u in rows]
+        return out
 
     def newest(self, k: int = 10) -> DataFrame:
         """TIME strategy: newest-k, score 0 (FullText.collectTime

@@ -182,3 +182,19 @@ def test_postings_roundtrip_vs_oracle(spark, engine, oracle):
         want[pid][0].append(doc_id)
         want[pid][1].append(tf)
     assert {p: (v[0], v[1]) for p, v in want.items()} == got
+
+
+def test_search_many_equals_sequential(engine):
+    """Batched multi-query job must return exactly what sequential
+    search calls return (the qps path, WikiMiruStressService analog)."""
+    qs = [
+        "w000001 AND w000004",
+        "w000013 OR w000201 OR w000502",
+        "w000040 AND (w000150 OR w000222)",
+        "w000019 AND NOT w000404",
+        "w00042*",
+        "zzz_no_such_term",
+    ]
+    batched = engine.search_many(qs, k=10)
+    for q in qs:
+        assert batched[q] == engine.search_collect(q, k=10), q
