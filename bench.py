@@ -32,6 +32,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SHUF = int(os.environ.get("BENCH_SHUFFLE_PARTITIONS", str(CPUS)))
 
 BM25_QUERIES = {
     "q_and2": "w000017 AND w000031",
@@ -61,7 +62,9 @@ def main() -> None:
     spark = get_spark(
         app_name="miru_spark_bench",
         master=f"local[{CPUS}]",
-        shuffle_partitions=CPUS,
+        # job partitioning is a property of the JOB, not the cluster size:
+        # the scaling harness pins it so N vs 4N runs identical work units
+        shuffle_partitions=SHUF,
         extra_conf={
             # one local JVM hosts driver+executors; the big-corpus shuffle
             # OOMs the 8g default (same heap at every parallelism level)
@@ -96,7 +99,7 @@ def main() -> None:
             partition_seconds=86400,
             block_span=4096,
             resume=False,
-            shuffle_partitions=CPUS,
+            shuffle_partitions=SHUF,
         )
         timings["build_index"] = time.time() - t0
         extras["build_docs_per_sec"] = round(n_docs / timings["build_index"], 1)

@@ -9,19 +9,22 @@ MiruIndexPrimaryFields.compose, MiruIndexPrimaryFields.java:37-96 -- per
    (MiruTimeIndex.nextId, miru-plugin/.../MiruTimeIndex.java:55): partition
    key `pid = floor(unix_micros(warc_ts) / partition_seconds*1e6)`, then
    `row_number() over (partition by pid order by warc_ts, url) - 1`.
-2. **tokenize** -- Arrow-batched `mapInArrow` running the analyzer
-   (miru tokenizes in ingest clients, WikiMiruIndexService.java:401-425);
-   emits per-doc (terms[], tfs[]) so downstream stays JVM-side.
-3. **postings build** -- `explode(arrays_zip(terms, tfs))` then a
-   *salted sort-merge shuffle*: repartition by (pid, term, blk) where
-   `blk = doc_id // block_span` both (a) bounds every reduce group to
-   <= block_span postings -- head/stopword terms are split across reducers
-   instead of hot-spotting one (the explicit skew-salting the north rule
-   mandates) -- and (b) yields the block-level posting layout
-   (delta-gap varint docIDs + varint tfs + varint doc lengths, with
-   per-block first/last doc, max_tf, min_dl for block-max pruning),
-   the analog of miru's "atomized" Roaring containers keyed by 64K
-   container (LabInvertedIndex.java:268-292, LabFieldIndex.java:163-171).
+2. **doc-granular salted shuffle** -- whole docs hash-repartition by
+   (pid, blk) with `blk = doc_id // block_span`: every doc-range block
+   group lands intact on one task, and because head/stopword terms span
+   many blks their postings are split across reducers instead of
+   hot-spotting one (the explicit skew-salting the north rule mandates).
+   The JVM never materializes per-posting rows -- only doc rows shuffle.
+3. **tokenize + invert + encode, in-worker** -- Arrow-batched
+   `mapInArrow` runs the analyzer (miru tokenizes in ingest clients,
+   WikiMiruIndexService.java:401-425), then a second Arrow stage flattens
+   each (pid, blk) group's per-doc term lists (zero-copy ListArray
+   flatten), sorts (term, doc_id) in Arrow C++, and emits the block-level
+   posting layout (delta-gap varint docIDs + varint tfs + varint doc
+   lengths, with per-block first/last doc, max_tf, min_dl for block-max
+   pruning) -- the analog of miru's "atomized" Roaring containers keyed
+   by 64K container (LabInvertedIndex.java:268-292,
+   LabFieldIndex.java:163-171).
 4. **lineage / resume** -- per-pid lineage rows (doc_count, postings_bytes,
    wall_time_ms, status) let a restarted build skip completed partitions,
    mirroring the reference's sip-cursor checkpoint pattern
@@ -37,8 +40,9 @@ table stands in for snapshots -- append per batch, orphan cleanup before
 rebuild makes batches idempotent.
 
 Scale notes (100 TB / 1000 executors):
-- The only wide shuffle is the (pid, term, blk) repartition; group size is
-  bounded by block_span, so no reducer sees an unbounded head-term list.
+- The only wide shuffle moves each doc ONCE, keyed (pid, blk); group size
+  is bounded by block_span docs, so no reducer sees an unbounded
+  head-term list and per-task memory is O(block_span * avg doc len).
 - Postings files are written sorted by (pid, term, blk) so Parquet row-group
   min/max stats on `term` give tight predicate pushdown at query time.
 - docID minting windows one pid at a time; partition_seconds must be chosen
@@ -66,8 +70,8 @@ DEFAULT_PARTITION_SECONDS = 86400
 DEFAULT_BLOCK_SPAN = 4096
 
 _TOKENIZED_SCHEMA = (
-    "pid long, doc_id long, url string, warc_us long, doc_len int, "
-    "terms array<string>, tfs array<int>"
+    "pid long, blk long, doc_id long, url string, warc_us long, "
+    "doc_len int, terms array<string>, tfs array<int>"
 )
 _BLOCK_SCHEMA = (
     "pid long, term string, blk long, n int, first_doc long, last_doc long, "
@@ -127,10 +131,12 @@ class BuildReport:
 
 
 def _tokenize_map(batches):
-    """mapInArrow: (pid, doc_id, url, warc_us, lang, text) -> tokenized."""
+    """mapInArrow: (pid, blk, doc_id, url, warc_us, lang, text) ->
+    tokenized (1:1, order-preserving)."""
     out_schema = pa.schema(
         [
             ("pid", pa.int64()),
+            ("blk", pa.int64()),
             ("doc_id", pa.int64()),
             ("url", pa.string()),
             ("warc_us", pa.int64()),
@@ -159,6 +165,7 @@ def _tokenize_map(batches):
         yield pa.RecordBatch.from_arrays(
             [
                 batch.column("pid"),
+                batch.column("blk"),
                 batch.column("doc_id"),
                 batch.column("url"),
                 batch.column("warc_us"),
@@ -170,95 +177,139 @@ def _tokenize_map(batches):
         )
 
 
-def _encode_block_groups(batches):
-    """mapInArrow over rows sorted by (pid, term, blk, doc_id): emit one
-    encoded posting block per (pid, term, blk) group. Groups may span Arrow
-    batch boundaries; a carry buffer keeps the trailing (possibly
-    incomplete) group until the next batch or flush.
+def _invert_encode_groups(batches):
+    """mapInArrow over tokenized doc-rows sorted by (pid, blk, doc_id),
+    where each (pid, blk) doc-range group lives wholly in this partition
+    (hash repartition on (pid, blk)): flatten each group's per-doc term
+    lists, sort (term, doc_id) with Arrow C++, emit encoded posting blocks.
 
-    Pure Arrow + NumPy: term strings stay inside Arrow buffers end-to-end
-    (adjacent-row comparison via pyarrow.compute, group keys via pc.take).
-    Materializing tens of millions of per-row Python strings (the pandas
-    route) is memory-bandwidth-bound and stops scaling past ~8 cores.
+    This replaces explode -> 87x-row shuffle -> Tungsten sort -> Arrow
+    transfer of every posting with a doc-granular shuffle plus in-worker
+    Arrow kernels: the JVM never materializes per-posting rows, which was
+    the dominant (and memory-bandwidth-bound) cost of the build.
     """
     import pyarrow.compute as pc
 
-    def emit(tbl: pa.Table, starts: np.ndarray, upto: int):
-        """Encode groups starting at `starts` (all < upto), covering
-        rows [0, upto)."""
-        sub_starts = starts[starts < upto]
-        ends = np.empty_like(sub_starts)
-        ends[:-1] = sub_starts[1:]
-        ends[-1] = upto
-        ids64 = tbl.column("doc_id").to_numpy()[:upto]
-        tfs64 = tbl.column("tf").to_numpy()[:upto].astype(np.int64)
-        dls64 = tbl.column("dl").to_numpy()[:upto].astype(np.int64)
-        starts_arr = pa.array(sub_starts)
+    def one_chunk(col) -> pa.Array:
+        arr = col.combine_chunks()
+        return arr.chunk(0) if isinstance(arr, pa.ChunkedArray) else arr
+
+    def emit_group(tbl: pa.Table):
+        """tbl: rows of ONE (pid, blk) group, doc_id ascending."""
+        n_docs = tbl.num_rows
+        if n_docs == 0:
+            return None
+        pid = tbl.column("pid")[0].as_py()
+        blk = tbl.column("blk")[0].as_py()
+        terms_col = one_chunk(tbl.column("terms"))
+        lens = pc.list_value_length(terms_col).to_numpy().astype(np.int64)
+        flat_terms = terms_col.flatten()
+        flat_tfs = one_chunk(tbl.column("tfs")).flatten()
+        doc_ids = np.repeat(tbl.column("doc_id").to_numpy(), lens)
+        dls = np.repeat(
+            tbl.column("doc_len").to_numpy().astype(np.int64), lens
+        )
+        if len(flat_terms) == 0:
+            return None
+        flat = pa.table(
+            {
+                "term": flat_terms,
+                "doc_id": pa.array(doc_ids),
+                "tf": flat_tfs,
+                "dl": pa.array(dls),
+            }
+        )
+        order = pc.sort_indices(
+            flat,
+            sort_keys=[("term", "ascending"), ("doc_id", "ascending")],
+        )
+        flat = flat.take(order).combine_chunks()
+        n = flat.num_rows
+        term = one_chunk(flat.column("term"))
+        ids64 = flat.column("doc_id").to_numpy()
+        tfs64 = flat.column("tf").to_numpy().astype(np.int64)
+        dls64 = flat.column("dl").to_numpy().astype(np.int64)
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        if n > 1:
+            change[1:] = pc.not_equal(
+                term.slice(1), term.slice(0, n - 1)
+            ).to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(change)
+        ends = np.empty_like(starts)
+        ends[:-1] = starts[1:]
+        ends[-1] = n
+        starts_arr = pa.array(starts)
+        k = len(starts)
         return pa.RecordBatch.from_arrays(
             [
-                pc.take(tbl.column("pid"), starts_arr).combine_chunks(),
-                pc.take(tbl.column("term"), starts_arr).combine_chunks(),
-                pc.take(tbl.column("blk"), starts_arr).combine_chunks(),
-                pa.array((ends - sub_starts).astype(np.int32)),
-                pa.array(ids64[sub_starts]),
+                pa.array(np.full(k, pid, dtype=np.int64)),
+                pc.take(term, starts_arr),
+                pa.array(np.full(k, blk, dtype=np.int64)),
+                pa.array((ends - starts).astype(np.int32)),
+                pa.array(ids64[starts]),
                 pa.array(ids64[ends - 1]),
+                pa.array(np.maximum.reduceat(tfs64, starts).astype(np.int32)),
+                pa.array(np.minimum.reduceat(dls64, starts).astype(np.int32)),
+                pa.array(np.add.reduceat(tfs64, starts)),
                 pa.array(
-                    np.maximum.reduceat(tfs64, sub_starts).astype(np.int32)
-                ),
-                pa.array(
-                    np.minimum.reduceat(dls64, sub_starts).astype(np.int32)
-                ),
-                pa.array(np.add.reduceat(tfs64, sub_starts)),
-                pa.array(
-                    encode_postings_grouped(ids64, sub_starts, ends),
+                    encode_postings_grouped(ids64, starts, ends),
                     type=pa.binary(),
                 ),
                 pa.array(
-                    encode_varint_grouped(tfs64, sub_starts, ends),
+                    encode_varint_grouped(tfs64, starts, ends),
                     type=pa.binary(),
                 ),
                 pa.array(
-                    encode_varint_grouped(dls64, sub_starts, ends),
+                    encode_varint_grouped(dls64, starts, ends),
                     type=pa.binary(),
                 ),
             ],
             schema=_BLOCK_PA_SCHEMA,
         )
 
-    def change_mask(tbl: pa.Table) -> np.ndarray:
-        n = tbl.num_rows
+    carry: pa.Table | None = None
+
+    def group_cut(tbl: pa.Table) -> int:
+        """Offset where the LAST (pid, blk) group starts."""
         pid = tbl.column("pid").to_numpy()
         blk = tbl.column("blk").to_numpy()
-        term = tbl.column("term").chunk(0)
-        change = np.empty(n, dtype=bool)
-        change[0] = True
-        if n > 1:
-            neq = pc.not_equal(
-                term.slice(1), term.slice(0, n - 1)
-            ).to_numpy(zero_copy_only=False)
-            change[1:] = (pid[1:] != pid[:-1]) | (blk[1:] != blk[:-1]) | neq
-        return change
+        n = len(pid)
+        change = (pid[1:] != pid[:-1]) | (blk[1:] != blk[:-1])
+        idx = np.flatnonzero(change)
+        return int(idx[-1] + 1) if idx.size else 0
 
-    carry: pa.Table | None = None
+    def split_emit(tbl: pa.Table, upto: int):
+        """Emit every complete group within tbl[:upto]."""
+        pid = tbl.column("pid").to_numpy()[:upto]
+        blk = tbl.column("blk").to_numpy()[:upto]
+        change = np.empty(upto, dtype=bool)
+        change[0] = True
+        change[1:] = (pid[1:] != pid[:-1]) | (blk[1:] != blk[:-1])
+        starts = np.flatnonzero(change)
+        ends = np.empty_like(starts)
+        ends[:-1] = starts[1:]
+        ends[-1] = upto
+        for s, e in zip(starts, ends):
+            out = emit_group(tbl.slice(int(s), int(e - s)))
+            if out is not None:
+                yield out
+
     for batch in batches:
         tbl = pa.Table.from_batches([batch])
         if carry is not None:
             tbl = pa.concat_tables([carry, tbl])
         tbl = tbl.combine_chunks()
-        n = tbl.num_rows
-        if n == 0:
+        if tbl.num_rows == 0:
             carry = None
             continue
-        starts = np.flatnonzero(change_mask(tbl))
-        # hold back the trailing group -- it may continue in the next batch
-        cut = int(starts[-1])
+        cut = group_cut(tbl)
         if cut > 0:
-            yield emit(tbl, starts, cut)
+            yield from split_emit(tbl, cut)
         carry = tbl.slice(cut)
     if carry is not None and carry.num_rows:
         carry = carry.combine_chunks()
-        starts = np.flatnonzero(change_mask(carry))
-        yield emit(carry, starts, carry.num_rows)
+        yield from split_emit(carry, carry.num_rows)
 
 
 def _with_pid(webtext: DataFrame, partition_seconds: int) -> DataFrame:
@@ -419,15 +470,26 @@ def build_index(
         bt0 = time.time()
         tag = f"{bi:04d}_{int(batch_pids[0])}"
         sub = ids_df.filter(F.col("pid").isin([int(p) for p in batch_pids]))
-        # after minting, rows sit in one partition per pid; round-robin
-        # repartition so tokenization (the CPU-heavy stage) uses every core
-        # regardless of how many pids this batch has
-        tokenized = (
+        # ONE doc-granular shuffle: hash whole docs by (pid, blk) so every
+        # doc-range block group lands intact on one task, sorted by doc_id.
+        # Tokenize AND posting inversion then run inside Arrow workers with
+        # no per-posting JVM rows at all -- the former explode shuffle put
+        # ~87x the row count through Tungsten sort + Arrow transfer and was
+        # memory-bandwidth-bound. blk doubles as the skew salt: stopword
+        # postings split across doc-range blocks, so no reducer ever owns a
+        # whole head term.
+        parted = (
             sub.select("pid", "doc_id", "url", "warc_us", "lang", "text")
-            .repartition(n_shuffle)
-            .mapInArrow(_tokenize_map, _TOKENIZED_SCHEMA)
-            .persist()
+            .withColumn(
+                "blk", (F.col("doc_id") / F.lit(int(block_span))).cast("long")
+            )
+            .repartition(n_shuffle, "pid", "blk")
+            .sortWithinPartitions("pid", "blk", "doc_id")
+            .select("pid", "blk", "doc_id", "url", "warc_us", "lang", "text")
         )
+        tokenized = parted.mapInArrow(
+            _tokenize_map, _TOKENIZED_SCHEMA
+        ).persist()
 
         # docmap (forward-index keys + doc_len; the source table itself is
         # the forward index for stored fields -- MiruActivityIndex analog).
@@ -441,32 +503,17 @@ def build_index(
             ["pid", "doc_id"],
         )
 
-        exploded = (
-            tokenized.select(
-                "pid",
-                "doc_id",
-                "doc_len",
-                F.explode(F.arrays_zip("terms", "tfs")).alias("z"),
-            )
-            .select(
-                "pid",
-                F.col("z.terms").alias("term"),
-                "doc_id",
-                F.col("z.tfs").alias("tf"),
-                F.col("doc_len").alias("dl"),
-            )
-            .withColumn(
-                "blk", (F.col("doc_id") / F.lit(int(block_span))).cast("long")
-            )
-        )
+        # invert + encode per (pid, blk) group in-worker: zero additional
+        # shuffles (tokenized is already (pid, blk)-partitioned and sorted)
         blocks = (
-            exploded.repartition(n_shuffle, "pid", "term", "blk")
-            .sortWithinPartitions("pid", "term", "blk", "doc_id")
-            .mapInArrow(_encode_block_groups, _BLOCK_SCHEMA)
+            tokenized.select(
+                "pid", "blk", "doc_id", "doc_len", "terms", "tfs"
+            )
+            .mapInArrow(_invert_encode_groups, _BLOCK_SCHEMA)
             .persist()
         )
-        # already (pid, term, blk)-sorted by construction; no re-sort
-        _commit_write(blocks, paths.postings, tag, [])
+        # blocks come out grouped by (pid, blk), terms sorted within each
+        _commit_write(blocks, paths.postings, tag, ["pid", "term", "blk"])
 
         # lineage metrics from the cached blocks (no parquet re-read)
         sizes = {

@@ -88,7 +88,79 @@ FROM meta
 """
 
 
+def mm_resize_plan(spark, sf_dir):
+    """Resize planning: target dims fitting a 224x224 box preserving
+    aspect ratio (integer floor like a real thumbnailer). The decode is
+    the stub; the dim arithmetic and plumbing are the real pipeline."""
+    meta = mm_decode_meta(spark, sf_dir)
+    scale_num = F.lit(224)
+    longer = F.greatest("width", "height")
+    return meta.select(
+        "doc_id",
+        "width",
+        "height",
+        F.floor(F.col("width") * scale_num / longer).cast("int").alias("out_w"),
+        F.floor(F.col("height") * scale_num / longer).cast("int").alias("out_h"),
+    )
+
+
+MM_RESIZE_PLAN_SQL = """
+WITH meta AS (
+  SELECT doc_id,
+         CAST(64 + octet_length(CAST(text AS BLOB)) % 640 AS INT) AS width,
+         CAST(64 + (octet_length(CAST(text AS BLOB)) * 7) % 480 AS INT) AS height
+  FROM documents
+)
+SELECT doc_id, width, height,
+       CAST(floor(width * 224 / greatest(width, height)) AS INT) AS out_w,
+       CAST(floor(height * 224 / greatest(width, height)) AS INT) AS out_h
+FROM meta
+"""
+
+
+def mm_audio_windows(spark, sf_dir):
+    """Audio windowing plan: fixed 1000ms windows with 500ms hop over a
+    duration derived from payload size (stub decode: 10 ms per byte).
+    Emits (doc_id, win_start_ms, win_end_ms) rows -- the shape a feature
+    extractor (mel spectrogram etc.) consumes per window."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        (F.octet_length(F.col("text")) * 10).cast("long").alias("dur_ms"),
+    )
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.col("dur_ms") - 1000, F.lit(0)),
+        F.lit(500),
+    )
+    return (
+        docs.filter(F.col("dur_ms") >= 1000)
+        .select("doc_id", "dur_ms", F.explode(starts).alias("win_start_ms"))
+        .select(
+            "doc_id",
+            "win_start_ms",
+            F.least(
+                F.col("win_start_ms") + 1000, F.col("dur_ms")
+            ).alias("win_end_ms"),
+        )
+    )
+
+
+MM_AUDIO_WINDOWS_SQL = """
+WITH d AS (
+  SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) * 10 AS BIGINT) AS dur_ms
+  FROM documents
+)
+SELECT doc_id,
+       unnest(range(0, greatest(dur_ms - 1000, 0) + 1, 500)) AS win_start_ms,
+       least(unnest(range(0, greatest(dur_ms - 1000, 0) + 1, 500)) + 1000, dur_ms)
+         AS win_end_ms
+FROM d WHERE dur_ms >= 1000
+"""
+
+
 QUERIES = {
     "mm_decode_meta": (mm_decode_meta, MM_DECODE_META_SQL),
     "mm_frame_sample": (mm_frame_sample, MM_FRAME_SAMPLE_SQL),
+    "mm_resize_plan": (mm_resize_plan, MM_RESIZE_PLAN_SQL),
+    "mm_audio_windows": (mm_audio_windows, MM_AUDIO_WINDOWS_SQL),
 }

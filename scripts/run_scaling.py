@@ -45,6 +45,11 @@ def run_once(cpus: int) -> dict:
         BENCH_MATERIALIZE="1",
         BENCH_CORPUS_DIR=CORPUS_DIR,
         BENCH_DRIVER_MEM=os.environ.get("BENCH_DRIVER_MEM", "32g"),
+        # identical job partitioning at both levels: scaling varies ONLY
+        # the core count, as a real N -> 4N executor scale-out would
+        BENCH_SHUFFLE_PARTITIONS=os.environ.get(
+            "BENCH_SHUFFLE_PARTITIONS", "64"
+        ),
     )
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],

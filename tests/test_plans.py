@@ -49,6 +49,8 @@ def test_search_plan_no_row_python_and_pruned(engine):
 
 
 def test_build_plan_no_row_python(spark):
+    from pyspark.sql import functions as F
+
     from miru_spark.index.build import (
         _TOKENIZED_SCHEMA,
         _tokenize_map,
@@ -56,9 +58,12 @@ def test_build_plan_no_row_python(spark):
     )
 
     wt = _with_ids(webtext_df(spark, 100), 3600)
-    df = wt.select(
-        "pid", "doc_id", "url", "warc_us", "lang", "text"
-    ).mapInArrow(_tokenize_map, _TOKENIZED_SCHEMA)
+    df = (
+        wt.select("pid", "doc_id", "url", "warc_us", "lang", "text")
+        .withColumn("blk", (F.col("doc_id") / F.lit(256)).cast("long"))
+        .select("pid", "blk", "doc_id", "url", "warc_us", "lang", "text")
+        .mapInArrow(_tokenize_map, _TOKENIZED_SCHEMA)
+    )
     plan = _plan(df)
     assert "BatchEvalPython" not in plan
     assert "MapInArrow" in plan or "PythonMapInArrow" in plan
