@@ -415,6 +415,12 @@ def build_index(
     import json
 
     t0 = time.time()
+    # the build's wide shuffle benefits from AQE (skew/coalesce); a prior
+    # SearchEngine in this session may have turned it off for query latency
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    except Exception:
+        pass
     paths = IndexPaths(index_dir)
     os.makedirs(index_dir, exist_ok=True)
     report = BuildReport()

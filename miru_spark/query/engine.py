@@ -260,6 +260,13 @@ class SearchEngine:
 
     def __init__(self, spark: SparkSession, index_dir: str):
         self.spark = spark
+        # AQE re-plans every exchange as its own job; for small interactive
+        # top-k queries that is ~6 jobs and +30-40% latency with no upside
+        # (the kernel shuffle is tiny). build_index() re-enables it.
+        try:
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+        except Exception:
+            pass
         self.paths = IndexPaths(index_dir)
         meta_path = os.path.join(index_dir, "meta.json")
         self.meta = {}
