@@ -38,6 +38,31 @@ QUERIES = [
     "w000731 w000294",  # implicit AND (default operator)
 ]
 
+# seeded random query set mirroring FIXTURES.md §2 q01-q24:
+# q01-q10 2-10 term ANDs, q11-q18 2-10 term ORs, q19-q24 mixed trees
+import random as _random
+
+_rng = _random.Random(42)
+
+
+def _rand_terms(n):
+    # skew toward the Zipf head so queries actually match documents
+    return [f"w{int(_rng.paretovariate(0.6)) % 2000:06d}" for _ in range(n)]
+
+
+_GEN_QUERIES = (
+    [" AND ".join(_rand_terms(_rng.randint(2, 10))) for _ in range(10)]
+    + [" OR ".join(_rand_terms(_rng.randint(2, 10))) for _ in range(8)]
+    + [
+        f"{a} AND ({b} OR {c})"
+        for a, b, c in (_rand_terms(3) for _ in range(3))
+    ]
+    + [
+        f"({a} OR {b}) AND NOT {c}"
+        for a, b, c in (_rand_terms(3) for _ in range(3))
+    ]
+)
+
 
 @pytest.fixture(scope="module")
 def corpus():
@@ -81,6 +106,18 @@ def test_rank_identity(engine, oracle, query):
     want = oracle.search(query, k=10)
     got = engine.search_collect(query, k=10)
     _assert_rank_identical(got, want, query)
+
+
+def test_rank_identity_generated_set(engine, oracle):
+    """FIXTURES §2 q01-q24: seeded conjunctive/disjunctive/mixed set,
+    batched through search_many (one job) and compared per-query."""
+    batched = engine.search_many(_GEN_QUERIES, k=10)
+    n_nonempty = 0
+    for q in _GEN_QUERIES:
+        want = oracle.search(q, k=10)
+        _assert_rank_identical(batched[q], want, q)
+        n_nonempty += bool(want)
+    assert n_nonempty >= len(_GEN_QUERIES) // 2, "query set mostly empty"
 
 
 @pytest.mark.parametrize("query", ["w000001 OR w000009", "w000000", "w00004*"])
