@@ -207,16 +207,21 @@ GROUP BY term
 
 # -- the REAL engine routed through the SQL oracle -------------------------
 
-def ft_engine_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Build a real blocked-postings index over `documents` (lang forced to
-    'und' so the standard analyzer == whitespace split on this corpus) and
-    run the distributed BM25 kernel; the DuckDB oracle recomputes BM25 in
-    plain SQL. This gates the actual engine, not a SQL re-expression."""
+_ENGINE_CACHE: dict = {}
+
+
+def _engine_for(spark: SparkSession, sf_dir: str):
+    """Build (once per sf_dir) a real blocked-postings index over
+    `documents` (lang forced to 'und' so the standard analyzer ==
+    whitespace split on this corpus) and return a SearchEngine."""
     import tempfile
 
     from ..index.build import build_index
     from ..query.engine import SearchEngine
 
+    key = (id(spark), sf_dir)
+    if key in _ENGINE_CACHE:
+        return _ENGINE_CACHE[key]
     docs = _docs(spark, sf_dir)
     wt = docs.select(
         F.format_string("doc%08d", F.col("doc_id")).alias("url"),
@@ -237,14 +242,36 @@ def ft_engine_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         shuffle_partitions=max(8, spark.sparkContext.defaultParallelism),
     )
     eng = SearchEngine(spark, index_dir)
-    res = eng.search("spark AND join", k=10)
-    return res.select(
+    _ENGINE_CACHE[key] = eng
+    return eng
+
+
+def _engine_result(eng_df: DataFrame) -> DataFrame:
+    return eng_df.select(
         F.col("doc_id"),
         F.round("score", 4).alias("score"),
     ).orderBy(F.desc(F.round(F.col("score"), 4)), F.asc("doc_id"))
 
 
+def ft_engine_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BM25 kernel, conjunctive query; DuckDB recomputes BM25
+    in plain SQL. Gates the actual engine, not a SQL re-expression."""
+    return _engine_result(
+        _engine_for(spark, sf_dir).search("spark AND join", k=10)
+    )
+
+
+def ft_engine_bm25_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BM25 kernel, disjunctive query (block-max WAND path)."""
+    return _engine_result(
+        _engine_for(spark, sf_dir).search(
+            "window OR stream OR dup", k=10
+        )
+    )
+
+
 FT_ENGINE_BM25_SQL = FT_BM25_AND_SQL
+FT_ENGINE_BM25_OR_SQL = FT_BM25_OR_SQL
 
 
 QUERIES = {
@@ -255,4 +282,5 @@ QUERIES = {
     "ft_disjunctive": (ft_disjunctive, FT_DISJUNCTIVE_SQL),
     "ft_prefix_expand": (ft_prefix_expand, FT_PREFIX_EXPAND_SQL),
     "ft_engine_bm25": (ft_engine_bm25, FT_ENGINE_BM25_SQL),
+    "ft_engine_bm25_or": (ft_engine_bm25_or, FT_ENGINE_BM25_OR_SQL),
 }
