@@ -69,6 +69,18 @@ def main() -> None:
             # one local JVM hosts driver+executors; the big-corpus shuffle
             # OOMs the 8g default (same heap at every parallelism level)
             "spark.driver.memory": os.environ.get("BENCH_DRIVER_MEM", "48g"),
+            # an executor JVM with N cores sizes its GC threads to N; the
+            # single local JVM sees all 32 and would otherwise burst GC on
+            # ~20 threads even at local[2], borrowing cores the level is
+            # not supposed to have (skews N-vs-4N scaling measurements)
+            "spark.driver.extraJavaOptions": (
+                f"-XX:ParallelGCThreads={CPUS} "
+                f"-XX:ConcGCThreads={max(1, CPUS // 4)}"
+            ),
+            # text shuffles well under zstd (~2x smaller than lz4): trades
+            # shared-memory-bus bytes for per-core compute, which is the
+            # scaling-friendly direction on a multi-executor cluster too
+            "spark.io.compression.codec": "zstd",
         },
     )
 
@@ -79,7 +91,11 @@ def main() -> None:
     corpus_dir = None
     try:
         # -- 1. index build (throughput metric) ---------------------------
-        wt = webtext_df(spark, n_docs, parallelism=CPUS * 2)
+        # corpus generation parallelism is pinned (not CPUS-derived) so the
+        # materialized file layout is identical no matter which parallelism
+        # level materializes it first -- both scaling levels must read the
+        # same bytes in the same file layout
+        wt = webtext_df(spark, n_docs, parallelism=64)
         if os.environ.get("BENCH_MATERIALIZE", "0") == "1":
             # write the corpus to parquet first (untimed) and build from the
             # storage read -- matches a real pipeline and avoids charging
@@ -92,11 +108,16 @@ def main() -> None:
                 wt.write.mode("overwrite").parquet(corpus_dir)
             wt = spark.read.parquet(corpus_dir)
         t0 = time.time()
+        # partition_seconds sizes the reduce unit (one pid = one window
+        # group); at the synthetic corpus density (7s/doc) 4h partitions
+        # keep pids task-sized AND numerous enough (~3x cores at sf0.1)
+        # that the single-shuffle build saturates every level -- the same
+        # knob a crawl-scale run turns (hourly pids at web density)
         report = build_index(
             spark,
             wt,
             index_dir,
-            partition_seconds=86400,
+            partition_seconds=int(os.environ.get("BENCH_PARTITION_SECONDS", "14400")),
             block_span=4096,
             resume=False,
             shuffle_partitions=SHUF,

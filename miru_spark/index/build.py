@@ -9,45 +9,50 @@ MiruIndexPrimaryFields.compose, MiruIndexPrimaryFields.java:37-96 -- per
    (MiruTimeIndex.nextId, miru-plugin/.../MiruTimeIndex.java:55): partition
    key `pid = floor(unix_micros(warc_ts) / partition_seconds*1e6)`, then
    `row_number() over (partition by pid order by warc_ts, url) - 1`.
-2. **doc-granular salted shuffle** -- whole docs hash-repartition by
-   (pid, blk) with `blk = doc_id // block_span`: every doc-range block
-   group lands intact on one task, and because head/stopword terms span
-   many blks their postings are split across reducers instead of
-   hot-spotting one (the explicit skew-salting the north rule mandates).
-   The JVM never materializes per-posting rows -- only doc rows shuffle.
-3. **tokenize + invert + encode, in-worker** -- Arrow-batched
-   `mapInArrow` runs the analyzer (miru tokenizes in ingest clients,
-   WikiMiruIndexService.java:401-425), then a second Arrow stage flattens
-   each (pid, blk) group's per-doc term lists (zero-copy ListArray
-   flatten), sorts (term, doc_id) in Arrow C++, and emits the block-level
-   posting layout (delta-gap varint docIDs + varint tfs + varint doc
-   lengths, with per-block first/last doc, max_tf, min_dl for block-max
-   pruning) -- the analog of miru's "atomized" Roaring containers keyed
-   by 64K container (LabInvertedIndex.java:268-292,
-   LabFieldIndex.java:163-171).
-4. **lineage / resume** -- per-pid lineage rows (doc_count, postings_bytes,
+2. **ONE wide shuffle, then everything in-worker** -- the minting window
+   hash-partitions docs by pid and sorts (pid, warc_ts, url); that single
+   exchange is the only time document bytes move. Its output is already
+   pid-contiguous and doc_id-ascending, so a single Arrow-batched
+   `mapInArrow` worker tokenizes (miru tokenizes in ingest clients,
+   WikiMiruIndexService.java:401-425), accumulates one doc-range block
+   (`blk = doc_id // block_span`) at a time, inverts it with Arrow C++
+   sort + NumPy reduceat, and emits BOTH forward-index doc rows AND
+   encoded posting-block rows (delta-gap varint docIDs + varint tfs +
+   varint doc lengths, with per-block first/last doc, max_tf, min_dl for
+   block-max pruning) into one union output -- the analog of miru's
+   "atomized" Roaring containers keyed by 64K container
+   (LabInvertedIndex.java:268-292, LabFieldIndex.java:163-171). The JVM
+   never materializes per-posting rows, never re-shuffles tokenized data,
+   and never caches the corpus: tokenized text exists only inside the
+   Python worker for the lifetime of one block.
+3. **lineage / resume** -- per-pid lineage rows (doc_count, postings_bytes,
    wall_time_ms, status) let a restarted build skip completed partitions,
    mirroring the reference's sip-cursor checkpoint pattern
    (FullTextGatherer.java:176-252, custom key "fullText").
-5. **finalize** -- global stats (N, avgdl) and per-term (df, ctf): the
+4. **finalize** -- global stats (N, avgdl) and per-term (df, ctf): the
    reference keeps collection term frequency at docId -1
    (LabFieldIndex.java:510-536); ours is a tiny aggregate table.
 
-Storage is partitioned Parquet (zstd). On a cluster this layout maps 1:1
-onto Iceberg tables (partition transform on pid, snapshot-per-batch commit);
-the sandbox has no Iceberg runtime jars, so the parquet layout + lineage
-table stands in for snapshots -- append per batch, orphan cleanup before
-rebuild makes batches idempotent.
+Storage is one `segments/` dir of batch-committed Parquet (zstd) holding a
+union of row types -- `row_type='d'` forward/doc rows, `row_type='p'`
+posting-block rows -- sorted (row_type, pid, term, blk, doc_id) so parquet
+row-group min/max stats prune both the term dictionary and the docmap.
+On a cluster this layout maps 1:1 onto Iceberg tables (partition transform
+on pid, snapshot-per-batch commit); the sandbox has no Iceberg runtime
+jars, so the parquet layout + lineage table stands in for snapshots --
+append per batch, orphan cleanup before rebuild makes batches idempotent.
 
 Scale notes (100 TB / 1000 executors):
-- The only wide shuffle moves each doc ONCE, keyed (pid, blk); group size
-  is bounded by block_span docs, so no reducer sees an unbounded
-  head-term list and per-task memory is O(block_span * avg doc len).
-- Postings files are written sorted by (pid, term, blk) so Parquet row-group
+- Document bytes cross the wire exactly ONCE (the minting window's
+  exchange). There is no term-keyed shuffle at any point, so head-term
+  (stopword) skew cannot concentrate on a reducer *by construction*: a
+  head term's postings are split across doc-range blocks that live where
+  their docs live. The reduce unit is the time partition (pid);
+  partition_seconds must keep one pid task-sized (e.g. hourly at crawl
+  scale), which also bounds worker memory at O(block_span * avg doc len).
+- Posting rows are written sorted by (pid, term, blk) so Parquet row-group
   min/max stats on `term` give tight predicate pushdown at query time.
-- docID minting windows one pid at a time; partition_seconds must be chosen
-  so one pid's docmap fits a task (e.g. hourly at crawl scale). No global
-  sort or global sequence anywhere.
+- No global sort, no global sequence, no driver-side loop over data.
 """
 
 from __future__ import annotations
@@ -69,19 +74,16 @@ from ..codec import encode_postings_grouped, encode_varint_grouped
 DEFAULT_PARTITION_SECONDS = 86400
 DEFAULT_BLOCK_SPAN = 4096
 
-_TOKENIZED_SCHEMA = (
-    "pid long, blk long, doc_id long, url string, warc_us long, "
-    "doc_len int, terms array<string>, tfs array<int>"
-)
-_BLOCK_SCHEMA = (
-    "pid long, term string, blk long, n int, first_doc long, last_doc long, "
-    "max_tf int, min_dl int, ctf long, ids_bin binary, tfs_bin binary, "
-    "dls_bin binary"
-)
-
-_BLOCK_PA_SCHEMA = pa.schema(
+_SEGMENT_PA_SCHEMA = pa.schema(
     [
+        ("row_type", pa.string()),  # 'd' doc row | 'p' posting-block row
         ("pid", pa.int64()),
+        # doc rows
+        ("doc_id", pa.int64()),
+        ("url", pa.string()),
+        ("warc_us", pa.int64()),
+        ("doc_len", pa.int32()),
+        # posting-block rows
         ("term", pa.string()),
         ("blk", pa.int64()),
         ("n", pa.int32()),
@@ -95,6 +97,18 @@ _BLOCK_PA_SCHEMA = pa.schema(
         ("dls_bin", pa.binary()),
     ]
 )
+_SEGMENT_SCHEMA = (
+    "row_type string, pid long, doc_id long, url string, warc_us long, "
+    "doc_len int, term string, blk long, n int, first_doc long, "
+    "last_doc long, max_tf int, min_dl int, ctf long, ids_bin binary, "
+    "tfs_bin binary, dls_bin binary"
+)
+
+_DOC_COLS = ["pid", "doc_id", "url", "warc_us", "doc_len"]
+_POSTING_COLS = [
+    "pid", "term", "blk", "n", "first_doc", "last_doc",
+    "max_tf", "min_dl", "ctf", "ids_bin", "tfs_bin", "dls_bin",
+]
 
 
 @dataclass
@@ -102,12 +116,8 @@ class IndexPaths:
     root: str
 
     @property
-    def docmap(self) -> str:
-        return os.path.join(self.root, "docmap")
-
-    @property
-    def postings(self) -> str:
-        return os.path.join(self.root, "postings")
+    def segments(self) -> str:
+        return os.path.join(self.root, "segments")
 
     @property
     def stats(self) -> str:
@@ -130,186 +140,232 @@ class BuildReport:
     wall_time_s: float = 0.0
 
 
-def _tokenize_map(batches):
-    """mapInArrow: (pid, blk, doc_id, url, warc_us, lang, text) ->
-    tokenized (1:1, order-preserving)."""
-    out_schema = pa.schema(
+def _nulls(k: int, typ) -> pa.Array:
+    return pa.nulls(k, type=typ)
+
+
+def _doc_rows_batch(pid_arr, doc_ids, urls, warc_us, doc_lens) -> pa.RecordBatch:
+    k = len(doc_ids)
+    return pa.RecordBatch.from_arrays(
         [
-            ("pid", pa.int64()),
-            ("blk", pa.int64()),
-            ("doc_id", pa.int64()),
-            ("url", pa.string()),
-            ("warc_us", pa.int64()),
-            ("doc_len", pa.int32()),
-            ("terms", pa.list_(pa.string())),
-            ("tfs", pa.list_(pa.int32())),
-        ]
+            pa.array(["d"] * k),
+            pid_arr,
+            doc_ids,
+            urls,
+            warc_us,
+            pa.array(doc_lens, type=pa.int32()),
+            _nulls(k, pa.string()),
+            _nulls(k, pa.int64()),
+            _nulls(k, pa.int32()),
+            _nulls(k, pa.int64()),
+            _nulls(k, pa.int64()),
+            _nulls(k, pa.int32()),
+            _nulls(k, pa.int32()),
+            _nulls(k, pa.int64()),
+            _nulls(k, pa.binary()),
+            _nulls(k, pa.binary()),
+            _nulls(k, pa.binary()),
+        ],
+        schema=_SEGMENT_PA_SCHEMA,
     )
+
+
+def _block_rows_batch(
+    pid: int,
+    blk: int,
+    doc_ids: np.ndarray,
+    dls: np.ndarray,
+    terms_list: list,
+    tfs_list: list,
+) -> pa.RecordBatch | None:
+    """Invert ONE (pid, blk) doc-range group: flatten per-doc sorted term
+    lists, sort (term, doc_id) in Arrow C++, encode per-term posting runs
+    with NumPy reduceat (MiruIndexPrimaryFields.compose analog -- per term:
+    sorted docID list + tf counts, MiruIndexPrimaryFields.java:37-96)."""
+    import pyarrow.compute as pc
+
+    terms_col = pa.array(terms_list, type=pa.list_(pa.string()))
+    lens = pc.list_value_length(terms_col).to_numpy().astype(np.int64)
+    total = int(lens.sum())
+    if total == 0:
+        return None
+    flat = pa.table(
+        {
+            "term": terms_col.flatten(),
+            "doc_id": pa.array(np.repeat(doc_ids, lens)),
+            "tf": pa.array(
+                np.concatenate(tfs_list).astype(np.int64)
+                if tfs_list
+                else np.empty(0, dtype=np.int64)
+            ),
+            "dl": pa.array(np.repeat(dls, lens)),
+        }
+    )
+    order = pc.sort_indices(
+        flat, sort_keys=[("term", "ascending"), ("doc_id", "ascending")]
+    )
+    flat = flat.take(order).combine_chunks()
+    n = flat.num_rows
+    term = flat.column("term").chunk(0)
+    ids64 = flat.column("doc_id").to_numpy()
+    tfs64 = flat.column("tf").to_numpy()
+    dls64 = flat.column("dl").to_numpy()
+    change = np.empty(n, dtype=bool)
+    change[0] = True
+    if n > 1:
+        change[1:] = pc.not_equal(
+            term.slice(1), term.slice(0, n - 1)
+        ).to_numpy(zero_copy_only=False)
+    starts = np.flatnonzero(change)
+    ends = np.empty_like(starts)
+    ends[:-1] = starts[1:]
+    ends[-1] = n
+    k = len(starts)
+    return pa.RecordBatch.from_arrays(
+        [
+            pa.array(["p"] * k),
+            pa.array(np.full(k, pid, dtype=np.int64)),
+            _nulls(k, pa.int64()),
+            _nulls(k, pa.string()),
+            _nulls(k, pa.int64()),
+            _nulls(k, pa.int32()),
+            pc.take(term, pa.array(starts)),
+            pa.array(np.full(k, blk, dtype=np.int64)),
+            pa.array((ends - starts).astype(np.int32)),
+            pa.array(ids64[starts]),
+            pa.array(ids64[ends - 1]),
+            pa.array(np.maximum.reduceat(tfs64, starts).astype(np.int32)),
+            pa.array(np.minimum.reduceat(dls64, starts).astype(np.int32)),
+            pa.array(np.add.reduceat(tfs64, starts)),
+            pa.array(
+                encode_postings_grouped(ids64, starts, ends), type=pa.binary()
+            ),
+            pa.array(
+                encode_varint_grouped(tfs64, starts, ends), type=pa.binary()
+            ),
+            pa.array(
+                encode_varint_grouped(dls64, starts, ends), type=pa.binary()
+            ),
+        ],
+        schema=_SEGMENT_PA_SCHEMA,
+    )
+
+
+def _make_indexer(block_span: int):
+    """mapInArrow worker over doc rows (pid, doc_id, url, warc_us, lang,
+    text) that arrive pid-contiguous with doc_id ascending (the minting
+    window's native output order -- no extra shuffle or sort needed):
+    tokenize each batch, emit its doc rows immediately, and accumulate one
+    (pid, blk) doc-range group at a time, flushing encoded posting-block
+    rows at each group boundary. Worker memory is O(block_span * avg doc
+    len) + one Arrow batch, independent of partition size."""
     from collections import Counter
 
-    for batch in batches:
-        texts = batch.column("text").to_pylist()
-        langs = batch.column("lang").to_pylist()
-        terms_col, tfs_col, dl_col = [], [], []
-        for text, lang in zip(texts, langs):
-            toks = analyze(text, lang)
-            dl_col.append(len(toks))
-            if toks:
-                # sorted Counter items == np.unique order, ~3x cheaper
-                items = sorted(Counter(toks).items())
-                terms_col.append([t for t, _ in items])
-                tfs_col.append([c for _, c in items])
-            else:
-                terms_col.append([])
-                tfs_col.append([])
-        yield pa.RecordBatch.from_arrays(
-            [
+    def indexer(batches):
+        cur_key = None  # (pid, blk)
+        acc_ids: list = []
+        acc_dls: list = []
+        acc_terms: list = []
+        acc_tfs: list = []
+        # encoded block rows buffered until end-of-partition, then emitted
+        # globally sorted by (pid, term, blk) so the parquet writer lays
+        # them down in term order WITHOUT a JVM-side sort. Memory is the
+        # partition's encoded postings (varint-packed, ~tenth of the raw
+        # text), bounded because a task's input is one shuffle partition.
+        block_batches: list = []
+
+        def flush():
+            nonlocal cur_key, acc_ids, acc_dls, acc_terms, acc_tfs
+            if cur_key is None:
+                return
+            out = _block_rows_batch(
+                cur_key[0],
+                cur_key[1],
+                np.concatenate(acc_ids),
+                np.concatenate(acc_dls),
+                acc_terms,
+                acc_tfs,
+            )
+            cur_key = None
+            acc_ids, acc_dls, acc_terms, acc_tfs = [], [], [], []
+            if out is not None:
+                block_batches.append(out)
+
+        for batch in batches:
+            nrows = batch.num_rows
+            if nrows == 0:
+                continue
+            texts = batch.column("text").to_pylist()
+            langs = batch.column("lang").to_pylist()
+            terms_col: list = []
+            tfs_col: list = []
+            dl_col: list = []
+            for text, lang in zip(texts, langs):
+                toks = analyze(text, lang)
+                dl_col.append(len(toks))
+                if toks:
+                    # sorted Counter items == np.unique order, ~3x cheaper
+                    items = sorted(Counter(toks).items())
+                    terms_col.append([t for t, _ in items])
+                    tfs_col.append(
+                        np.fromiter(
+                            (c for _, c in items), dtype=np.int64, count=len(items)
+                        )
+                    )
+                else:
+                    terms_col.append([])
+                    tfs_col.append(np.empty(0, dtype=np.int64))
+
+            pid_np = batch.column("pid").to_numpy()
+            did_np = batch.column("doc_id").to_numpy()
+            yield _doc_rows_batch(
                 batch.column("pid"),
-                batch.column("blk"),
                 batch.column("doc_id"),
                 batch.column("url"),
                 batch.column("warc_us"),
-                pa.array(dl_col, type=pa.int32()),
-                pa.array(terms_col, type=pa.list_(pa.string())),
-                pa.array(tfs_col, type=pa.list_(pa.int32())),
-            ],
-            schema=out_schema,
-        )
+                dl_col,
+            )
 
+            blk_np = did_np // block_span
+            change = np.empty(nrows, dtype=bool)
+            change[0] = True
+            if nrows > 1:
+                change[1:] = (pid_np[1:] != pid_np[:-1]) | (
+                    blk_np[1:] != blk_np[:-1]
+                )
+            starts = np.flatnonzero(change)
+            ends = np.empty_like(starts)
+            ends[:-1] = starts[1:]
+            ends[-1] = nrows
+            dl_np = np.asarray(dl_col, dtype=np.int64)
+            for s, e in zip(starts, ends):
+                key = (int(pid_np[s]), int(blk_np[s]))
+                if cur_key is not None and key != cur_key:
+                    flush()
+                if cur_key is None:
+                    cur_key = key
+                acc_ids.append(did_np[s:e])
+                acc_dls.append(dl_np[s:e])
+                acc_terms.extend(terms_col[s:e])
+                acc_tfs.extend(tfs_col[s:e])
+        flush()
+        if block_batches:
+            import pyarrow.compute as pc
 
-def _invert_encode_groups(batches):
-    """mapInArrow over tokenized doc-rows sorted by (pid, blk, doc_id),
-    where each (pid, blk) doc-range group lives wholly in this partition
-    (hash repartition on (pid, blk)): flatten each group's per-doc term
-    lists, sort (term, doc_id) with Arrow C++, emit encoded posting blocks.
+            tbl = pa.Table.from_batches(block_batches).combine_chunks()
+            order = pc.sort_indices(
+                tbl.select(["pid", "term", "blk"]),
+                sort_keys=[
+                    ("pid", "ascending"),
+                    ("term", "ascending"),
+                    ("blk", "ascending"),
+                ],
+            )
+            yield from tbl.take(order).combine_chunks().to_batches(
+                max_chunksize=65536
+            )
 
-    This replaces explode -> 87x-row shuffle -> Tungsten sort -> Arrow
-    transfer of every posting with a doc-granular shuffle plus in-worker
-    Arrow kernels: the JVM never materializes per-posting rows, which was
-    the dominant (and memory-bandwidth-bound) cost of the build.
-    """
-    import pyarrow.compute as pc
-
-    def one_chunk(col) -> pa.Array:
-        arr = col.combine_chunks()
-        return arr.chunk(0) if isinstance(arr, pa.ChunkedArray) else arr
-
-    def emit_group(tbl: pa.Table):
-        """tbl: rows of ONE (pid, blk) group, doc_id ascending."""
-        n_docs = tbl.num_rows
-        if n_docs == 0:
-            return None
-        pid = tbl.column("pid")[0].as_py()
-        blk = tbl.column("blk")[0].as_py()
-        terms_col = one_chunk(tbl.column("terms"))
-        lens = pc.list_value_length(terms_col).to_numpy().astype(np.int64)
-        flat_terms = terms_col.flatten()
-        flat_tfs = one_chunk(tbl.column("tfs")).flatten()
-        doc_ids = np.repeat(tbl.column("doc_id").to_numpy(), lens)
-        dls = np.repeat(
-            tbl.column("doc_len").to_numpy().astype(np.int64), lens
-        )
-        if len(flat_terms) == 0:
-            return None
-        flat = pa.table(
-            {
-                "term": flat_terms,
-                "doc_id": pa.array(doc_ids),
-                "tf": flat_tfs,
-                "dl": pa.array(dls),
-            }
-        )
-        order = pc.sort_indices(
-            flat,
-            sort_keys=[("term", "ascending"), ("doc_id", "ascending")],
-        )
-        flat = flat.take(order).combine_chunks()
-        n = flat.num_rows
-        term = one_chunk(flat.column("term"))
-        ids64 = flat.column("doc_id").to_numpy()
-        tfs64 = flat.column("tf").to_numpy().astype(np.int64)
-        dls64 = flat.column("dl").to_numpy().astype(np.int64)
-        change = np.empty(n, dtype=bool)
-        change[0] = True
-        if n > 1:
-            change[1:] = pc.not_equal(
-                term.slice(1), term.slice(0, n - 1)
-            ).to_numpy(zero_copy_only=False)
-        starts = np.flatnonzero(change)
-        ends = np.empty_like(starts)
-        ends[:-1] = starts[1:]
-        ends[-1] = n
-        starts_arr = pa.array(starts)
-        k = len(starts)
-        return pa.RecordBatch.from_arrays(
-            [
-                pa.array(np.full(k, pid, dtype=np.int64)),
-                pc.take(term, starts_arr),
-                pa.array(np.full(k, blk, dtype=np.int64)),
-                pa.array((ends - starts).astype(np.int32)),
-                pa.array(ids64[starts]),
-                pa.array(ids64[ends - 1]),
-                pa.array(np.maximum.reduceat(tfs64, starts).astype(np.int32)),
-                pa.array(np.minimum.reduceat(dls64, starts).astype(np.int32)),
-                pa.array(np.add.reduceat(tfs64, starts)),
-                pa.array(
-                    encode_postings_grouped(ids64, starts, ends),
-                    type=pa.binary(),
-                ),
-                pa.array(
-                    encode_varint_grouped(tfs64, starts, ends),
-                    type=pa.binary(),
-                ),
-                pa.array(
-                    encode_varint_grouped(dls64, starts, ends),
-                    type=pa.binary(),
-                ),
-            ],
-            schema=_BLOCK_PA_SCHEMA,
-        )
-
-    carry: pa.Table | None = None
-
-    def group_cut(tbl: pa.Table) -> int:
-        """Offset where the LAST (pid, blk) group starts."""
-        pid = tbl.column("pid").to_numpy()
-        blk = tbl.column("blk").to_numpy()
-        n = len(pid)
-        change = (pid[1:] != pid[:-1]) | (blk[1:] != blk[:-1])
-        idx = np.flatnonzero(change)
-        return int(idx[-1] + 1) if idx.size else 0
-
-    def split_emit(tbl: pa.Table, upto: int):
-        """Emit every complete group within tbl[:upto]."""
-        pid = tbl.column("pid").to_numpy()[:upto]
-        blk = tbl.column("blk").to_numpy()[:upto]
-        change = np.empty(upto, dtype=bool)
-        change[0] = True
-        change[1:] = (pid[1:] != pid[:-1]) | (blk[1:] != blk[:-1])
-        starts = np.flatnonzero(change)
-        ends = np.empty_like(starts)
-        ends[:-1] = starts[1:]
-        ends[-1] = upto
-        for s, e in zip(starts, ends):
-            out = emit_group(tbl.slice(int(s), int(e - s)))
-            if out is not None:
-                yield out
-
-    for batch in batches:
-        tbl = pa.Table.from_batches([batch])
-        if carry is not None:
-            tbl = pa.concat_tables([carry, tbl])
-        tbl = tbl.combine_chunks()
-        if tbl.num_rows == 0:
-            carry = None
-            continue
-        cut = group_cut(tbl)
-        if cut > 0:
-            yield from split_emit(tbl, cut)
-        carry = tbl.slice(cut)
-    if carry is not None and carry.num_rows:
-        carry = carry.combine_chunks()
-        yield from split_emit(carry, carry.num_rows)
+    return indexer
 
 
 def _with_pid(webtext: DataFrame, partition_seconds: int) -> DataFrame:
@@ -322,8 +378,10 @@ def _with_pid(webtext: DataFrame, partition_seconds: int) -> DataFrame:
 def _mint_ids(with_pid: DataFrame) -> DataFrame:
     """Dense time-ordered docIDs within each pid (MiruTimeIndex.nextId
     analog). The window serializes each pid into one task, so
-    partition_seconds must keep a single pid's docmap task-sized (hourly
-    at crawl scale); tokenization is re-parallelized downstream."""
+    partition_seconds must keep a single pid task-sized (hourly at crawl
+    scale). Its exchange doubles as the build's ONLY wide shuffle: the
+    output is pid-contiguous and doc_id-ascending, exactly what the
+    indexing worker consumes."""
     w = Window.partitionBy("pid").orderBy("warc_us", "url")
     return with_pid.withColumn("doc_id", F.row_number().over(w) - F.lit(1))
 
@@ -346,10 +404,32 @@ def _read_done_pids(spark: SparkSession, paths: IndexPaths) -> set[int]:
 
 
 def _read_parquet_dir(spark: SparkSession, base: str) -> DataFrame:
-    """Read a batch-subdir table (docmap/postings). Subdirs are commit
-    units (`b_<tag>/`), committed by atomic rename -- the local-fs stand-in
-    for an Iceberg snapshot commit."""
+    """Read a batch-subdir table. Subdirs are commit units (`b_<tag>/`),
+    committed by atomic rename -- the local-fs stand-in for an Iceberg
+    snapshot commit."""
     return spark.read.option("recursiveFileLookup", "true").parquet(base)
+
+
+def read_docmap(spark: SparkSession, paths: IndexPaths) -> DataFrame:
+    """Forward-index view: one row per doc (MiruActivityIndex analog).
+    row_type + column pruning reach the parquet scan, so docmap reads
+    never touch posting binaries."""
+    return (
+        _read_parquet_dir(spark, paths.segments)
+        .filter(F.col("row_type") == "d")
+        .select(*_DOC_COLS)
+    )
+
+
+def read_postings(spark: SparkSession, paths: IndexPaths) -> DataFrame:
+    """Posting-blocks view: one row per (pid, term, blk). Rows are stored
+    sorted by (pid, term, blk), so term predicates prune at parquet
+    row-group granularity."""
+    return (
+        _read_parquet_dir(spark, paths.segments)
+        .filter(F.col("row_type") == "p")
+        .select(*_POSTING_COLS)
+    )
 
 
 def _valid_tags(spark: SparkSession, paths: IndexPaths) -> set[str]:
@@ -370,22 +450,22 @@ def _cleanup_orphans(spark: SparkSession, paths: IndexPaths) -> None:
     and lineage write) and stray _tmp_ write dirs. Idempotent restart --
     the Iceberg-snapshot rollback analog."""
     valid = _valid_tags(spark, paths)
-    for base in (paths.docmap, paths.postings):
-        if not os.path.isdir(base):
-            continue
-        for d in os.listdir(base):
-            full = os.path.join(base, d)
-            if d.startswith("_tmp_"):
-                shutil.rmtree(full, ignore_errors=True)
-            elif d.startswith("b_") and d[2:] not in valid:
-                shutil.rmtree(full, ignore_errors=True)
+    base = paths.segments
+    if not os.path.isdir(base):
+        return
+    for d in os.listdir(base):
+        full = os.path.join(base, d)
+        if d.startswith("_tmp_"):
+            shutil.rmtree(full, ignore_errors=True)
+        elif d.startswith("b_") and d[2:] not in valid:
+            shutil.rmtree(full, ignore_errors=True)
 
 
 def _commit_write(df: DataFrame, base: str, tag: str, sort_cols: list[str]) -> None:
     """Write df sorted by sort_cols to base/_tmp_<tag>, then atomically
     rename to base/b_<tag>. One parquet writer per task (no dynamic
     partitioning fan-out), rows sorted so row-group min/max stats prune
-    pid/term predicates at read time."""
+    row_type/pid/term predicates at read time."""
     tmp = os.path.join(base, f"_tmp_{tag}")
     final = os.path.join(base, f"b_{tag}")
     if os.path.exists(final):
@@ -464,9 +544,6 @@ def build_index(
 
     nbatch = batch_partitions or len(todo)
     batches = [todo[i : i + nbatch] for i in range(0, len(todo), nbatch)]
-    n_shuffle = shuffle_partitions or int(
-        spark.conf.get("spark.sql.shuffle.partitions")
-    )
 
     for bi, batch_pids in enumerate(batches):
         if _fail_after_batches is not None and bi >= _fail_after_batches:
@@ -475,77 +552,53 @@ def build_index(
             )
         bt0 = time.time()
         tag = f"{bi:04d}_{int(batch_pids[0])}"
-        sub = ids_df.filter(F.col("pid").isin([int(p) for p in batch_pids]))
-        # ONE doc-granular shuffle: hash whole docs by (pid, blk) so every
-        # doc-range block group lands intact on one task, sorted by doc_id.
-        # Tokenize AND posting inversion then run inside Arrow workers with
-        # no per-posting JVM rows at all -- the former explode shuffle put
-        # ~87x the row count through Tungsten sort + Arrow transfer and was
-        # memory-bandwidth-bound. blk doubles as the skew salt: stopword
-        # postings split across doc-range blocks, so no reducer ever owns a
-        # whole head term.
-        parted = (
-            sub.select("pid", "doc_id", "url", "warc_us", "lang", "text")
-            .withColumn(
-                "blk", (F.col("doc_id") / F.lit(int(block_span))).cast("long")
-            )
-            .repartition(n_shuffle, "pid", "blk")
-            .sortWithinPartitions("pid", "blk", "doc_id")
-            .select("pid", "blk", "doc_id", "url", "warc_us", "lang", "text")
+        # ONE wide shuffle (the minting window's pid-hash exchange), then
+        # ONE Arrow worker pass: tokenize + invert + encode, emitting doc
+        # rows and posting-block rows together. No persist, no second
+        # shuffle, no per-posting JVM rows. Head-term skew cannot
+        # concentrate anywhere: there is no term-keyed exchange at all --
+        # a head term's postings stay split across doc-range blocks.
+        sub = (
+            ids_df.filter(F.col("pid").isin([int(p) for p in batch_pids]))
+            .select("pid", "doc_id", "url", "warc_us", "lang", "text")
         )
-        tokenized = parted.mapInArrow(
-            _tokenize_map, _TOKENIZED_SCHEMA
-        ).persist()
+        # rows leave the worker already laid out for parquet row-group
+        # pruning: doc rows streamed in (pid, doc_id) order first, then
+        # all posting-block rows sorted (pid, term, blk) -- no JVM sort
+        seg = sub.mapInArrow(_make_indexer(block_span), _SEGMENT_SCHEMA)
+        _commit_write(seg, paths.segments, tag, [])
 
-        # docmap (forward-index keys + doc_len; the source table itself is
-        # the forward index for stored fields -- MiruActivityIndex analog).
-        # Plain files per batch dir: partitionBy(pid) would open one parquet
-        # writer per (task, pid) -- ~40x the writers, and the resulting
-        # buffer churn made GC dominate the stage at high core counts.
-        _commit_write(
-            tokenized.select("pid", "doc_id", "url", "warc_us", "doc_len"),
-            paths.docmap,
-            tag,
-            ["pid", "doc_id"],
-        )
-
-        # invert + encode per (pid, blk) group in-worker: zero additional
-        # shuffles (tokenized is already (pid, blk)-partitioned and sorted)
-        blocks = (
-            tokenized.select(
-                "pid", "blk", "doc_id", "doc_len", "terms", "tfs"
-            )
-            .mapInArrow(_invert_encode_groups, _BLOCK_SCHEMA)
-            .persist()
-        )
-        # blocks come out grouped by (pid, blk), terms sorted within each
-        _commit_write(blocks, paths.postings, tag, ["pid", "term", "blk"])
-
-        # lineage metrics from the cached blocks (no parquet re-read)
-        sizes = {
-            r["pid"]: (r["pbytes"], r["nterms"])
-            for r in blocks.groupBy("pid")
+        # lineage metrics: one column-pruned read of the just-committed
+        # batch dir (term is dictionary-encoded; binaries only for bytes)
+        bdf = spark.read.parquet(os.path.join(paths.segments, f"b_{tag}"))
+        m = {
+            r["pid"]: (r["doc_count"], r["pbytes"], r["nterms"])
+            for r in bdf.groupBy("pid")
             .agg(
-                (
-                    F.sum(F.length("ids_bin"))
-                    + F.sum(F.length("tfs_bin"))
-                    + F.sum(F.length("dls_bin"))
+                F.count(F.when(F.col("row_type") == "d", 1)).alias(
+                    "doc_count"
+                ),
+                F.sum(
+                    F.when(
+                        F.col("row_type") == "p",
+                        F.length("ids_bin")
+                        + F.length("tfs_bin")
+                        + F.length("dls_bin"),
+                    )
                 ).alias("pbytes"),
-                F.countDistinct("term").alias("nterms"),
+                F.countDistinct(
+                    F.when(F.col("row_type") == "p", F.col("term"))
+                ).alias("nterms"),
             )
             .collect()
-        }
-        doc_counts = {
-            r["pid"]: r["cnt"]
-            for r in tokenized.groupBy("pid").agg(F.count("*").alias("cnt")).collect()
         }
         wall_ms = int((time.time() - bt0) * 1000)
         lineage_rows = [
             (
                 int(p),
-                int(doc_counts.get(p, 0)),
-                int(sizes.get(p, (0, 0))[0] or 0),
-                int(sizes.get(p, (0, 0))[1] or 0),
+                int(m.get(p, (0, 0, 0))[0] or 0),
+                int(m.get(p, (0, 0, 0))[1] or 0),
+                int(m.get(p, (0, 0, 0))[2] or 0),
                 wall_ms,
                 "complete",
                 tag,
@@ -558,10 +611,8 @@ def build_index(
             "wall_time_ms long, status string, batch_tag string",
         ).write.mode("append").parquet(paths.lineage)
 
-        blocks.unpersist()
-        tokenized.unpersist()
         report.pids_built.extend(batch_pids)
-        report.n_docs += sum(doc_counts.values())
+        report.n_docs += sum(v[0] or 0 for v in m.values())
 
     if finalize:
         finalize_index(spark, index_dir)
@@ -577,7 +628,7 @@ def finalize_index(spark: SparkSession, index_dir: str) -> None:
     (LabFieldIndex.java:510-536).
     """
     paths = IndexPaths(index_dir)
-    docmap = _read_parquet_dir(spark, paths.docmap)
+    docmap = read_docmap(spark, paths)
     stats = docmap.agg(
         F.count("*").alias("n_docs"),
         (F.sum("doc_len") / F.count("*")).alias("avgdl"),
@@ -585,7 +636,7 @@ def finalize_index(spark: SparkSession, index_dir: str) -> None:
     )
     stats.coalesce(1).write.mode("overwrite").parquet(paths.stats)
 
-    postings = _read_parquet_dir(spark, paths.postings)
+    postings = read_postings(spark, paths)
     termstats = postings.groupBy("term").agg(
         F.sum("n").alias("df"), F.sum("ctf").alias("ctf")
     )

@@ -273,14 +273,14 @@ class SearchEngine:
         if os.path.exists(meta_path):
             with open(meta_path) as f:
                 self.meta = json.load(f)
-        from ..index.build import _read_parquet_dir
+        from ..index.build import read_docmap, read_postings
 
         srow = spark.read.parquet(self.paths.stats).collect()[0]
         self.n_docs = int(srow["n_docs"])
         self.avgdl = float(srow["avgdl"])
         self.termstats = spark.read.parquet(self.paths.termstats)
-        self.postings = _read_parquet_dir(spark, self.paths.postings)
-        self.docmap = _read_parquet_dir(spark, self.paths.docmap)
+        self.postings = read_postings(spark, self.paths)
+        self.docmap = read_docmap(spark, self.paths)
         lineage = spark.read.parquet(self.paths.lineage)
         self.pid_counts = {
             int(r["pid"]): int(r["doc_count"])

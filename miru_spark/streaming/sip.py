@@ -138,9 +138,10 @@ def reopen_pids(
         .distinct()
         .collect()
     )
-    for base in (paths.docmap, paths.postings):
-        for tag in tags:
-            shutil.rmtree(os.path.join(base, f"b_{tag}"), ignore_errors=True)
+    for tag in tags:
+        shutil.rmtree(
+            os.path.join(paths.segments, f"b_{tag}"), ignore_errors=True
+        )
     kept_rows = lineage.filter(~F.col("batch_tag").isin(list(tags))).collect()
     shutil.rmtree(paths.lineage)
     if kept_rows:

@@ -179,17 +179,17 @@ def test_resume_skips_completed(spark, tmp_path):
     clean_dir = str(tmp_path / "idx_clean")
     build_index(spark, wt, clean_dir, partition_seconds=300, block_span=BLOCK_SPAN)
 
-    from miru_spark.index.build import _read_parquet_dir
+    from miru_spark.index.build import IndexPaths, read_docmap, read_postings
 
-    for sub in ("docmap", "postings"):
-        da = _read_parquet_dir(spark, os.path.join(index_dir, sub))
-        db = _read_parquet_dir(spark, os.path.join(clean_dir, sub))
+    for name, reader in (("docmap", read_docmap), ("postings", read_postings)):
+        da = reader(spark, IndexPaths(index_dir))
+        db = reader(spark, IndexPaths(clean_dir))
         a = da.orderBy(*da.columns).collect()
         b = db.orderBy(*db.columns).collect()
-        assert a == b, f"{sub} differs between resumed and clean build"
+        assert a == b, f"{name} differs between resumed and clean build"
 
     lin = spark.read.parquet(os.path.join(index_dir, "lineage"))
-    n_pids = _read_parquet_dir(spark, os.path.join(index_dir, "docmap")).select("pid").distinct().count()
+    n_pids = read_docmap(spark, IndexPaths(index_dir)).select("pid").distinct().count()
     assert lin.filter(F.col("status") == "complete").select("pid").distinct().count() == n_pids
 
 

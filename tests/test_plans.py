@@ -48,25 +48,23 @@ def test_search_plan_no_row_python_and_pruned(engine):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
 
 
-def test_build_plan_no_row_python(spark):
-    from pyspark.sql import functions as F
-
+def test_build_plan_no_row_python_single_shuffle(spark):
     from miru_spark.index.build import (
-        _TOKENIZED_SCHEMA,
-        _tokenize_map,
+        _SEGMENT_SCHEMA,
+        _make_indexer,
         _with_ids,
     )
 
     wt = _with_ids(webtext_df(spark, 100), 3600)
-    df = (
-        wt.select("pid", "doc_id", "url", "warc_us", "lang", "text")
-        .withColumn("blk", (F.col("doc_id") / F.lit(256)).cast("long"))
-        .select("pid", "blk", "doc_id", "url", "warc_us", "lang", "text")
-        .mapInArrow(_tokenize_map, _TOKENIZED_SCHEMA)
-    )
+    df = wt.select(
+        "pid", "doc_id", "url", "warc_us", "lang", "text"
+    ).mapInArrow(_make_indexer(256), _SEGMENT_SCHEMA)
     plan = _plan(df)
     assert "BatchEvalPython" not in plan
     assert "MapInArrow" in plan or "PythonMapInArrow" in plan
+    # document bytes cross exactly ONE exchange (the minting window's);
+    # tokenize/invert/encode all run on its output without re-shuffling
+    assert plan.count("Exchange") == 1, plan
 
 
 def test_docmap_scan_prunes_columns(engine):

@@ -20,10 +20,10 @@ N = 1200  # 7s apart -> 8400s -> 3 hourly pids
 
 
 def _postings_sorted(spark, index_dir):
-    from miru_spark.index.build import _read_parquet_dir
+    from miru_spark.index.build import read_postings
 
     rows = (
-        _read_parquet_dir(spark, IndexPaths(index_dir).postings)
+        read_postings(spark, IndexPaths(index_dir))
         .select("pid", "term", "blk", "n", "ids_bin", "tfs_bin")
         .collect()
     )
