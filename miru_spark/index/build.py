@@ -5,37 +5,34 @@ Spark-first re-expression of the reference's indexer
 MiruIndexPrimaryFields.compose, MiruIndexPrimaryFields.java:37-96 -- per
 (field, term): sorted docID list + tf counts):
 
-1. **docID minting** -- docs get dense per-partition ids in time order
-   (MiruTimeIndex.nextId, miru-plugin/.../MiruTimeIndex.java:55): partition
-   key `pid = floor(unix_micros(warc_ts) / partition_seconds*1e6)`, then
-   `row_number() over (partition by pid order by warc_ts, url) - 1`.
-2. **ONE wide shuffle, then everything in-worker** -- the minting window
-   hash-partitions docs by pid and sorts (pid, warc_ts, url); that single
-   exchange is the only time document bytes move. Its output is already
-   pid-contiguous and doc_id-ascending, so a single Arrow-batched
-   `mapInArrow` worker tokenizes (miru tokenizes in ingest clients,
-   WikiMiruIndexService.java:401-425), accumulates one doc-range block
-   (`blk = doc_id // block_span`) at a time, inverts it with Arrow C++
-   sort + NumPy reduceat, and emits BOTH forward-index doc rows AND
-   encoded posting-block rows (delta-gap varint docIDs + varint tfs +
-   varint doc lengths, with per-block first/last doc, max_tf, min_dl for
-   block-max pruning) into one union output -- the analog of miru's
-   "atomized" Roaring containers keyed by 64K container
-   (LabInvertedIndex.java:268-292, LabFieldIndex.java:163-171). The JVM
-   never materializes per-posting rows, never re-shuffles tokenized data,
-   and never caches the corpus: tokenized text exists only inside the
+1. **ONE wide shuffle, everything else in-worker** -- docs hash-exchange
+   once on `pid = floor(unix_micros(warc_ts) / partition_seconds*1e6)`;
+   the JVM performs NO sort and materializes NO derived rows. A single
+   Arrow-batched `mapInArrow` worker then: sorts its partition
+   (pid, warc_ts, url) in Arrow C++ and mints dense per-pid time-ordered
+   docIDs (MiruTimeIndex.nextId, miru-plugin/.../MiruTimeIndex.java:55);
+   tokenizes (miru tokenizes in ingest clients,
+   WikiMiruIndexService.java:401-425); inverts each doc-range block
+   (`blk = doc_id // block_span`) with Arrow sort + NumPy reduceat; and
+   emits BOTH forward-index doc rows AND encoded posting-block rows
+   (delta-gap varint docIDs + varint tfs + varint doc lengths, with
+   per-block first/last doc, max_tf, min_dl for block-max pruning) into
+   one union output -- the analog of miru's "atomized" Roaring containers
+   keyed by 64K container (LabInvertedIndex.java:268-292,
+   LabFieldIndex.java:163-171). Tokenized text exists only inside the
    Python worker for the lifetime of one block.
-3. **lineage / resume** -- per-pid lineage rows (doc_count, postings_bytes,
+2. **lineage / resume** -- per-pid lineage rows (doc_count, postings_bytes,
    wall_time_ms, status) let a restarted build skip completed partitions,
    mirroring the reference's sip-cursor checkpoint pattern
    (FullTextGatherer.java:176-252, custom key "fullText").
-4. **finalize** -- global stats (N, avgdl) and per-term (df, ctf): the
+3. **finalize** -- global stats (N, avgdl) and per-term (df, ctf): the
    reference keeps collection term frequency at docId -1
    (LabFieldIndex.java:510-536); ours is a tiny aggregate table.
 
 Storage is one `segments/` dir of batch-committed Parquet (zstd) holding a
 union of row types -- `row_type='d'` forward/doc rows, `row_type='p'`
-posting-block rows -- sorted (row_type, pid, term, blk, doc_id) so parquet
+posting-block rows -- laid out by the worker itself (doc rows in
+(pid, doc_id) order, then posting rows sorted (pid, term, blk)) so parquet
 row-group min/max stats prune both the term dictionary and the docmap.
 On a cluster this layout maps 1:1 onto Iceberg tables (partition transform
 on pid, snapshot-per-batch commit); the sandbox has no Iceberg runtime
@@ -43,13 +40,15 @@ jars, so the parquet layout + lineage table stands in for snapshots --
 append per batch, orphan cleanup before rebuild makes batches idempotent.
 
 Scale notes (100 TB / 1000 executors):
-- Document bytes cross the wire exactly ONCE (the minting window's
+- Document bytes cross the wire exactly ONCE (the plain pid hash
   exchange). There is no term-keyed shuffle at any point, so head-term
   (stopword) skew cannot concentrate on a reducer *by construction*: a
   head term's postings are split across doc-range blocks that live where
   their docs live. The reduce unit is the time partition (pid);
-  partition_seconds must keep one pid task-sized (e.g. hourly at crawl
-  scale), which also bounds worker memory at O(block_span * avg doc len).
+  partition_seconds (x shuffle partitions) must keep one task's slice
+  buffer-sized -- the worker holds its partition's Arrow-compact text
+  while minting docIDs, the same bound a JVM sort of that partition
+  would need (e.g. hourly pids at crawl scale).
 - Posting rows are written sorted by (pid, term, blk) so Parquet row-group
   min/max stats on `term` give tight predicate pushdown at query time.
 - No global sort, no global sequence, no driver-side loop over data.
@@ -66,7 +65,6 @@ import numpy as np
 import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from ..analyzer import analyze
 from ..codec import encode_postings_grouped, encode_varint_grouped
@@ -252,51 +250,70 @@ def _block_rows_batch(
 
 
 def _make_indexer(block_span: int):
-    """mapInArrow worker over doc rows (pid, doc_id, url, warc_us, lang,
-    text) that arrive pid-contiguous with doc_id ascending (the minting
-    window's native output order -- no extra shuffle or sort needed):
-    tokenize each batch, emit its doc rows immediately, and accumulate one
-    (pid, blk) doc-range group at a time, flushing encoded posting-block
-    rows at each group boundary. Worker memory is O(block_span * avg doc
-    len) + one Arrow batch, independent of partition size."""
+    """mapInArrow worker over raw doc rows (pid, url, warc_us, lang, text)
+    hash-co-located by pid (a plain exchange -- no JVM sort anywhere):
+
+    1. buffer the task's shuffle partition, sort (pid, warc_us, url) in
+       Arrow C++, and mint dense per-pid docIDs (MiruTimeIndex.nextId
+       analog: docs get time-ordered ids within their partition,
+       miru-plugin/.../MiruTimeIndex.java:55)
+    2. per (pid, blk = doc_id // block_span) doc-range group: tokenize,
+       emit forward doc rows, invert + encode posting-block rows
+    3. emit all posting-block rows sorted (pid, term, blk) so the parquet
+       writer lays them down term-ordered with no JVM-side sort.
+
+    Worker memory is the task's shuffle partition (Arrow-compact text) --
+    the same bound a JVM-side sort of that partition would need; sizing
+    partition_seconds x shuffle partitions keeps it task-sized at crawl
+    scale."""
     from collections import Counter
 
     def indexer(batches):
-        cur_key = None  # (pid, blk)
-        acc_ids: list = []
-        acc_dls: list = []
-        acc_terms: list = []
-        acc_tfs: list = []
-        # encoded block rows buffered until end-of-partition, then emitted
-        # globally sorted by (pid, term, blk) so the parquet writer lays
-        # them down in term order WITHOUT a JVM-side sort. Memory is the
-        # partition's encoded postings (varint-packed, ~tenth of the raw
-        # text), bounded because a task's input is one shuffle partition.
+        import pyarrow.compute as pc
+
+        got = [b for b in batches if b.num_rows]
+        if not got:
+            return
+        tbl = pa.Table.from_batches(got)
+        del got
+        order = pc.sort_indices(
+            tbl.select(["pid", "warc_us", "url"]),
+            sort_keys=[
+                ("pid", "ascending"),
+                ("warc_us", "ascending"),
+                ("url", "ascending"),
+            ],
+        )
+        tbl = tbl.take(order).combine_chunks()
+        n = tbl.num_rows
+        pid_np = tbl.column("pid").to_numpy()
+        # dense per-pid docIDs off the sorted order
+        idx = np.arange(n, dtype=np.int64)
+        newpid = np.empty(n, dtype=bool)
+        newpid[0] = True
+        newpid[1:] = pid_np[1:] != pid_np[:-1]
+        run_start = np.maximum.accumulate(np.where(newpid, idx, 0))
+        did_np = idx - run_start
+        blk_np = did_np // block_span
+
+        pid_arr = tbl.column("pid").chunk(0)
+        url_arr = tbl.column("url").chunk(0)
+        warc_arr = tbl.column("warc_us").chunk(0)
+        did_arr = pa.array(did_np)
+
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        change[1:] = newpid[1:] | (blk_np[1:] != blk_np[:-1])
+        g_starts = np.flatnonzero(change)
+        g_ends = np.empty_like(g_starts)
+        g_ends[:-1] = g_starts[1:]
+        g_ends[-1] = n
+
         block_batches: list = []
-
-        def flush():
-            nonlocal cur_key, acc_ids, acc_dls, acc_terms, acc_tfs
-            if cur_key is None:
-                return
-            out = _block_rows_batch(
-                cur_key[0],
-                cur_key[1],
-                np.concatenate(acc_ids),
-                np.concatenate(acc_dls),
-                acc_terms,
-                acc_tfs,
-            )
-            cur_key = None
-            acc_ids, acc_dls, acc_terms, acc_tfs = [], [], [], []
-            if out is not None:
-                block_batches.append(out)
-
-        for batch in batches:
-            nrows = batch.num_rows
-            if nrows == 0:
-                continue
-            texts = batch.column("text").to_pylist()
-            langs = batch.column("lang").to_pylist()
+        for s, e in zip(g_starts, g_ends):
+            s, e = int(s), int(e)
+            texts = tbl.column("text").chunk(0).slice(s, e - s).to_pylist()
+            langs = tbl.column("lang").chunk(0).slice(s, e - s).to_pylist()
             terms_col: list = []
             tfs_col: list = []
             dl_col: list = []
@@ -309,59 +326,43 @@ def _make_indexer(block_span: int):
                     terms_col.append([t for t, _ in items])
                     tfs_col.append(
                         np.fromiter(
-                            (c for _, c in items), dtype=np.int64, count=len(items)
+                            (c for _, c in items),
+                            dtype=np.int64,
+                            count=len(items),
                         )
                     )
                 else:
                     terms_col.append([])
                     tfs_col.append(np.empty(0, dtype=np.int64))
-
-            pid_np = batch.column("pid").to_numpy()
-            did_np = batch.column("doc_id").to_numpy()
             yield _doc_rows_batch(
-                batch.column("pid"),
-                batch.column("doc_id"),
-                batch.column("url"),
-                batch.column("warc_us"),
+                pid_arr.slice(s, e - s),
+                did_arr.slice(s, e - s),
+                url_arr.slice(s, e - s),
+                warc_arr.slice(s, e - s),
                 dl_col,
             )
+            out = _block_rows_batch(
+                int(pid_np[s]),
+                int(blk_np[s]),
+                did_np[s:e],
+                np.asarray(dl_col, dtype=np.int64),
+                terms_col,
+                tfs_col,
+            )
+            if out is not None:
+                block_batches.append(out)
 
-            blk_np = did_np // block_span
-            change = np.empty(nrows, dtype=bool)
-            change[0] = True
-            if nrows > 1:
-                change[1:] = (pid_np[1:] != pid_np[:-1]) | (
-                    blk_np[1:] != blk_np[:-1]
-                )
-            starts = np.flatnonzero(change)
-            ends = np.empty_like(starts)
-            ends[:-1] = starts[1:]
-            ends[-1] = nrows
-            dl_np = np.asarray(dl_col, dtype=np.int64)
-            for s, e in zip(starts, ends):
-                key = (int(pid_np[s]), int(blk_np[s]))
-                if cur_key is not None and key != cur_key:
-                    flush()
-                if cur_key is None:
-                    cur_key = key
-                acc_ids.append(did_np[s:e])
-                acc_dls.append(dl_np[s:e])
-                acc_terms.extend(terms_col[s:e])
-                acc_tfs.extend(tfs_col[s:e])
-        flush()
         if block_batches:
-            import pyarrow.compute as pc
-
-            tbl = pa.Table.from_batches(block_batches).combine_chunks()
-            order = pc.sort_indices(
-                tbl.select(["pid", "term", "blk"]),
+            btbl = pa.Table.from_batches(block_batches).combine_chunks()
+            border = pc.sort_indices(
+                btbl.select(["pid", "term", "blk"]),
                 sort_keys=[
                     ("pid", "ascending"),
                     ("term", "ascending"),
                     ("blk", "ascending"),
                 ],
             )
-            yield from tbl.take(order).combine_chunks().to_batches(
+            yield from btbl.take(border).combine_chunks().to_batches(
                 max_chunksize=65536
             )
 
@@ -373,21 +374,6 @@ def _with_pid(webtext: DataFrame, partition_seconds: int) -> DataFrame:
     return webtext.withColumn("warc_us", F.unix_micros("warc_ts")).withColumn(
         "pid", F.floor(F.col("warc_us") / F.lit(psec_us))
     )
-
-
-def _mint_ids(with_pid: DataFrame) -> DataFrame:
-    """Dense time-ordered docIDs within each pid (MiruTimeIndex.nextId
-    analog). The window serializes each pid into one task, so
-    partition_seconds must keep a single pid task-sized (hourly at crawl
-    scale). Its exchange doubles as the build's ONLY wide shuffle: the
-    output is pid-contiguous and doc_id-ascending, exactly what the
-    indexing worker consumes."""
-    w = Window.partitionBy("pid").orderBy("warc_us", "url")
-    return with_pid.withColumn("doc_id", F.row_number().over(w) - F.lit(1))
-
-
-def _with_ids(webtext: DataFrame, partition_seconds: int) -> DataFrame:
-    return _mint_ids(_with_pid(webtext, partition_seconds))
 
 
 def _read_done_pids(spark: SparkSession, paths: IndexPaths) -> set[int]:
@@ -525,25 +511,54 @@ def build_index(
         json.dump(meta, f)
 
     pid_df = _with_pid(webtext, partition_seconds)
-    ids_df = _mint_ids(pid_df)
-
-    # distinct pids off the pre-window frame: one narrow scan, no sort
-    all_pids = sorted(
-        r["pid"] for r in pid_df.select("pid").distinct().collect()
+    n_shuffle = int(
+        shuffle_partitions
+        or spark.conf.get("spark.sql.shuffle.partitions")
     )
+
     done = _read_done_pids(spark, paths) if resume else set()
-    todo = [p for p in all_pids if p not in done]
-    report.pids_skipped = [p for p in all_pids if p in done]
-    if not todo:
-        if finalize:
-            finalize_index(spark, index_dir)
-        report.wall_time_s = time.time() - t0
-        return report
+    if batch_partitions is None:
+        # fast path (the normal full-build / sip-batch shape): ONE commit
+        # batch covering every not-yet-done pid. No upfront pid-enumeration
+        # scan of the corpus -- the per-pid lineage rows come out of the
+        # post-commit metrics read instead.
+        batches: list = [None]
+        report.pids_skipped = sorted(done)
+    else:
+        # batched path (bounded-commit builds / crash tests): enumerate
+        # pids with one narrow scan of the pre-window frame, then commit
+        # `batch_partitions` pids at a time.
+        all_pids = sorted(
+            r["pid"] for r in pid_df.select("pid").distinct().collect()
+        )
+        todo = [p for p in all_pids if p not in done]
+        report.pids_skipped = [p for p in all_pids if p in done]
+        if not todo:
+            if finalize:
+                finalize_index(spark, index_dir)
+            report.wall_time_s = time.time() - t0
+            return report
+        nbatch = batch_partitions
+        batches = [todo[i : i + nbatch] for i in range(0, len(todo), nbatch)]
 
     _cleanup_orphans(spark, paths)
-
-    nbatch = batch_partitions or len(todo)
-    batches = [todo[i : i + nbatch] for i in range(0, len(todo), nbatch)]
+    # commit tags must be unique across builds appending to the same index
+    # (sip batches, resumed runs, post-reopen repairs): continue from the
+    # highest batch number ever committed, never reusing one even after
+    # reopen_pids deleted intermediate batches
+    epoch = 0
+    for existing in _valid_tags(spark, paths) | (
+        {
+            d[2:]
+            for d in os.listdir(paths.segments)
+            if d.startswith("b_")
+        }
+        if os.path.isdir(paths.segments)
+        else set()
+    ):
+        head = existing.split("_", 1)[0]
+        if head.isdigit():
+            epoch = max(epoch, int(head) + 1)
 
     for bi, batch_pids in enumerate(batches):
         if _fail_after_batches is not None and bi >= _fail_after_batches:
@@ -551,20 +566,29 @@ def build_index(
                 f"simulated crash before batch {bi} (test hook)"
             )
         bt0 = time.time()
-        tag = f"{bi:04d}_{int(batch_pids[0])}"
-        # ONE wide shuffle (the minting window's pid-hash exchange), then
-        # ONE Arrow worker pass: tokenize + invert + encode, emitting doc
-        # rows and posting-block rows together. No persist, no second
-        # shuffle, no per-posting JVM rows. Head-term skew cannot
-        # concentrate anywhere: there is no term-keyed exchange at all --
-        # a head term's postings stay split across doc-range blocks.
-        sub = (
-            ids_df.filter(F.col("pid").isin([int(p) for p in batch_pids]))
-            .select("pid", "doc_id", "url", "warc_us", "lang", "text")
+        # ONE wide shuffle -- a plain hash exchange on pid, no JVM sort
+        # anywhere in the job -- then ONE Arrow worker pass: mint docIDs,
+        # tokenize, invert, encode, emitting doc rows and posting-block
+        # rows together, already laid out for parquet row-group pruning.
+        # No persist, no second shuffle, no per-posting JVM rows. Head-term
+        # skew cannot concentrate anywhere: there is no term-keyed exchange
+        # at all -- a head term's postings stay split across doc-range
+        # blocks that live where their docs live.
+        if batch_pids is None:
+            tag = f"{epoch + bi:04d}_all"
+            sub = pid_df
+            if done:
+                sub = sub.filter(
+                    ~F.col("pid").isin([int(p) for p in done])
+                )
+        else:
+            tag = f"{epoch + bi:04d}_{int(batch_pids[0])}"
+            sub = pid_df.filter(
+                F.col("pid").isin([int(p) for p in batch_pids])
+            )
+        sub = sub.select("pid", "url", "warc_us", "lang", "text").repartition(
+            n_shuffle, "pid"
         )
-        # rows leave the worker already laid out for parquet row-group
-        # pruning: doc rows streamed in (pid, doc_id) order first, then
-        # all posting-block rows sorted (pid, term, blk) -- no JVM sort
         seg = sub.mapInArrow(_make_indexer(block_span), _SEGMENT_SCHEMA)
         _commit_write(seg, paths.segments, tag, [])
 
@@ -593,6 +617,9 @@ def build_index(
             .collect()
         }
         wall_ms = int((time.time() - bt0) * 1000)
+        lineage_pids = (
+            sorted(m) if batch_pids is None else [int(p) for p in batch_pids]
+        )
         lineage_rows = [
             (
                 int(p),
@@ -603,15 +630,17 @@ def build_index(
                 "complete",
                 tag,
             )
-            for p in batch_pids
+            for p in lineage_pids
         ]
-        spark.createDataFrame(
-            lineage_rows,
-            "pid long, doc_count long, postings_bytes long, n_terms long, "
-            "wall_time_ms long, status string, batch_tag string",
-        ).write.mode("append").parquet(paths.lineage)
+        if lineage_rows:
+            spark.createDataFrame(
+                lineage_rows,
+                "pid long, doc_count long, postings_bytes long, "
+                "n_terms long, wall_time_ms long, status string, "
+                "batch_tag string",
+            ).write.mode("append").parquet(paths.lineage)
 
-        report.pids_built.extend(batch_pids)
+        report.pids_built.extend(lineage_pids)
         report.n_docs += sum(v[0] or 0 for v in m.values())
 
     if finalize:

@@ -114,6 +114,26 @@ def _tree_tags(node) -> set:
     return tags
 
 
+def _per_pid_dispatch(kernel):
+    """mapInPandas wrapper: consume a task's (pid-co-located) block rows,
+    run the per-pid kernel on each pid group. The rows reaching a task are
+    only the query's fetched posting blocks for its pids -- bounded by the
+    query's term postings, not by corpus size."""
+    import pandas as pd
+
+    def run(batches):
+        dfs = [b for b in batches if len(b)]
+        if not dfs:
+            return
+        pdf = pd.concat(dfs, ignore_index=True)
+        for _pid, grp in pdf.groupby("pid", sort=False):
+            out = kernel(grp)
+            if len(out):
+                yield out
+
+    return run
+
+
 def _make_kernel(
     tree,
     scoring_terms: list[str],
@@ -389,7 +409,14 @@ class SearchEngine:
             time_bounds,
             use_blockmax,
         )
-        per_part = blocks.groupBy("pid").applyInPandas(kernel, _RESULT_SCHEMA)
+        # hash-co-locate each pid's fetched blocks on one task, then ONE
+        # pandas call per task loops the pids it owns -- same semantics as
+        # groupBy(pid).applyInPandas but without a per-group Arrow+pandas
+        # round trip (a query touches O(pids) groups; at fine-grained time
+        # partitioning that per-group overhead dominated latency)
+        per_part = blocks.repartition("pid").mapInPandas(
+            _per_pid_dispatch(kernel), _RESULT_SCHEMA
+        )
 
         if has_all_node:
             # pids with zero fetched blocks never reach the kernel but
@@ -519,17 +546,18 @@ class SearchEngine:
                 expansions, None, use_blockmax,
             )
 
-        def dispatch(pdf: "pd.DataFrame") -> "pd.DataFrame":
-            if pdf.empty:
-                return pd.DataFrame(
-                    columns=["qid", "pid", "doc_id", "score"]
-                )
-            qid = int(pdf["qid"].iloc[0])
-            res = kernels[qid](pdf.drop(columns=["qid"]))
-            res.insert(0, "qid", qid)
-            return res
+        def dispatch(batches):
+            dfs = [b for b in batches if len(b)]
+            if not dfs:
+                return
+            pdf = pd.concat(dfs, ignore_index=True)
+            for (qid, _pid), grp in pdf.groupby(["qid", "pid"], sort=False):
+                res = kernels[int(qid)](grp.drop(columns=["qid"]))
+                if len(res):
+                    res.insert(0, "qid", int(qid))
+                    yield res
 
-        per = tagged.groupBy("qid", "pid").applyInPandas(
+        per = tagged.repartition("qid", "pid").mapInPandas(
             dispatch, "qid int, pid long, doc_id long, score double"
         )
         w = Window.partitionBy("qid").orderBy(

@@ -44,7 +44,7 @@ def test_search_plan_no_row_python_and_pruned(engine):
     df = engine.search("w000001 AND w000002", k=10)
     plan = _plan(df)
     assert "BatchEvalPython" not in plan, "row-at-a-time Python in hot path"
-    assert "FlatMapGroupsInPandas" in plan  # the Arrow-batched kernel
+    assert "MapInPandas" in plan  # the Arrow-batched kernel
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
 
 
@@ -52,19 +52,23 @@ def test_build_plan_no_row_python_single_shuffle(spark):
     from miru_spark.index.build import (
         _SEGMENT_SCHEMA,
         _make_indexer,
-        _with_ids,
+        _with_pid,
     )
 
-    wt = _with_ids(webtext_df(spark, 100), 3600)
-    df = wt.select(
-        "pid", "doc_id", "url", "warc_us", "lang", "text"
-    ).mapInArrow(_make_indexer(256), _SEGMENT_SCHEMA)
+    wt = _with_pid(webtext_df(spark, 100), 3600)
+    df = (
+        wt.select("pid", "url", "warc_us", "lang", "text")
+        .repartition(8, "pid")
+        .mapInArrow(_make_indexer(256), _SEGMENT_SCHEMA)
+    )
     plan = _plan(df)
     assert "BatchEvalPython" not in plan
     assert "MapInArrow" in plan or "PythonMapInArrow" in plan
-    # document bytes cross exactly ONE exchange (the minting window's);
-    # tokenize/invert/encode all run on its output without re-shuffling
+    # document bytes cross exactly ONE exchange (a plain pid hash
+    # repartition); minting/tokenize/invert/encode all run in-worker,
+    # and the JVM never sorts
     assert plan.count("Exchange") == 1, plan
+    assert "Sort" not in plan, plan
 
 
 def test_docmap_scan_prunes_columns(engine):
