@@ -74,8 +74,7 @@ def main() -> None:
             # ~20 threads even at local[2], borrowing cores the level is
             # not supposed to have (skews N-vs-4N scaling measurements)
             "spark.driver.extraJavaOptions": (
-                f"-XX:ParallelGCThreads={CPUS} "
-                f"-XX:ConcGCThreads={max(1, CPUS // 4)}"
+                f"-XX:+UseParallelGC -XX:ParallelGCThreads={CPUS}"
             ),
             # text shuffles well under zstd (~2x smaller than lz4): trades
             # shared-memory-bus bytes for per-core compute, which is the

@@ -74,7 +74,8 @@ DEFAULT_BLOCK_SPAN = 4096
 
 _SEGMENT_PA_SCHEMA = pa.schema(
     [
-        ("row_type", pa.string()),  # 'd' doc row | 'p' posting-block row
+        # 'd' doc row | 'p' posting-block row | 's' per-pid stats row
+        ("row_type", pa.string()),
         ("pid", pa.int64()),
         # doc rows
         ("doc_id", pa.int64()),
@@ -93,13 +94,22 @@ _SEGMENT_PA_SCHEMA = pa.schema(
         ("ids_bin", pa.binary()),
         ("tfs_bin", pa.binary()),
         ("dls_bin", pa.binary()),
+        # stats rows (one per pid, written by the worker that owns the
+        # pid): lineage metrics come from these tiny rows instead of a
+        # re-scan of every posting binary (the reference's per-partition
+        # metrics rows; each pid lives wholly in one worker, so they are
+        # exact)
+        ("s_docs", pa.int64()),
+        ("s_bytes", pa.int64()),
+        ("s_terms", pa.int64()),
     ]
 )
 _SEGMENT_SCHEMA = (
     "row_type string, pid long, doc_id long, url string, warc_us long, "
     "doc_len int, term string, blk long, n int, first_doc long, "
     "last_doc long, max_tf int, min_dl int, ctf long, ids_bin binary, "
-    "tfs_bin binary, dls_bin binary"
+    "tfs_bin binary, dls_bin binary, s_docs long, s_bytes long, "
+    "s_terms long"
 )
 
 _DOC_COLS = ["pid", "doc_id", "url", "warc_us", "doc_len"]
@@ -163,6 +173,38 @@ def _doc_rows_batch(pid_arr, doc_ids, urls, warc_us, doc_lens) -> pa.RecordBatch
             _nulls(k, pa.binary()),
             _nulls(k, pa.binary()),
             _nulls(k, pa.binary()),
+            _nulls(k, pa.int64()),
+            _nulls(k, pa.int64()),
+            _nulls(k, pa.int64()),
+        ],
+        schema=_SEGMENT_PA_SCHEMA,
+    )
+
+
+def _stats_rows_batch(pids, docs, nbytes, nterms) -> pa.RecordBatch:
+    k = len(pids)
+    return pa.RecordBatch.from_arrays(
+        [
+            pa.array(["s"] * k),
+            pa.array(np.asarray(pids, dtype=np.int64)),
+            _nulls(k, pa.int64()),
+            _nulls(k, pa.string()),
+            _nulls(k, pa.int64()),
+            _nulls(k, pa.int32()),
+            _nulls(k, pa.string()),
+            _nulls(k, pa.int64()),
+            _nulls(k, pa.int32()),
+            _nulls(k, pa.int64()),
+            _nulls(k, pa.int64()),
+            _nulls(k, pa.int32()),
+            _nulls(k, pa.int32()),
+            _nulls(k, pa.int64()),
+            _nulls(k, pa.binary()),
+            _nulls(k, pa.binary()),
+            _nulls(k, pa.binary()),
+            pa.array(np.asarray(docs, dtype=np.int64)),
+            pa.array(np.asarray(nbytes, dtype=np.int64)),
+            pa.array(np.asarray(nterms, dtype=np.int64)),
         ],
         schema=_SEGMENT_PA_SCHEMA,
     )
@@ -244,6 +286,9 @@ def _block_rows_batch(
             pa.array(
                 encode_varint_grouped(dls64, starts, ends), type=pa.binary()
             ),
+            _nulls(k, pa.int64()),
+            _nulls(k, pa.int64()),
+            _nulls(k, pa.int64()),
         ],
         schema=_SEGMENT_PA_SCHEMA,
     )
@@ -352,6 +397,14 @@ def _make_indexer(block_span: int):
             if out is not None:
                 block_batches.append(out)
 
+        # per-pid doc counts straight from the minted run boundaries
+        pid_runs = np.flatnonzero(newpid)
+        run_pids = pid_np[pid_runs]
+        run_docs = np.diff(np.append(pid_runs, n))
+        doc_counts = dict(zip(run_pids.tolist(), run_docs.tolist()))
+
+        stat_bytes: dict = {}
+        stat_terms: dict = {}
         if block_batches:
             btbl = pa.Table.from_batches(block_batches).combine_chunks()
             border = pc.sort_indices(
@@ -362,9 +415,44 @@ def _make_indexer(block_span: int):
                     ("blk", "ascending"),
                 ],
             )
-            yield from btbl.take(border).combine_chunks().to_batches(
-                max_chunksize=65536
-            )
+            btbl = btbl.take(border).combine_chunks()
+            yield from btbl.to_batches(max_chunksize=65536)
+
+            # per-pid stats off the sorted block rows (this worker owns
+            # every block of its pids, so these are exact): bytes = sum of
+            # encoded posting binaries, terms = count of (pid, term) runs
+            bn = btbl.num_rows
+            bpid = btbl.column("pid").to_numpy()
+            sizes = (
+                pc.binary_length(btbl.column("ids_bin")).to_numpy()
+                + pc.binary_length(btbl.column("tfs_bin")).to_numpy()
+                + pc.binary_length(btbl.column("dls_bin")).to_numpy()
+            ).astype(np.int64)
+            term_arr = btbl.column("term").chunk(0)
+            bnewpid = np.empty(bn, dtype=bool)
+            bnewpid[0] = True
+            bnewpid[1:] = bpid[1:] != bpid[:-1]
+            newterm = np.empty(bn, dtype=bool)
+            newterm[0] = True
+            newterm[1:] = pc.not_equal(
+                term_arr.slice(1), term_arr.slice(0, bn - 1)
+            ).to_numpy(zero_copy_only=False)
+            brs = np.flatnonzero(bnewpid)
+            bre = np.append(brs[1:], bn)
+            term_run = (bnewpid | newterm).astype(np.int64)
+            csum = np.concatenate(([0], np.cumsum(term_run)))
+            bytes_csum = np.concatenate(([0], np.cumsum(sizes)))
+            for s_, e_, p_ in zip(brs, bre, bpid[brs]):
+                stat_terms[int(p_)] = int(csum[e_] - csum[s_])
+                stat_bytes[int(p_)] = int(bytes_csum[e_] - bytes_csum[s_])
+
+        spids = sorted(doc_counts)
+        yield _stats_rows_batch(
+            spids,
+            [doc_counts[p] for p in spids],
+            [stat_bytes.get(p, 0) for p in spids],
+            [stat_terms.get(p, 0) for p in spids],
+        )
 
     return indexer
 
@@ -592,28 +680,14 @@ def build_index(
         seg = sub.mapInArrow(_make_indexer(block_span), _SEGMENT_SCHEMA)
         _commit_write(seg, paths.segments, tag, [])
 
-        # lineage metrics: one column-pruned read of the just-committed
-        # batch dir (term is dictionary-encoded; binaries only for bytes)
+        # lineage metrics: collect the worker-written per-pid stats rows
+        # (tiny, pruned by row_type + column pruning -- no re-scan of the
+        # posting binaries)
         bdf = spark.read.parquet(os.path.join(paths.segments, f"b_{tag}"))
         m = {
-            r["pid"]: (r["doc_count"], r["pbytes"], r["nterms"])
-            for r in bdf.groupBy("pid")
-            .agg(
-                F.count(F.when(F.col("row_type") == "d", 1)).alias(
-                    "doc_count"
-                ),
-                F.sum(
-                    F.when(
-                        F.col("row_type") == "p",
-                        F.length("ids_bin")
-                        + F.length("tfs_bin")
-                        + F.length("dls_bin"),
-                    )
-                ).alias("pbytes"),
-                F.countDistinct(
-                    F.when(F.col("row_type") == "p", F.col("term"))
-                ).alias("nterms"),
-            )
+            r["pid"]: (r["s_docs"], r["s_bytes"], r["s_terms"])
+            for r in bdf.filter(F.col("row_type") == "s")
+            .select("pid", "s_docs", "s_bytes", "s_terms")
             .collect()
         }
         wall_ms = int((time.time() - bt0) * 1000)

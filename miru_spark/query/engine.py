@@ -13,8 +13,10 @@ FullText.java:54-97):
   the pid partition level plus an exact per-pid docID interval mask, the
   analog of miru's buildTimeRangeMask closest-id bounds
   (MiruBitmaps.java:141, LabTimeIndex.java:191-208)
-- per-partition kernel: `groupBy(pid).applyInPandas` -- decode posting
-  blocks to NumPy, evaluate the boolean tree over sorted docID arrays
+- per-partition kernel: `repartition(pid)` + `mapInPandas` (one pandas
+  call per task, looping the pids it owns -- per-group invocation
+  overhead stays O(tasks), not O(pids)) -- decode posting blocks to
+  NumPy, evaluate the boolean tree over sorted docID arrays
   (and/or/andNot = intersect/union/setdiff -- MiruBitmaps.java:87-123),
   score BM25 (k1=1.2, b=0.75) vectorized, emit a bounded per-partition
   top-k (the reference's MinMaxPriorityQueue, FullText.java:129-157)
