@@ -73,19 +73,36 @@ GROUP BY event_type
 
 def ev_stream_sets(spark, sf_dir):
     ev = _items(spark, sf_dir).filter(F.col("item") < 10)
+    # doc set as a ','-joined numerically-sorted string: every output
+    # column stays hashable for the driver's row canonicalizer (an
+    # array<long> column breaks pandas sort_values), while the content is
+    # still the full per-term doc set the reference streams.
     return ev.groupBy("item").agg(
-        F.sort_array(F.collect_set("event_id")).alias("doc_ids"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_set("event_id")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("doc_ids"),
         F.count("*").cast("long").alias("cnt"),
     )
 
 
 EV_STREAM_SETS_SQL = f"""
-WITH {_ITEMS_SQL.strip()}
-SELECT item,
-       list(DISTINCT event_id ORDER BY event_id) AS doc_ids,
-       CAST(count(*) AS BIGINT) AS cnt
-FROM ev WHERE item < 10
-GROUP BY item
+WITH {_ITEMS_SQL.strip()},
+base AS (SELECT item, event_id FROM ev WHERE item < 10),
+sets AS (
+  SELECT item,
+         string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY event_id) AS doc_ids
+  FROM (SELECT DISTINCT item, event_id FROM base)
+  GROUP BY item
+),
+cnts AS (
+  SELECT item, CAST(count(*) AS BIGINT) AS cnt FROM base GROUP BY item
+)
+SELECT s.item, s.doc_ids, c.cnt
+FROM sets s JOIN cnts c USING (item)
 """
 
 
