@@ -67,7 +67,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..analyzer import analyze
-from ..codec import encode_postings_grouped, encode_varint_grouped
+from ..codec import encode_postings_grouped, encode_varint, encode_varint_grouped
 
 DEFAULT_PARTITION_SECONDS = 86400
 DEFAULT_BLOCK_SPAN = 4096
@@ -117,6 +117,12 @@ _POSTING_COLS = [
     "pid", "term", "blk", "n", "first_doc", "last_doc",
     "max_tf", "min_dl", "ctf", "ids_bin", "tfs_bin", "dls_bin",
 ]
+# time-index rows ('t'): per (pid, blk) varint blob of sorted warc_us
+# (first value absolute, then non-negative deltas) -- the LabTimeIndex
+# analog (LabTimeIndex.java:191-208 getClosestId): a query with a time
+# range reads ONLY the two boundary pids' blobs to resolve the exact
+# [lo, hi) docID interval, kernel-side, in the same job as the match.
+_TIME_COLS = ["pid", "blk", "n", "first_doc", "last_doc", "ids_bin"]
 
 
 @dataclass
@@ -159,7 +165,9 @@ def _doc_rows_batch(pid_arr, doc_ids, urls, warc_us, doc_lens) -> pa.RecordBatch
             pa.array(["d"] * k),
             pid_arr,
             doc_ids,
-            urls,
+            # group slices are block-span-sized, far under the 32-bit
+            # offset limit -- safe to narrow from the task's large_string
+            urls.cast(pa.string()),
             warc_us,
             pa.array(doc_lens, type=pa.int32()),
             _nulls(k, pa.string()),
@@ -171,6 +179,37 @@ def _doc_rows_batch(pid_arr, doc_ids, urls, warc_us, doc_lens) -> pa.RecordBatch
             _nulls(k, pa.int32()),
             _nulls(k, pa.int64()),
             _nulls(k, pa.binary()),
+            _nulls(k, pa.binary()),
+            _nulls(k, pa.binary()),
+            _nulls(k, pa.int64()),
+            _nulls(k, pa.int64()),
+            _nulls(k, pa.int64()),
+        ],
+        schema=_SEGMENT_PA_SCHEMA,
+    )
+
+
+def _time_rows_batch(pids, blks, ns, firsts, lasts, blobs) -> pa.RecordBatch:
+    """One 't' row per (pid, blk): the block's sorted warc_us varint blob
+    (absolute first value + deltas) in ids_bin."""
+    k = len(pids)
+    return pa.RecordBatch.from_arrays(
+        [
+            pa.array(["t"] * k),
+            pa.array(np.asarray(pids, dtype=np.int64)),
+            _nulls(k, pa.int64()),
+            _nulls(k, pa.string()),
+            _nulls(k, pa.int64()),
+            _nulls(k, pa.int32()),
+            _nulls(k, pa.string()),
+            pa.array(np.asarray(blks, dtype=np.int64)),
+            pa.array(np.asarray(ns, dtype=np.int32)),
+            pa.array(np.asarray(firsts, dtype=np.int64)),
+            pa.array(np.asarray(lasts, dtype=np.int64)),
+            _nulls(k, pa.int32()),
+            _nulls(k, pa.int32()),
+            _nulls(k, pa.int64()),
+            pa.array(blobs, type=pa.binary()),
             _nulls(k, pa.binary()),
             _nulls(k, pa.binary()),
             _nulls(k, pa.int64()),
@@ -321,6 +360,24 @@ def _make_indexer(block_span: int):
             return
         tbl = pa.Table.from_batches(got)
         del got
+        # 64-bit offsets for the variable-width columns: a task slice whose
+        # text (or url) bytes exceed 2 GiB would overflow 32-bit string
+        # offsets at combine_chunks() time (ArrowCapacityError). Remaining
+        # per-task bound: the Arrow-compact slice itself must fit in worker
+        # memory -- partition_seconds x n_shuffle sizing, documented above.
+        tbl = tbl.cast(
+            pa.schema(
+                [
+                    pa.field(
+                        f.name,
+                        pa.large_string()
+                        if pa.types.is_string(f.type)
+                        else f.type,
+                    )
+                    for f in tbl.schema
+                ]
+            )
+        )
         order = pc.sort_indices(
             tbl.select(["pid", "warc_us", "url"]),
             sort_keys=[
@@ -344,6 +401,7 @@ def _make_indexer(block_span: int):
         pid_arr = tbl.column("pid").chunk(0)
         url_arr = tbl.column("url").chunk(0)
         warc_arr = tbl.column("warc_us").chunk(0)
+        warc_np = warc_arr.to_numpy()
         did_arr = pa.array(did_np)
 
         change = np.empty(n, dtype=bool)
@@ -355,8 +413,26 @@ def _make_indexer(block_span: int):
         g_ends[-1] = n
 
         block_batches: list = []
+        t_pids: list = []
+        t_blks: list = []
+        t_ns: list = []
+        t_firsts: list = []
+        t_lasts: list = []
+        t_blobs: list = []
         for s, e in zip(g_starts, g_ends):
             s, e = int(s), int(e)
+            # time-index blob for this (pid, blk): warc_us is sorted
+            # ascending within the pid run, encode first value + deltas
+            w = warc_np[s:e]
+            gaps = np.empty_like(w)
+            gaps[0] = w[0]
+            np.subtract(w[1:], w[:-1], out=gaps[1:])
+            t_pids.append(int(pid_np[s]))
+            t_blks.append(int(blk_np[s]))
+            t_ns.append(e - s)
+            t_firsts.append(int(did_np[s]))
+            t_lasts.append(int(did_np[e - 1]))
+            t_blobs.append(encode_varint(gaps))
             texts = tbl.column("text").chunk(0).slice(s, e - s).to_pylist()
             langs = tbl.column("lang").chunk(0).slice(s, e - s).to_pylist()
             terms_col: list = []
@@ -396,6 +472,11 @@ def _make_indexer(block_span: int):
             )
             if out is not None:
                 block_batches.append(out)
+
+        if t_pids:
+            yield _time_rows_batch(
+                t_pids, t_blks, t_ns, t_firsts, t_lasts, t_blobs
+            )
 
         # per-pid doc counts straight from the minted run boundaries
         pid_runs = np.flatnonzero(newpid)
@@ -503,6 +584,17 @@ def read_postings(spark: SparkSession, paths: IndexPaths) -> DataFrame:
         _read_parquet_dir(spark, paths.segments)
         .filter(F.col("row_type") == "p")
         .select(*_POSTING_COLS)
+    )
+
+
+def read_timeindex(spark: SparkSession, paths: IndexPaths) -> DataFrame:
+    """Time-index view: one row per (pid, blk) with the block's sorted
+    warc_us varint blob. Read only for boundary pids of a time-ranged
+    query (LabTimeIndex.getClosestId analog)."""
+    return (
+        _read_parquet_dir(spark, paths.segments)
+        .filter(F.col("row_type") == "t")
+        .select(*_TIME_COLS)
     )
 
 
@@ -669,6 +761,15 @@ def build_index(
                 sub = sub.filter(
                     ~F.col("pid").isin([int(p) for p in done])
                 )
+                # resume no-op probe: when every pid is already complete,
+                # skip the full shuffle+index pass (and the empty batch
+                # dir it would commit). limit(1) stops at the first
+                # surviving row, so the probe is cheap on real work.
+                if sub.limit(1).isEmpty():
+                    if finalize:
+                        finalize_index(spark, index_dir)
+                    report.wall_time_s = time.time() - t0
+                    return report
         else:
             tag = f"{epoch + bi:04d}_{int(batch_pids[0])}"
             sub = pid_df.filter(
