@@ -638,7 +638,16 @@ def _commit_write(df: DataFrame, base: str, tag: str, sort_cols: list[str]) -> N
         shutil.rmtree(final)
     if sort_cols:
         df = df.sortWithinPartitions(*sort_cols)
-    df.write.mode("overwrite").parquet(tmp)
+    # small row groups (1 MiB vs the 128 MiB default): rows are sorted by
+    # (row_type, pid, term), so narrow row groups give the min/max stats
+    # real selectivity -- a 2-term query prunes to the few groups holding
+    # those terms instead of decompressing whole files. This is what makes
+    # point reads (serving-node query path, winner gather) proportional to
+    # the query's postings, not to segment size, and it holds at 100 TB
+    # because pruning is per row group, independent of file count.
+    df.write.mode("overwrite").option(
+        "parquet.block.size", str(1 << 20)
+    ).parquet(tmp)
     os.rename(tmp, final)
 
 
@@ -658,15 +667,45 @@ def build_index(
 
     `_fail_after_batches` is a test hook simulating a mid-build crash.
     """
-    import json
-
     t0 = time.time()
     # the build's wide shuffle benefits from AQE (skew/coalesce); a prior
-    # SearchEngine in this session may have turned it off for query latency
+    # SearchEngine in this session may have turned it off for query latency.
+    # Save/restore so the build doesn't silently flip session-global state
+    # under an engine created earlier (its queries assume AQE off).
     try:
+        _prior_aqe = spark.conf.get("spark.sql.adaptive.enabled")
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     except Exception:
-        pass
+        _prior_aqe = None
+    try:
+        return _build_index_inner(
+            spark, webtext, index_dir, partition_seconds, block_span,
+            batch_partitions, resume, finalize, shuffle_partitions,
+            _fail_after_batches, t0,
+        )
+    finally:
+        if _prior_aqe is not None:
+            try:
+                spark.conf.set("spark.sql.adaptive.enabled", _prior_aqe)
+            except Exception:
+                pass
+
+
+def _build_index_inner(
+    spark: SparkSession,
+    webtext: DataFrame,
+    index_dir: str,
+    partition_seconds: int,
+    block_span: int,
+    batch_partitions: int | None,
+    resume: bool,
+    finalize: bool,
+    shuffle_partitions: int | None,
+    _fail_after_batches: int | None,
+    t0: float,
+) -> BuildReport:
+    import json
+
     paths = IndexPaths(index_dir)
     os.makedirs(index_dir, exist_ok=True)
     report = BuildReport()
@@ -679,6 +718,9 @@ def build_index(
         "partition_seconds": int(partition_seconds),
         "block_span": int(block_span),
         "field": "text",
+        # format 2: segments carry 't' time-index rows, so engines can
+        # resolve time-range docID bounds kernel-side (no driver job)
+        "format": 2,
     }
     if os.path.exists(meta_path):
         with open(meta_path) as f:

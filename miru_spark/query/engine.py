@@ -55,11 +55,35 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..codec import decode_postings, decode_varint
-from ..index.build import IndexPaths
+from ..index.build import _POSTING_COLS, IndexPaths
 from ..oracle import B, K1, MAX_WILDCARD_EXPANSION, bm25_idf
 from ..queryparse import all_referenced_terms, collect_terms, parse_query
 
 _RESULT_SCHEMA = "pid long, doc_id long, score double"
+
+_AUX_TYPES = {
+    "pid": "long", "term": "string", "blk": "long", "n": "int",
+    "first_doc": "long", "last_doc": "long", "max_tf": "int",
+    "min_dl": "int", "ctf": "long", "ids_bin": "binary",
+    "tfs_bin": "binary", "dls_bin": "binary", "df": "long",
+}
+
+
+def _pad_cols(df: DataFrame, cols: list[str], rk: str) -> DataFrame:
+    """Align a row source onto the kernel input schema (missing columns
+    become typed nulls) and tag it with a row-kind marker: 'p' posting
+    block, 't' time-index blob, 'z' pid marker (match-all)."""
+    have = set(df.columns)
+    return df.select(
+        *[
+            (
+                F.col(c) if c in have
+                else F.lit(None).cast(_AUX_TYPES[c])
+            ).alias(c)
+            for c in cols
+        ],
+        F.lit(rk).alias("rk"),
+    )
 
 
 def _bm25_tf_part(tf, dl, avgdl: float):
@@ -146,16 +170,46 @@ def _make_kernel(
     expansions: dict,
     time_bounds: dict | None,
     use_blockmax: bool,
+    idf_map: dict | None = None,
+    time_spec: tuple | None = None,
 ):
     """Build the per-partition applyInPandas kernel (closure ships to
     executors with the task -- all members are small).
 
-    Per-term global df arrives as a `df` column broadcast-joined onto the
-    posting blocks, so idf is computed executor-side and the driver never
-    runs a separate idf-lookup job per query."""
+    idf arrives one of two ways: `idf_map` computed driver-side from the
+    pinned term dictionary (the normal, zero-extra-job path), or -- when
+    the vocabulary is too large to pin -- a `df` column broadcast-joined
+    onto the posting blocks.
+
+    Time bounds likewise: `time_spec=(t0_us, t1_us, pid_lo, pid_hi)` makes
+    the kernel resolve each boundary pid's exact [lo, hi) docID interval
+    from its 't' time-index rows (format-2 indexes; LabTimeIndex
+    getClosestId, LabTimeIndex.java:191-208) inside the same job, while
+    `time_bounds` is the legacy driver-collected dict for format-1."""
     import pandas as pd
 
     has_all = "all" in _tree_tags(tree)
+
+    def resolve_bounds(pid: int, trows):
+        """Per-pid [lo, hi) docID interval, or None when unbounded."""
+        n = int(pid_counts.get(pid, 0))
+        if time_bounds is not None:
+            return time_bounds.get(pid, (0, n))
+        if time_spec is None:
+            return None
+        t0_us, t1_us, pid_lo, pid_hi = time_spec
+        if pid_lo < pid < pid_hi:
+            return (0, n)  # interior pid: whole partition inside the range
+        if trows is None or not len(trows):
+            return (0, n)
+        tr = trows.sort_values("first_doc")
+        warc = np.concatenate(
+            [np.cumsum(decode_varint(b)) for b in tr["ids_bin"]]
+        )
+        return (
+            int(np.searchsorted(warc, t0_us, "left")),
+            int(np.searchsorted(warc, t1_us, "right")),
+        )
 
     def decode_terms(rows: "pd.DataFrame"):
         term_ids, term_tfs, term_dls = {}, {}, {}
@@ -172,21 +226,24 @@ def _make_kernel(
             ) if len(grp) else ids
         return term_ids, term_tfs, term_dls
 
-    def score_subset(pid: int, rows: "pd.DataFrame", idf: dict):
+    def score_subset(pid: int, rows: "pd.DataFrame", idf: dict, bounds):
         """Exact match+score over a doc-range-aligned blk subset.
         Returns (doc_ids, scores) sorted by doc_id."""
         term_ids, term_tfs, term_dls = decode_terms(rows)
         n_docs_pid = int(pid_counts.get(pid, 0))
         if has_all:
-            universe = np.arange(n_docs_pid, dtype=np.int64)
-            if time_bounds is not None:
-                lo, hi = time_bounds.get(pid, (0, n_docs_pid))
-                universe = universe[(universe >= lo) & (universe < hi)]
+            if bounds is not None:
+                lo, hi = bounds
+                universe = np.arange(
+                    max(lo, 0), min(hi, n_docs_pid), dtype=np.int64
+                )
+            else:
+                universe = np.arange(n_docs_pid, dtype=np.int64)
         else:
             universe = np.empty(0, dtype=np.int64)
         matches = _eval_tree(tree, term_ids, expansions, universe)
-        if time_bounds is not None and matches.size:
-            lo, hi = time_bounds.get(pid, (0, n_docs_pid))
+        if bounds is not None and matches.size:
+            lo, hi = bounds
             matches = matches[(matches >= lo) & (matches < hi)]
         if matches.size == 0:
             z = np.empty(0, dtype=np.int64)
@@ -216,14 +273,26 @@ def _make_kernel(
         if pdf.empty:
             return pd.DataFrame(columns=["pid", "doc_id", "score"])
         pid = int(pdf["pid"].iloc[0])
+        trows = None
+        if "rk" in pdf.columns:
+            rk = pdf["rk"].to_numpy()
+            trows = pdf[rk == "t"]
+            pdf = pdf[rk == "p"]  # 'z' marker rows carry no postings
+        bounds = resolve_bounds(pid, trows)
+        if pdf.empty and not has_all:
+            return pd.DataFrame(columns=["pid", "doc_id", "score"])
         pdf = pdf.sort_values(["term", "blk"], kind="stable")
-        idf = {
-            t: bm25_idf(n_docs, int(d))
-            for t, d in zip(pdf["term"], pdf["df"])
-        }
+        if idf_map is not None:
+            idf = idf_map
+        else:
+            idf = {
+                t: bm25_idf(n_docs, int(d))
+                for t, d in zip(pdf["term"], pdf["df"])
+                if t is not None and not pd.isna(d)
+            }
 
         if not use_blockmax or has_all or k <= 0:
-            ids, scores = score_subset(pid, pdf, idf)
+            ids, scores = score_subset(pid, pdf, idf, bounds)
             out_ids, out_scores = topk_of(ids, scores)
         else:
             # ---- exact block-max pruning over aligned blk ranges ----
@@ -254,7 +323,9 @@ def _make_kernel(
                 new = subset - scored_blks
                 if new:
                     sub_rows = pdf[pdf["blk"].isin(subset)]
-                    scored_ids, scored_scores = score_subset(pid, sub_rows, idf)
+                    scored_ids, scored_scores = score_subset(
+                        pid, sub_rows, idf, bounds
+                    )
                     scored_blks = subset
                 if scored_ids.size >= k or m >= len(blks_desc):
                     break
@@ -267,7 +338,9 @@ def _make_kernel(
                 cand |= scored_blks
                 if cand != scored_blks:
                     sub_rows = pdf[pdf["blk"].isin(cand)]
-                    scored_ids, scored_scores = score_subset(pid, sub_rows, idf)
+                    scored_ids, scored_scores = score_subset(
+                        pid, sub_rows, idf, bounds
+                    )
             out_ids, out_scores = topk_of(scored_ids, scored_scores)
 
         return pd.DataFrame(
@@ -280,11 +353,17 @@ def _make_kernel(
 class SearchEngine:
     """Distributed BM25 search over a built index directory."""
 
-    def __init__(self, spark: SparkSession, index_dir: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_dir: str,
+        max_pinned_terms: int = 4_000_000,
+        local_max_postings: int = 2_000_000,
+    ):
         self.spark = spark
         # AQE re-plans every exchange as its own job; for small interactive
         # top-k queries that is ~6 jobs and +30-40% latency with no upside
-        # (the kernel shuffle is tiny). build_index() re-enables it.
+        # (the kernel shuffle is tiny). build_index() save/restores it.
         try:
             spark.conf.set("spark.sql.adaptive.enabled", "false")
         except Exception:
@@ -295,7 +374,7 @@ class SearchEngine:
         if os.path.exists(meta_path):
             with open(meta_path) as f:
                 self.meta = json.load(f)
-        from ..index.build import read_docmap, read_postings
+        from ..index.build import read_docmap, read_postings, read_timeindex
 
         srow = spark.read.parquet(self.paths.stats).collect()[0]
         self.n_docs = int(srow["n_docs"])
@@ -303,6 +382,7 @@ class SearchEngine:
         self.termstats = spark.read.parquet(self.paths.termstats)
         self.postings = read_postings(spark, self.paths)
         self.docmap = read_docmap(spark, self.paths)
+        self.timeindex = read_timeindex(spark, self.paths)
         lineage = spark.read.parquet(self.paths.lineage)
         self.pid_counts = {
             int(r["pid"]): int(r["doc_count"])
@@ -311,11 +391,54 @@ class SearchEngine:
             .agg(F.max("doc_count").alias("doc_count"))
             .collect()
         }
+        # Pin the term dictionary (term -> df) driver-side: it is small,
+        # immutable per snapshot, and pinning it makes prefix expansion a
+        # bisect and idf a driver-side dict -- so search() plans exactly
+        # one Spark job instead of several metadata jobs per query (the
+        # analog of miru keeping hot term dictionaries memory-mapped,
+        # LabFieldIndex reads). Guarded: a 100 TB web corpus's vocabulary
+        # can exceed driver memory, so above `max_pinned_terms` fall back
+        # to per-query Spark-job expansion + a broadcast df join.
+        rows = (
+            self.termstats.select("term", "df")
+            .limit(max_pinned_terms + 1)
+            .collect()
+        )
+        if len(rows) <= max_pinned_terms:
+            self._term_df = {r["term"]: int(r["df"]) for r in rows}
+            self._terms_sorted = sorted(self._term_df)
+        else:
+            self._term_df = None
+            self._terms_sorted = None
+        # Serving-node fast path: queries whose estimated posting volume
+        # is below this bound are answered by the query-serving process
+        # itself (pyarrow row-group-pruned reads + the same NumPy kernel),
+        # skipping Spark job scheduling entirely. This is the reference's
+        # topology -- a query routes to the one MiruHost holding the
+        # partition replica and runs against its memory-mapped index
+        # (MiruHostedPartition; only large scans fan out). Above the
+        # bound (head terms over a 100 TB corpus, match-all over a big
+        # range) the distributed mapInPandas path runs instead.
+        self.local_max_postings = int(local_max_postings)
+        self._pads = None
 
     # -- helpers -----------------------------------------------------------
     def expand_prefix(self, prefix: str) -> list[str]:
         """Wildcard expansion: term-dictionary range scan, lexicographic,
         capped (MiruAggregateUtil.java:1154-1167 maxWildcardExpansion)."""
+        if self._terms_sorted is not None:
+            import bisect
+
+            out = []
+            i = bisect.bisect_left(self._terms_sorted, prefix)
+            while (
+                i < len(self._terms_sorted)
+                and len(out) < MAX_WILDCARD_EXPANSION
+                and self._terms_sorted[i].startswith(prefix)
+            ):
+                out.append(self._terms_sorted[i])
+                i += 1
+            return out
         rows = (
             self.termstats.filter(F.col("term").startswith(prefix))
             .select("term")
@@ -328,8 +451,20 @@ class SearchEngine:
     def cache(self) -> "SearchEngine":
         """Pin the index tables in executor memory for repeated queries --
         the batch-engine analog of miru's memory-mapped hot partitions
-        (LabInvertedIndex reads). Returns self."""
-        self.postings = self.postings.cache()
+        (LabInvertedIndex reads). The postings are hash-co-located by pid
+        BEFORE caching, so interactive queries skip their per-query
+        repartition shuffle: a filter on the cached, already-partitioned
+        data feeds mapInPandas directly (one stage, no exchange).
+        Returns self."""
+        nparts = max(
+            1,
+            min(
+                len(self.pid_counts) or 1,
+                self.spark.sparkContext.defaultParallelism,
+            ),
+        )
+        self.postings = self.postings.repartition(nparts, "pid").cache()
+        self._pid_colocated = True
         self.termstats = self.termstats.cache()
         self.docmap = self.docmap.cache()
         return self
@@ -350,16 +485,16 @@ class SearchEngine:
         return {int(r["pid"]): (int(r["lo"]), int(r["hi"])) for r in rows}
 
     # -- search ------------------------------------------------------------
-    def search(
+    def _prep_query(
         self,
         query: str,
-        k: int = 10,
-        locale: str | None = None,
-        time_range_us: tuple[int, int] | None = None,
-        use_blockmax: bool = True,
-    ) -> DataFrame:
-        """Run a query; returns DataFrame(url, warc_ts, pid, doc_id, score)
-        ordered by (score desc, pid, doc_id), limit k."""
+        locale: str | None,
+        time_range_us: tuple[int, int] | None,
+    ) -> dict:
+        """Driver-side query planning shared by the distributed and local
+        paths: parse, expand prefixes (bisect over the pinned dictionary),
+        compute idf, resolve the pid range and time spec. No Spark jobs
+        on the pinned-dictionary path."""
         tree = parse_query(query, locale)
         terms, prefixes = all_referenced_terms(tree)
         expansions = {p: self.expand_prefix(p) for p in prefixes}
@@ -367,38 +502,121 @@ class SearchEngine:
         scoring_terms = set(pos_terms)
         for p in pos_prefixes:
             scoring_terms.update(expansions[p])
-        scoring_terms = sorted(scoring_terms)
 
         fetch_terms = set(terms)
         for exp in expansions.values():
             fetch_terms.update(exp)
-        fetch_terms = sorted(fetch_terms)
 
-        blocks = self.postings
+        has_all_node = "all" in _tree_tags(tree)
+        relevant_pids = sorted(self.pid_counts)
         time_bounds = None
+        time_spec = None
+        pid_range = None
+        boundary_pids: list[int] = []
         if time_range_us is not None:
             psec = int(self.meta.get("partition_seconds", 86400))
             t0_us, t1_us = time_range_us
             psec_us = psec * 1_000_000
             pid_lo, pid_hi = t0_us // psec_us, t1_us // psec_us
-            pids = [p for p in self.pid_counts if pid_lo <= p <= pid_hi]
+            pid_range = (int(pid_lo), int(pid_hi))
+            relevant_pids = [
+                p for p in relevant_pids if pid_lo <= p <= pid_hi
+            ]
+            if int(self.meta.get("format", 1)) >= 2:
+                # boundary pids resolve their exact [lo, hi) interval in
+                # the kernel from their 't' rows -- same job, no collect
+                time_spec = (int(t0_us), int(t1_us), int(pid_lo), int(pid_hi))
+                boundary_pids = [
+                    int(p) for p in {pid_lo, pid_hi} if p in self.pid_counts
+                ]
+            else:  # legacy format-1 index: driver-side bounds job
+                time_bounds = self._time_bounds(relevant_pids, t0_us, t1_us)
+
+        idf_map = None
+        if self._term_df is not None:
+            idf_map = {
+                t: bm25_idf(self.n_docs, self._term_df[t])
+                for t in fetch_terms
+                if t in self._term_df
+            }
+        return {
+            "tree": tree,
+            "expansions": expansions,
+            "scoring_terms": sorted(scoring_terms),
+            "fetch_terms": sorted(fetch_terms),
+            "has_all_node": has_all_node,
+            "relevant_pids": relevant_pids,
+            "pid_range": pid_range,
+            "time_bounds": time_bounds,
+            "time_spec": time_spec,
+            "boundary_pids": boundary_pids,
+            "idf_map": idf_map,
+        }
+
+    def kernel_frame(
+        self,
+        query: str,
+        k: int = 10,
+        locale: str | None = None,
+        time_range_us: tuple[int, int] | None = None,
+        use_blockmax: bool = True,
+        prep: dict | None = None,
+    ) -> DataFrame:
+        """Build the distributed match+score frame for a query: one
+        mapInPandas kernel pass over the pruned posting blocks, yielding
+        (pid, doc_id, score) per-partition top-k rows. `search` collects
+        its global top-k; plan tests assert its physical shape."""
+        p = prep or self._prep_query(query, locale, time_range_us)
+        tree = p["tree"]
+        expansions = p["expansions"]
+        scoring_terms = p["scoring_terms"]
+        fetch_terms = p["fetch_terms"]
+        has_all_node = p["has_all_node"]
+        relevant_pids = p["relevant_pids"]
+        time_bounds = p["time_bounds"]
+        time_spec = p["time_spec"]
+        boundary_pids = p["boundary_pids"]
+        idf_map = p["idf_map"]
+
+        blocks = self.postings
+        if p["pid_range"] is not None:
+            pid_lo, pid_hi = p["pid_range"]
             blocks = blocks.filter(
                 (F.col("pid") >= pid_lo) & (F.col("pid") <= pid_hi)
             )
-            time_bounds = self._time_bounds(pids, t0_us, t1_us)
 
-        has_all_node = "all" in _tree_tags(tree)
         if fetch_terms:
             blocks = blocks.filter(F.col("term").isin(fetch_terms))
         elif not has_all_node:
             blocks = blocks.filter(F.lit(False))
 
-        # global df rides along via a broadcast join so idf is computed in
-        # the kernel -- no separate driver-side idf lookup job per query
-        tstats = self.termstats.select("term", "df")
-        if fetch_terms:
-            tstats = tstats.filter(F.col("term").isin(fetch_terms))
-        blocks = blocks.join(F.broadcast(tstats), "term", "left")
+        kcols = list(_POSTING_COLS)
+        if idf_map is None:
+            # vocabulary too large to pin: global df rides along via a
+            # broadcast join so idf is computed in the kernel
+            kcols.append("df")
+            tstats = self.termstats.select("term", "df")
+            if fetch_terms:
+                tstats = tstats.filter(F.col("term").isin(fetch_terms))
+            blocks = blocks.join(F.broadcast(tstats), "term", "left")
+
+        blocks = _pad_cols(blocks, kcols, "p")
+        if boundary_pids:
+            blocks = blocks.unionByName(
+                _pad_cols(
+                    self.timeindex.filter(F.col("pid").isin(boundary_pids)),
+                    kcols,
+                    "t",
+                )
+            )
+        if has_all_node and relevant_pids:
+            # every relevant pid must reach the kernel even with zero
+            # fetched blocks (it still matches, score 0): ship one tiny
+            # marker row per pid instead of probing which pids are present
+            markers = self.spark.createDataFrame(
+                [(int(p),) for p in relevant_pids], "pid long"
+            )
+            blocks = blocks.unionByName(_pad_cols(markers, kcols, "z"))
 
         kernel = _make_kernel(
             tree,
@@ -410,56 +628,330 @@ class SearchEngine:
             expansions,
             time_bounds,
             use_blockmax,
+            idf_map=idf_map,
+            time_spec=time_spec,
         )
         # hash-co-locate each pid's fetched blocks on one task, then ONE
         # pandas call per task loops the pids it owns -- same semantics as
         # groupBy(pid).applyInPandas but without a per-group Arrow+pandas
         # round trip (a query touches O(pids) groups; at fine-grained time
-        # partitioning that per-group overhead dominated latency)
-        per_part = blocks.repartition("pid").mapInPandas(
-            _per_pid_dispatch(kernel), _RESULT_SCHEMA
+        # partitioning that per-group overhead dominated latency). Task
+        # count is bounded by the pids actually touched, not the session
+        # shuffle-partition default (which would schedule ~200 mostly
+        # empty tasks per interactive query).
+        # cached engines pre-co-located the postings by pid, so the plain
+        # term-query path needs NO exchange at all; unions (time-index /
+        # marker rows) or uncached reads fall back to a per-query
+        # repartition bounded by the pids touched
+        plain = not boundary_pids and not (has_all_node and relevant_pids)
+        if getattr(self, "_pid_colocated", False) and plain:
+            src = blocks
+        else:
+            nparts = max(
+                1,
+                min(
+                    len(relevant_pids) or 1,
+                    self.spark.sparkContext.defaultParallelism,
+                ),
+            )
+            src = blocks.repartition(nparts, "pid")
+        return src.mapInPandas(_per_pid_dispatch(kernel), _RESULT_SCHEMA)
+
+    # -- serving-node local path -------------------------------------------
+    def _dataset(self):
+        """Lazy pyarrow dataset over the committed segment batch dirs.
+        Row-group min/max stats on (row_type, pid, term) give the same
+        pruning the Spark scan gets from PushedFilters."""
+        if self._pads is None:
+            import pyarrow.dataset as pads
+
+            seg = self.paths.segments
+            files = []
+            for d in sorted(os.listdir(seg)):
+                if not d.startswith("b_"):
+                    continue  # skip _tmp_ write dirs / stray files
+                bdir = os.path.join(seg, d)
+                files.extend(
+                    os.path.join(bdir, f)
+                    for f in sorted(os.listdir(bdir))
+                    if f.endswith(".parquet")
+                )
+            self._pads = pads.dataset(files, format="parquet")
+        return self._pads
+
+    def _estimated_postings(self, prep: dict) -> int:
+        """Upper bound on rows the query must touch, from the pinned
+        term dictionary (df per fetch term) plus the match-all universe."""
+        if self._term_df is None:
+            return 1 << 62
+        est = sum(self._term_df.get(t, 0) for t in prep["fetch_terms"])
+        if prep["has_all_node"]:
+            est += sum(
+                int(self.pid_counts.get(p, 0))
+                for p in prep["relevant_pids"]
+            )
+        return est
+
+    def _local_eligible(self, prep: dict) -> bool:
+        return (
+            self._term_df is not None
+            and prep["time_bounds"] is None  # format-1 needs a Spark job
+            and self._estimated_postings(prep) <= self.local_max_postings
         )
 
-        if has_all_node:
-            # pids with zero fetched blocks never reach the kernel but
-            # still match (score 0): add their k smallest docIDs.
-            present = {r["pid"] for r in blocks.select("pid").distinct().collect()}
-            missing = [p for p in self.pid_counts if p not in present]
-            if time_bounds is not None:
-                missing = [p for p in missing if p in time_bounds]
-            if missing:
-                zeros = (
-                    self.docmap.filter(F.col("pid").isin(missing))
-                    .select("pid", "doc_id")
-                )
-                if time_bounds is not None:
-                    bdf = self.spark.createDataFrame(
-                        [(int(p),) + tuple(map(int, time_bounds[p])) for p in missing],
-                        "pid long, lo long, hi long",
-                    )
-                    zeros = (
-                        zeros.join(F.broadcast(bdf), "pid")
-                        .filter(
-                            (F.col("doc_id") >= F.col("lo"))
-                            & (F.col("doc_id") < F.col("hi"))
-                        )
-                        .select("pid", "doc_id")
-                    )
-                zeros = (
-                    zeros.orderBy("pid", "doc_id")
-                    .limit(k)
-                    .withColumn("score", F.lit(0.0))
-                )
-                per_part = per_part.unionByName(zeros)
+    def _local_bounds(self, prep: dict, dset) -> dict:
+        """Exact per-boundary-pid [lo, hi) docID interval from the 't'
+        time-index rows (LabTimeIndex.getClosestId analog), read via
+        pyarrow -- no Spark job."""
+        import pyarrow.dataset as pads
 
-        topk = per_part.orderBy(
+        if prep["time_spec"] is None or not prep["boundary_pids"]:
+            return {}
+        t0_us, t1_us, _lo, _hi = prep["time_spec"]
+        trows = dset.to_table(
+            filter=(pads.field("row_type") == "t")
+            & pads.field("pid").isin(prep["boundary_pids"]),
+            columns=["pid", "first_doc", "ids_bin"],
+        )
+        out = {}
+        pids = trows["pid"].to_numpy()
+        firsts = trows["first_doc"].to_numpy()
+        bins = trows["ids_bin"].to_pylist()
+        for p in prep["boundary_pids"]:
+            sel = np.flatnonzero(pids == p)
+            if sel.size == 0:
+                continue
+            sel = sel[np.argsort(firsts[sel], kind="stable")]
+            warc = np.concatenate(
+                [np.cumsum(decode_varint(bins[i])) for i in sel]
+            )
+            out[int(p)] = (
+                int(np.searchsorted(warc, t0_us, "left")),
+                int(np.searchsorted(warc, t1_us, "right")),
+            )
+        return out
+
+    def _search_local(self, prep: dict, k: int, use_blockmax: bool) -> list:
+        """Answer a bounded query on the serving node: pyarrow row-group-
+        pruned reads + one vectorized NumPy pass over composite
+        (pid << 32 | doc_id) ids -- no per-pid loop, no Spark job. Exact
+        and rank-identical to the distributed kernel (same tree evaluator,
+        same sorted-term float64 summation order); `use_blockmax` is
+        irrelevant here because the whole (bounded) posting set is scored
+        exhaustively. Returns [(url, warc_us, pid, doc_id, score)] sorted
+        (score desc, pid, doc_id), length <= k."""
+        import pyarrow.compute as pc
+        import pyarrow.dataset as pads
+
+        if k <= 0:
+            return []
+        dset = self._dataset()
+        filt = pads.field("row_type") == "p"
+        if prep["pid_range"] is not None:
+            plo, phi = prep["pid_range"]
+            filt = filt & (pads.field("pid") >= plo) & (pads.field("pid") <= phi)
+
+        term_cids: dict[str, np.ndarray] = {}
+        term_tfs: dict[str, np.ndarray] = {}
+        term_dls: dict[str, np.ndarray] = {}
+        if prep["fetch_terms"]:
+            tbl = dset.to_table(
+                filter=filt & pads.field("term").isin(prep["fetch_terms"]),
+                columns=["pid", "term", "blk", "n", "ids_bin", "tfs_bin",
+                         "dls_bin"],
+            )
+            if tbl.num_rows:
+                order = pc.sort_indices(
+                    tbl,
+                    sort_keys=[
+                        ("term", "ascending"),
+                        ("pid", "ascending"),
+                        ("blk", "ascending"),
+                    ],
+                )
+                tbl = tbl.take(order)
+                terms = np.asarray(tbl["term"].to_pylist(), dtype=object)
+                pids = tbl["pid"].to_numpy().astype(np.int64)
+                ns = tbl["n"].to_numpy().astype(np.int64)
+                ids_bins = tbl["ids_bin"].to_pylist()
+                tfs_bins = tbl["tfs_bin"].to_pylist()
+                dls_bins = tbl["dls_bin"].to_pylist()
+                bnd = np.flatnonzero(terms[1:] != terms[:-1]) + 1
+                starts = np.concatenate(([0], bnd, [len(terms)]))
+                for gi in range(len(starts) - 1):
+                    s, e = int(starts[gi]), int(starts[gi + 1])
+                    t = terms[s]
+                    # ONE varint decode per term over the concatenated
+                    # blobs, then vectorized per-block rebase to absolute
+                    # composite ids (first gap of each block is absolute
+                    # within its pid)
+                    gaps = decode_varint(b"".join(ids_bins[s:e]))
+                    acc = np.cumsum(gaps)
+                    row_n = ns[s:e]
+                    rs = np.zeros(e - s, dtype=np.int64)
+                    np.cumsum(row_n[:-1], out=rs[1:])
+                    base = acc[rs] - gaps[rs] - (pids[s:e] << 32)
+                    term_cids[t] = acc - np.repeat(base, row_n)
+                    term_tfs[t] = decode_varint(b"".join(tfs_bins[s:e]))
+                    term_dls[t] = decode_varint(b"".join(dls_bins[s:e]))
+
+        bounds = self._local_bounds(prep, dset)
+
+        if prep["has_all_node"]:
+            spans = []
+            for p in prep["relevant_pids"]:
+                n = int(self.pid_counts.get(p, 0))
+                lo, hi = bounds.get(int(p), (0, n))
+                lo, hi = max(lo, 0), min(hi, n)
+                if hi > lo:
+                    spans.append((int(p) << 32) + np.arange(lo, hi))
+            universe = (
+                np.concatenate(spans) if spans
+                else np.empty(0, dtype=np.int64)
+            )
+        else:
+            universe = np.empty(0, dtype=np.int64)
+
+        matches = _eval_tree(
+            prep["tree"], term_cids, prep["expansions"], universe
+        )
+        # exact boundary-pid time mask (interior pids are wholly inside)
+        for p, (lo, hi) in bounds.items():
+            if not matches.size:
+                break
+            s = np.searchsorted(matches, p << 32)
+            e = np.searchsorted(matches, (p + 1) << 32)
+            kl = np.searchsorted(matches, (p << 32) + lo)
+            kh = np.searchsorted(matches, (p << 32) + hi)
+            matches = np.concatenate(
+                (matches[:s], matches[kl:kh], matches[e:])
+            )
+        if matches.size == 0:
+            return []
+
+        idf = prep["idf_map"] or {}
+        scores = np.zeros(matches.size, dtype=np.float64)
+        for t in prep["scoring_terms"]:
+            cids = term_cids.get(t)
+            if cids is None or cids.size == 0:
+                continue
+            pos = np.searchsorted(cids, matches)
+            pos_c = np.minimum(pos, cids.size - 1)
+            present = cids[pos_c] == matches
+            if not present.any():
+                continue
+            tf = term_tfs[t][pos_c[present]].astype(np.float64)
+            dl = term_dls[t][pos_c[present]].astype(np.float64)
+            scores[present] += idf.get(t, 0.0) * _bm25_tf_part(
+                tf, dl, self.avgdl
+            )
+
+        w_pids = (matches >> 32).astype(np.int64)
+        w_docs = (matches & 0xFFFFFFFF).astype(np.int64)
+        order = np.lexsort((w_docs, w_pids, -scores))
+        if k > 0:
+            order = order[:k]
+        if order.size == 0:
+            return []
+        w_pids, w_docs = w_pids[order], w_docs[order]
+        w_scores = scores[order]
+
+        # forward-index point gather (FullText.gatherValues analog):
+        # row-group pruned by the tiny winner (pid, doc_id) predicate
+        dm = dset.to_table(
+            filter=(pads.field("row_type") == "d")
+            & pads.field("pid").isin(sorted({int(p) for p in w_pids}))
+            & pads.field("doc_id").isin(sorted({int(d) for d in w_docs})),
+            columns=["pid", "doc_id", "url", "warc_us"],
+        )
+        lookup = {
+            (int(p), int(d)): (u, int(w))
+            for p, d, u, w in zip(
+                dm["pid"].to_pylist(),
+                dm["doc_id"].to_pylist(),
+                dm["url"].to_pylist(),
+                dm["warc_us"].to_pylist(),
+            )
+        }
+        out = []
+        for p, d, s in zip(w_pids, w_docs, w_scores):
+            u, w = lookup.get((int(p), int(d)), (None, 0))
+            out.append((u, int(w), int(p), int(d), float(s)))
+        return out
+
+    def search(
+        self,
+        query: str,
+        k: int = 10,
+        locale: str | None = None,
+        time_range_us: tuple[int, int] | None = None,
+        use_blockmax: bool = True,
+        local: bool | None = None,
+    ) -> DataFrame:
+        """Run a query; returns DataFrame(url, warc_ts, pid, doc_id, score)
+        ordered by (score desc, pid, doc_id), limit k.
+
+        Routing (`local=None` auto): queries whose estimated posting
+        volume fits `local_max_postings` run on the serving node itself
+        (`_search_local`, zero Spark jobs -- the reference's
+        route-to-partition-host topology); larger queries run the
+        distributed path below.
+
+        Distributed path -- plans ONE Spark job on the pinned-dictionary
+        path: prefix expansion is a driver bisect, idf a driver dict,
+        time bounds resolve kernel-side from 't' rows, and match-all pids
+        reach the kernel via tiny marker rows -- no per-query metadata
+        jobs. Job 1: kernel + bounded top-k merge (TakeOrdered) -> k rows
+        on the driver. Job 2 (at the caller's collect): point-lookup
+        gather of display fields -- the k (pid, doc_id) winners as
+        pushed-down isin predicates over the forward index, exact-joined
+        against the broadcast local winner relation. This is miru's
+        gatherValues forward-index point read (FullText.java:253-280) in
+        two bounded jobs."""
+        prep = self._prep_query(query, locale, time_range_us)
+        if local is None:
+            local = self._local_eligible(prep)
+        if local:
+            rows = self._search_local(prep, k, use_blockmax)
+            wdf = self.spark.createDataFrame(
+                rows,
+                "url string, warc_us long, pid long, doc_id long, "
+                "score double",
+            )
+            return wdf.select(
+                "url",
+                F.timestamp_micros("warc_us").alias("warc_ts"),
+                "pid",
+                "doc_id",
+                "score",
+            )
+        per_part = self.kernel_frame(
+            query, k=k, locale=locale, time_range_us=time_range_us,
+            use_blockmax=use_blockmax, prep=prep,
+        )
+        wrows = per_part.orderBy(
             F.desc("score"), F.asc("pid"), F.asc("doc_id")
-        ).limit(k)
-        # k rows vs the full docmap: broadcast the winners into the docmap
-        # scan instead of shuffling the forward index (inner is safe -- every
-        # scored docID was minted from the docmap)
-        winners = self.docmap.select("pid", "doc_id", "url", "warc_us").join(
-            F.broadcast(topk), ["pid", "doc_id"], "inner"
+        ).limit(k).collect() if k > 0 else []
+        out_schema = (
+            "url string, warc_ts timestamp, pid long, doc_id long, "
+            "score double"
+        )
+        if not wrows:
+            return self.spark.createDataFrame([], out_schema)
+        wdf = self.spark.createDataFrame(
+            [(int(r["pid"]), int(r["doc_id"]), float(r["score"]))
+             for r in wrows],
+            "pid long, doc_id long, score double",
+        )
+        winners = (
+            self.docmap.filter(
+                F.col("pid").isin(sorted({int(r["pid"]) for r in wrows}))
+                & F.col("doc_id").isin(
+                    sorted({int(r["doc_id"]) for r in wrows})
+                )
+            )
+            .select("pid", "doc_id", "url", "warc_us")
+            .join(F.broadcast(wdf), ["pid", "doc_id"], "inner")
         )
         return winners.select(
             "url",
@@ -470,8 +962,20 @@ class SearchEngine:
         ).orderBy(F.desc("score"), F.asc("pid"), F.asc("doc_id"))
 
     def search_collect(self, query: str, k: int = 10, **kw):
-        """Collect top-k as [(pid, doc_id, score, url)] for tests."""
-        rows = self.search(query, k=k, **kw).collect()
+        """Collect top-k as [(pid, doc_id, score, url)]. On the local
+        path this is pure serving-node work -- no Spark job at all."""
+        local = kw.pop("local", None)
+        prep = self._prep_query(
+            query, kw.get("locale"), kw.get("time_range_us")
+        )
+        if local is None:
+            local = self._local_eligible(prep)
+        if local:
+            rows = self._search_local(
+                prep, k, kw.get("use_blockmax", True)
+            )
+            return [(p, d, s, u) for (u, _w, p, d, s) in rows]
+        rows = self.search(query, k=k, local=False, **kw).collect()
         return [(r["pid"], r["doc_id"], r["score"], r["url"]) for r in rows]
 
     def search_many(
@@ -495,26 +999,25 @@ class SearchEngine:
         fallback = {}    # queries with match-all nodes -> individual path
         qterm_rows = []  # (qid, term)
         fetch_all: set = set()
+        out: dict[str, list] = {}
         for qid, q in enumerate(queries):
-            tree = parse_query(q, locale)
-            if "all" in _tree_tags(tree):
+            prep = self._prep_query(q, locale, None)
+            if self._local_eligible(prep):
+                # bounded query: answer on the serving node, no job
+                rows = self._search_local(prep, k, use_blockmax)
+                out[q] = [(p, d, s, u) for (u, _w, p, d, s) in rows]
+                specs.append(None)
+                continue
+            if prep["has_all_node"]:
                 fallback[q] = None
                 specs.append(None)
                 continue
-            terms, prefixes = all_referenced_terms(tree)
-            expansions = {p: self.expand_prefix(p) for p in prefixes}
-            pos_terms, pos_prefixes, _ = collect_terms(tree)
-            scoring = set(pos_terms)
-            for p in pos_prefixes:
-                scoring.update(expansions[p])
-            fetch = set(terms)
-            for exp in expansions.values():
-                fetch.update(exp)
-            specs.append((tree, sorted(scoring), expansions))
-            fetch_all.update(fetch)
-            qterm_rows.extend((qid, t) for t in sorted(fetch))
+            specs.append(
+                (prep["tree"], prep["scoring_terms"], prep["expansions"])
+            )
+            fetch_all.update(prep["fetch_terms"])
+            qterm_rows.extend((qid, t) for t in prep["fetch_terms"])
 
-        out: dict[str, list] = {}
         for q in fallback:
             out[q] = self.search_collect(q, k=k, locale=locale,
                                          use_blockmax=use_blockmax)
@@ -523,17 +1026,18 @@ class SearchEngine:
                 out.setdefault(q, [])
             return out
 
-        blocks = self.postings.filter(
-            F.col("term").isin(sorted(fetch_all))
-        ).join(
-            F.broadcast(
-                self.termstats.select("term", "df").filter(
-                    F.col("term").isin(sorted(fetch_all))
-                )
-            ),
-            "term",
-            "left",
-        )
+        blocks = self.postings.filter(F.col("term").isin(sorted(fetch_all)))
+        pinned = self._term_df is not None
+        if not pinned:
+            blocks = blocks.join(
+                F.broadcast(
+                    self.termstats.select("term", "df").filter(
+                        F.col("term").isin(sorted(fetch_all))
+                    )
+                ),
+                "term",
+                "left",
+            )
         qmap = self.spark.createDataFrame(qterm_rows, "qid int, term string")
         tagged = blocks.join(F.broadcast(qmap), "term")
 
@@ -543,9 +1047,16 @@ class SearchEngine:
             if spec is None:
                 continue
             tree, scoring, expansions = spec
+            idf_map = None
+            if pinned:
+                idf_map = {
+                    t: bm25_idf(n_docs, self._term_df[t])
+                    for t in fetch_all
+                    if t in self._term_df
+                }
             kernels[qid] = _make_kernel(
                 tree, scoring, n_docs, avgdl, k, pid_counts,
-                expansions, None, use_blockmax,
+                expansions, None, use_blockmax, idf_map=idf_map,
             )
 
         def dispatch(batches):
@@ -559,7 +1070,14 @@ class SearchEngine:
                     res.insert(0, "qid", int(qid))
                     yield res
 
-        per = tagged.repartition("qid", "pid").mapInPandas(
+        nparts = max(
+            1,
+            min(
+                len(kernels) * max(len(self.pid_counts), 1),
+                self.spark.sparkContext.defaultParallelism,
+            ),
+        )
+        per = tagged.repartition(nparts, "qid", "pid").mapInPandas(
             dispatch, "qid int, pid long, doc_id long, score double"
         )
         w = Window.partitionBy("qid").orderBy(

@@ -127,6 +127,38 @@ def test_blockmax_equals_exhaustive(engine, query):
     assert a == b
 
 
+@pytest.mark.parametrize("query", QUERIES)
+def test_local_equals_distributed(engine, query):
+    """The serving-node fast path and the distributed mapInPandas path
+    share one kernel; their results must be identical."""
+    a = engine.search_collect(query, k=10, local=True)
+    b = engine.search_collect(query, k=10, local=False)
+    assert a == b, query
+
+
+def test_local_equals_distributed_time_range(engine, corpus):
+    t0 = corpus[N_DOCS // 3]["warc_us"]
+    t1 = corpus[2 * N_DOCS // 3]["warc_us"]
+    q = "w000001 OR w000002"
+    a = engine.search_collect(q, k=10, time_range_us=(t0, t1), local=True)
+    b = engine.search_collect(q, k=10, time_range_us=(t0, t1), local=False)
+    assert a == b
+
+
+def test_search_many_distributed_path(engine, oracle):
+    """Force the batched distributed path (as if every query exceeded the
+    serving-node bound) and check rank identity vs the oracle."""
+    old = engine.local_max_postings
+    engine.local_max_postings = 0
+    try:
+        qs = _GEN_QUERIES[:6]
+        batched = engine.search_many(qs, k=10)
+        for q in qs:
+            _assert_rank_identical(batched[q], oracle.search(q, k=10), q)
+    finally:
+        engine.local_max_postings = old
+
+
 def test_time_range(engine, oracle, corpus):
     # restrict to the middle third of the corpus timeline
     t0 = corpus[N_DOCS // 3]["warc_us"]

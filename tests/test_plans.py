@@ -41,10 +41,16 @@ def test_term_filter_pushdown(engine):
 
 
 def test_search_plan_no_row_python_and_pruned(engine):
-    df = engine.search("w000001 AND w000002", k=10)
+    # the match+score kernel frame: Arrow-batched, no row-Python
+    kdf = engine.kernel_frame("w000001 AND w000002", k=10)
+    kplan = _plan(kdf)
+    assert "BatchEvalPython" not in kplan, "row-at-a-time Python in hot path"
+    assert "MapInPandas" in kplan  # the Arrow-batched kernel
+    # the gather frame search() returns: broadcast point-lookup join,
+    # still no row-Python
+    df = engine.search("w000001 AND w000002", k=10, local=False)
     plan = _plan(df)
-    assert "BatchEvalPython" not in plan, "row-at-a-time Python in hot path"
-    assert "MapInPandas" in plan  # the Arrow-batched kernel
+    assert "BatchEvalPython" not in plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
 
 
