@@ -68,6 +68,7 @@ from pyspark.sql import functions as F
 
 from ..analyzer import analyze
 from ..codec import encode_postings_grouped, encode_varint, encode_varint_grouped
+from ..fields import doc_field_terms
 
 DEFAULT_PARTITION_SECONDS = 86400
 DEFAULT_BLOCK_SPAN = 4096
@@ -435,15 +436,23 @@ def _make_indexer(block_span: int):
             t_blobs.append(encode_varint(gaps))
             texts = tbl.column("text").chunk(0).slice(s, e - s).to_pylist()
             langs = tbl.column("lang").chunk(0).slice(s, e - s).to_pylist()
+            urls_g = url_arr.slice(s, e - s).to_pylist()
             terms_col: list = []
             tfs_col: list = []
             dl_col: list = []
-            for text, lang in zip(texts, langs):
+            for text, lang, url in zip(texts, langs, urls_g):
                 toks = analyze(text, lang)
+                # doc_len counts TEXT tokens only -- metadata field terms
+                # are filter-only and must not shift BM25 length norms
                 dl_col.append(len(toks))
-                if toks:
-                    # sorted Counter items == np.unique order, ~3x cheaper
-                    items = sorted(Counter(toks).items())
+                # sorted Counter items == np.unique order, ~3x cheaper;
+                # composed field terms (lang/site/doclen, tf=1) join the
+                # same posting space (MiruTermComposer analog, fields.py)
+                items = sorted(Counter(toks).items()) if toks else []
+                fts = doc_field_terms(url, lang, len(toks))
+                if fts:
+                    items = sorted(items + [(t, 1) for t in fts])
+                if items:
                     terms_col.append([t for t, _ in items])
                     tfs_col.append(
                         np.fromiter(
@@ -720,7 +729,10 @@ def _build_index_inner(
         "field": "text",
         # format 2: segments carry 't' time-index rows, so engines can
         # resolve time-range docID bounds kernel-side (no driver job)
-        "format": 2,
+        # format 3: composed metadata field terms (fields.py) in the
+        # posting space -- field:value and numeric range queries
+        "format": 3,
+        "fields": ["lang", "site", "doclen"],
     }
     if os.path.exists(meta_path):
         with open(meta_path) as f:

@@ -274,6 +274,46 @@ FT_ENGINE_BM25_SQL = FT_BM25_AND_SQL
 FT_ENGINE_BM25_OR_SQL = FT_BM25_OR_SQL
 
 
+def ft_numeric_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric-range filter through the REAL engine: `doclen:[5 TO 40]`
+    expands to an order-preserving encoded term-dictionary range scan
+    (MiruTermComposer.java:130-141,202-211 rawRange; numeric `obj` field
+    shape of MiruFullTextNGTest.java:52-73), ANDed with a scored text
+    term. DuckDB recomputes it as a length filter over BM25."""
+    return _engine_result(
+        _engine_for(spark, sf_dir).search("doclen:[5 TO 40] AND spark", k=10)
+    )
+
+
+FT_NUMERIC_RANGE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), dl AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks
+  WHERE term IN ('spark') GROUP BY doc_id, term
+), stats AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n,
+         (SELECT avg(dl) FROM dl) AS avgdl
+), dfreq AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+), scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * tf.tf * {K1 + 1.0}
+              / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl)) ) AS raw_score
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT s.doc_id, round(s.raw_score, 4) AS score
+FROM scores s JOIN dl USING (doc_id)
+WHERE dl.dl BETWEEN 5 AND 40
+ORDER BY round(s.raw_score, 4) DESC, s.doc_id ASC
+LIMIT 10
+"""
+
+
 QUERIES = {
     "ft_term_stats": (ft_term_stats, FT_TERM_STATS_SQL),
     "ft_bm25_and_topk": (ft_bm25_and_topk, FT_BM25_AND_SQL),
@@ -283,4 +323,5 @@ QUERIES = {
     "ft_prefix_expand": (ft_prefix_expand, FT_PREFIX_EXPAND_SQL),
     "ft_engine_bm25": (ft_engine_bm25, FT_ENGINE_BM25_SQL),
     "ft_engine_bm25_or": (ft_engine_bm25_or, FT_ENGINE_BM25_OR_SQL),
+    "ft_numeric_range": (ft_numeric_range, FT_NUMERIC_RANGE_SQL),
 }

@@ -30,6 +30,7 @@ import math
 from collections import Counter, defaultdict
 
 from .analyzer import analyze
+from .fields import FIELD_SEP, doc_field_terms, encode_num
 from .queryparse import collect_terms, parse_query
 
 K1 = 1.2
@@ -76,6 +77,12 @@ class OracleIndex:
                 total_len += len(tokens)
                 for t, c in Counter(tokens).items():
                     self.postings[t][key] = c
+                # composed metadata field terms: filter-only postings
+                # (tf=1), excluded from dl and the scoring tf counter
+                for ft in doc_field_terms(
+                    r["url"], r.get("lang"), len(tokens)
+                ):
+                    self.postings[ft][key] = 1
         self.n_docs = len(self.docs)
         self.avgdl = (total_len / self.n_docs) if self.n_docs else 0.0
         self.terms_sorted = sorted(self.postings)
@@ -92,6 +99,17 @@ class OracleIndex:
         if tag == "prefix":
             s: set = set()
             for t in self.expand_prefix(node[1]):
+                s |= set(self.postings[t])
+            return s
+        if tag == "frange":
+            _, field, lo, hi = node
+            lo_key = f"{field}{FIELD_SEP}{encode_num(int(lo))}"
+            hi_key = f"{field}{FIELD_SEP}{encode_num(int(hi))}"
+            s = set()
+            matched = [
+                t for t in self.terms_sorted if lo_key <= t <= hi_key
+            ][:MAX_WILDCARD_EXPANSION]
+            for t in matched:
                 s |= set(self.postings[t])
             return s
         if tag == "and":

@@ -101,6 +101,13 @@ def _eval_tree(node, term_ids: dict, expansions: dict, universe: np.ndarray):
         if not parts:
             return empty
         return np.unique(np.concatenate(parts))
+    if tag == "frange":
+        # numeric range = union over the dictionary-range-expanded
+        # composed terms (expansion keyed by the node itself)
+        parts = [term_ids[t] for t in expansions.get(node, ()) if t in term_ids]
+        if not parts:
+            return empty
+        return np.unique(np.concatenate(parts))
     if tag == "and":
         sets = sorted(
             (_eval_tree(c, term_ids, expansions, universe) for c in node[1]),
@@ -448,6 +455,39 @@ class SearchEngine:
         )
         return [r["term"] for r in rows]
 
+    def expand_range(self, field: str, lo: int, hi: int) -> list[str]:
+        """Numeric range -> composed-term list via a term-dictionary range
+        scan between the order-preserving-encoded endpoints (the
+        MiruTermComposer rawRange scan, MiruTermComposer.java:202-211),
+        capped like wildcard expansion."""
+        from ..fields import FIELD_SEP, encode_num
+
+        lo_key = f"{field}{FIELD_SEP}{encode_num(int(lo))}"
+        hi_key = f"{field}{FIELD_SEP}{encode_num(int(hi))}"
+        if self._terms_sorted is not None:
+            import bisect
+
+            out = []
+            i = bisect.bisect_left(self._terms_sorted, lo_key)
+            while (
+                i < len(self._terms_sorted)
+                and self._terms_sorted[i] <= hi_key
+                and len(out) < MAX_WILDCARD_EXPANSION
+            ):
+                out.append(self._terms_sorted[i])
+                i += 1
+            return out
+        rows = (
+            self.termstats.filter(
+                (F.col("term") >= lo_key) & (F.col("term") <= hi_key)
+            )
+            .select("term")
+            .orderBy("term")
+            .limit(MAX_WILDCARD_EXPANSION)
+            .collect()
+        )
+        return [r["term"] for r in rows]
+
     def cache(self) -> "SearchEngine":
         """Pin the index tables in executor memory for repeated queries --
         the batch-engine analog of miru's memory-mapped hot partitions
@@ -496,8 +536,10 @@ class SearchEngine:
         compute idf, resolve the pid range and time spec. No Spark jobs
         on the pinned-dictionary path."""
         tree = parse_query(query, locale)
-        terms, prefixes = all_referenced_terms(tree)
+        terms, prefixes, franges = all_referenced_terms(tree)
         expansions = {p: self.expand_prefix(p) for p in prefixes}
+        for fr in franges:  # keyed by the node tuple itself
+            expansions[fr] = self.expand_range(fr[1], fr[2], fr[3])
         pos_terms, pos_prefixes, _ = collect_terms(tree)
         scoring_terms = set(pos_terms)
         for p in pos_prefixes:

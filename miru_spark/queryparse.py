@@ -8,8 +8,14 @@ BooleanQuery MUST/SHOULD/MUST_NOT -> and/or/pButNotQ trees
 filter ops the reference implements).
 
 Tree nodes (plain tuples, picklable for broadcast into UDFs):
-    ("term", t)            -- analyzed term
+    ("term", t)            -- analyzed term (or a composed field term,
+                              `field\\x1fvalue` -- filter-only, never scored)
     ("prefix", p)          -- wildcard `p*` (MiruAggregateUtil.java:1154-1167)
+    ("frange", f, lo, hi)  -- numeric range `f:[lo TO hi]` / `f:lo-hi` over
+                              an order-preserving-encoded numeric field
+                              (MiruTermComposer.java:130-141 rawRange);
+                              expands to a term-dictionary range scan,
+                              filter-only
     ("and", [nodes...])
     ("or", [nodes...])
     ("not", pos_node, neg_node)   -- pButNotQ: pos AND NOT neg
@@ -24,6 +30,7 @@ from __future__ import annotations
 import re
 
 from .analyzer import analyze
+from .fields import FIELD_SEP, NUMERIC_FIELDS, compose_value
 
 _TOKEN_SPEC = re.compile(
     r"""\s*(?:
@@ -33,10 +40,14 @@ _TOKEN_SPEC = re.compile(
       | (?P<or>OR\b)
       | (?P<not>NOT\b)
       | (?P<minus>-)
+      | (?P<fieldexpr>[A-Za-z_][A-Za-z0-9_]*:(?:\[[^\]]*\]|[^\s()]+))
       | (?P<word>[^\s()\-][^\s()]*)
     )""",
     re.VERBOSE,
 )
+
+_RANGE_BRACKET = re.compile(r"^(-?\d+)\s+TO\s+(-?\d+)$", re.IGNORECASE)
+_RANGE_DASH = re.compile(r"^(\d+)-(\d+)$")
 
 
 class QueryParseError(ValueError):
@@ -117,6 +128,33 @@ class _Parser:
 
     def parse_atom(self):
         kind, val = self.next()
+        if kind == "fieldexpr":
+            field, _, rest = val.partition(":")
+            if rest.startswith("[") and rest.endswith("]"):
+                m = _RANGE_BRACKET.match(rest[1:-1].strip())
+                if not m:
+                    raise QueryParseError(f"bad range syntax: {val!r}")
+                if field not in NUMERIC_FIELDS:
+                    raise QueryParseError(f"range on non-numeric field: {field}")
+                lo, hi = int(m.group(1)), int(m.group(2))
+                if lo > hi:
+                    return ("none",)
+                return ("frange", field, lo, hi)
+            if field in NUMERIC_FIELDS:
+                m = _RANGE_DASH.match(rest)
+                if m:  # reference numeric-range shorthand `obj:1-100`
+                    lo, hi = int(m.group(1)), int(m.group(2))
+                    if lo > hi:
+                        return ("none",)
+                    return ("frange", field, lo, hi)
+                if not re.match(r"^-?\d+$", rest):
+                    raise QueryParseError(
+                        f"non-numeric value for numeric field: {val!r}"
+                    )
+            try:
+                return ("term", compose_value(field, rest))
+            except ValueError as e:
+                raise QueryParseError(str(e)) from e
         if kind == "lparen":
             node = self.parse_expr()
             if self.next()[0] != "rparen":
@@ -164,7 +202,11 @@ def collect_terms(node) -> tuple[set, set, set]:
     def walk(n, negated: bool):
         tag = n[0]
         if tag == "term":
+            if FIELD_SEP in n[1]:
+                return  # composed field terms filter, never score
             (neg_t if negated else pos_t).add(n[1])
+        elif tag == "frange":
+            return  # filter-only
         elif tag == "prefix":
             if negated:
                 neg_t.add(n[1] + "*")
@@ -181,11 +223,14 @@ def collect_terms(node) -> tuple[set, set, set]:
     return pos_t, pos_p, neg_t
 
 
-def all_referenced_terms(node) -> tuple[set, set]:
-    """All term leaves and prefix leaves anywhere in the tree (for the
-    postings fetch -- negatives need their postings too)."""
+def all_referenced_terms(node) -> tuple[set, set, set]:
+    """All term / prefix / frange leaves anywhere in the tree (for the
+    postings fetch -- negatives need their postings too). frange leaves
+    are returned as whole nodes; the engine keys its expansion map by
+    the node itself."""
     terms: set[str] = set()
     prefixes: set[str] = set()
+    franges: set[tuple] = set()
 
     def walk(n):
         tag = n[0]
@@ -193,6 +238,8 @@ def all_referenced_terms(node) -> tuple[set, set]:
             terms.add(n[1])
         elif tag == "prefix":
             prefixes.add(n[1])
+        elif tag == "frange":
+            franges.add(n)
         elif tag in ("and", "or"):
             for c in n[1]:
                 walk(c)
@@ -201,4 +248,4 @@ def all_referenced_terms(node) -> tuple[set, set]:
             walk(n[2])
 
     walk(node)
-    return terms, prefixes
+    return terms, prefixes, franges

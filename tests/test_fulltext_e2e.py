@@ -145,6 +145,26 @@ def test_local_equals_distributed_time_range(engine, corpus):
     assert a == b
 
 
+FIELD_QUERIES = [
+    "lang:de w000001",            # keyword field + scored text term
+    "site:42",                    # numeric exact, filter-only (score 0... no:
+                                  # no text term -> all scores 0, recency ties)
+    "site:[100 TO 199] AND w000002",
+    "site:100-199 AND w000002",   # dash shorthand, same result
+    "doclen:[16 TO 60] AND w000001",
+    "w000001 AND NOT lang:en",
+]
+
+
+@pytest.mark.parametrize("query", FIELD_QUERIES)
+def test_field_query_rank_identity(engine, oracle, query):
+    want = oracle.search(query, k=10)
+    got = engine.search_collect(query, k=10)
+    _assert_rank_identical(got, want, query)
+    got_d = engine.search_collect(query, k=10, local=False)
+    assert got == got_d, query
+
+
 def test_search_many_distributed_path(engine, oracle):
     """Force the batched distributed path (as if every query exceeded the
     serving-node bound) and check rank identity vs the oracle."""

@@ -74,8 +74,45 @@ def test_collect_terms():
     pos, prefixes, neg = collect_terms(tree)
     assert pos == {"a", "b", "c"}
     assert neg == {"d"}
-    terms, pfx = all_referenced_terms(tree)
-    assert terms == {"a", "b", "c", "d"} and pfx == set()
+    terms, pfx, franges = all_referenced_terms(tree)
+    assert terms == {"a", "b", "c", "d"} and pfx == set() and franges == set()
+
+
+# -- field terms + numeric ranges (MiruTermComposer analog) ---------------
+
+def test_field_keyword_term():
+    from miru_spark.fields import compose
+
+    assert parse_query("lang:EN") == ("term", compose("lang", "en"))
+
+
+def test_field_numeric_exact():
+    from miru_spark.fields import compose, encode_num
+
+    assert parse_query("site:42") == ("term", compose("site", encode_num(42)))
+
+
+def test_field_numeric_range_bracket_and_dash():
+    want = ("frange", "site", 3, 10)
+    assert parse_query("site:[3 TO 10]") == want
+    assert parse_query("site:3-10") == want  # reference `obj:1-100` shape
+
+
+def test_field_range_combines_with_text():
+    tree = parse_query("site:[3 TO 10] AND w000001")
+    assert tree == ("and", [("frange", "site", 3, 10), ("term", "w000001")])
+    pos, _, _ = collect_terms(tree)
+    assert pos == {"w000001"}  # field constraints are filter-only
+    terms, _, franges = all_referenced_terms(tree)
+    assert terms == {"w000001"} and franges == {("frange", "site", 3, 10)}
+
+
+def test_field_range_empty_and_errors():
+    assert parse_query("site:[10 TO 3]") == ("none",)
+    with pytest.raises(QueryParseError):
+        parse_query("lang:[1 TO 2]")  # range on non-numeric field
+    with pytest.raises(QueryParseError):
+        parse_query("site:abc")  # non-numeric value for numeric field
 
 
 def test_unbalanced_paren_raises():
