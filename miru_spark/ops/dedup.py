@@ -152,8 +152,10 @@ SELECT doc_id, hid, minhash FROM sig
 # -- MinHash banded LSH: candidates share a full band (BAND_ROWS consecutive
 #    minhashes), then signature agreement estimates Jaccard per candidate --
 
-def dd_minhash_pairs(spark, sf_dir):
-    sig = dd_minhash_sig(spark, sf_dir).persist()
+def _lsh_candidates(sig: DataFrame) -> DataFrame:
+    """Banded-LSH candidate pairs from a (doc_id, hid, minhash) signature
+    frame: bucket by (band, band-key), pair only within buckets -- the
+    candidate set is bounded by bucket sizes, never all-pairs."""
     bands = (
         sig.withColumn("band", (F.col("hid") / BAND_ROWS).cast("int"))
         .groupBy("doc_id", "band")
@@ -168,7 +170,7 @@ def dd_minhash_pairs(spark, sf_dir):
         )
     )
     a, b = bands.alias("a"), bands.alias("b")
-    cand = (
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -180,6 +182,23 @@ def dd_minhash_pairs(spark, sf_dir):
         )
         .distinct()
     )
+
+
+_CAND_SQL = f"""
+bands AS (
+  SELECT doc_id, hid // {BAND_ROWS} AS band,
+         string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY hid) AS bkey
+  FROM sig GROUP BY doc_id, hid // {BAND_ROWS}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+)"""
+
+
+def dd_minhash_pairs(spark, sf_dir):
+    sig = dd_minhash_sig(spark, sf_dir).persist()
+    cand = _lsh_candidates(sig)
     sa = sig.select(
         F.col("doc_id").alias("doc_a"), "hid", F.col("minhash").alias("mh_a")
     )
@@ -204,15 +223,7 @@ def dd_minhash_pairs(spark, sf_dir):
 
 DD_MINHASH_PAIRS_SQL = f"""
 WITH {_SHINGLES_SQL.strip()}, {_PARAMS_SQL}, {_SIG_SQL_BODY.strip()},
-bands AS (
-  SELECT doc_id, hid // {BAND_ROWS} AS band,
-         string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY hid) AS bkey
-  FROM sig GROUP BY doc_id, hid // {BAND_ROWS}
-), cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b
-    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-), est AS (
+{_CAND_SQL.strip()}, est AS (
   SELECT c.doc_a, c.doc_b,
          sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END)
            / {float(N_HASHES)} AS est_raw
@@ -280,24 +291,26 @@ FROM votes GROUP BY doc_id
 """
 
 
-# -- n-gram (3-token shingle) Jaccard over candidate pairs -----------------
+# -- n-gram (3-token shingle) Jaccard: EXACT verify over LSH candidates ----
 
 def dd_ngram_jaccard(spark, sf_dir):
+    """Exact shingle-Jaccard verification over the banded-LSH candidate
+    pairs. Candidate generation is the same bucketed band join as
+    dd_minhash_pairs -- NEVER an unbanded shingle self-equi-join, whose
+    head-shingle m-doc bucket would explode to m^2 join rows at a 100 TB
+    corpus. The verify join is bounded by |candidates| x shingles-per-doc."""
+    sig = dd_minhash_sig(spark, sf_dir).persist()
+    cand = _lsh_candidates(sig)
     shingles = _shingles(_docs(spark, sf_dir))
     sizes = shingles.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("sz")
     )
-    a = shingles.alias("a")
-    b = shingles.alias("b")
+    sh_a = shingles.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sh_b = shingles.select(F.col("doc_id").alias("doc_b"), "shingle")
     inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").cast("long").alias("inter"))
     )
     sa = sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a")
@@ -317,26 +330,16 @@ def dd_ngram_jaccard(spark, sf_dir):
     )
 
 
-DD_NGRAM_JACCARD_SQL = """
-WITH toks AS (
-  SELECT doc_id,
-         unnest(string_split(text, ' ')) AS term,
-         generate_subscripts(string_split(text, ' '), 1) AS pos
-  FROM documents
-), sh AS (
-  SELECT DISTINCT doc_id,
-         term || ' ' || lead(term, 1) OVER w || ' ' || lead(term, 2) OVER w AS shingle
-  FROM toks
-  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
-), shingles AS (
-  SELECT doc_id, shingle FROM sh WHERE shingle IS NOT NULL
-), sizes AS (
+DD_NGRAM_JACCARD_SQL = f"""
+WITH {_SHINGLES_SQL.strip()}, {_PARAMS_SQL}, {_SIG_SQL_BODY.strip()},
+{_CAND_SQL.strip()}, sizes AS (
   SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM shingles GROUP BY doc_id
 ), inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS inter
-  FROM shingles a JOIN shingles b
-    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id
+  SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS inter
+  FROM cand c
+  JOIN shingles a ON a.doc_id = c.doc_a
+  JOIN shingles b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY c.doc_a, c.doc_b
 )
 SELECT i.doc_a, i.doc_b,
        round(i.inter / CAST(sa.sz + sb.sz - i.inter AS DOUBLE), 4) AS jaccard

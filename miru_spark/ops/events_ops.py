@@ -7,6 +7,7 @@ oracle. `events` schema: event_id, ts, user_id, event_type, value, props.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -191,6 +192,197 @@ FROM daily GROUP BY event_type
 """
 
 
+# -- Trending PEAKS / HIGHEST_PEAK / LEADER strategies:
+#    TrendingInjectable.java:126-190 (strategy dispatch), PeakDet.java
+#    (Billauer's public-domain `peakdet`: a point is a maximum peak if it
+#    was followed by a drop of more than DELTA). DELTA per entity =
+#    highest_bucket/6 + bucket95/100, where bucket95 is commons-math
+#    Percentile().evaluate(highestBuckets, 0.95) -- note the reference
+#    passes 0.95 on the 0-100 percentile scale (R-6 estimator), which we
+#    reproduce faithfully. LEADER = waveform sum, HIGHEST_PEAK = max. ----
+
+
+def _r6_percentile(sorted_vals: list, p: float) -> float:
+    """commons-math Percentile (R-6 / legacy estimator): pos = p/100*(n+1),
+    linear interpolation between order statistics."""
+    n = len(sorted_vals)
+    if n == 0:
+        return 0.0
+    if n == 1:
+        return float(sorted_vals[0])
+    pos = p / 100.0 * (n + 1)
+    if pos < 1:
+        return float(sorted_vals[0])
+    if pos >= n:
+        return float(sorted_vals[-1])
+    d = int(pos)
+    frac = pos - d
+    return float(sorted_vals[d - 1]) + frac * (
+        float(sorted_vals[d]) - float(sorted_vals[d - 1])
+    )
+
+
+def _peakdet_count(vec, delta: float) -> int:
+    """Count maxima via Billauer's peakdet (public domain,
+    http://billauer.co.il; the algorithm PeakDet.java transcribes)."""
+    mn, mx = float("inf"), float("-inf")
+    lookformax = True
+    peaks = 0
+    for a in vec:
+        a = float(a)
+        if a > mx:
+            mx = a
+        if a < mn:
+            mn = a
+        if lookformax:
+            if a < mx - delta:
+                peaks += 1
+                mn = a
+                lookformax = False
+        else:
+            if a > mn + delta:
+                mx = a
+                lookformax = True
+    return peaks
+
+
+def ev_trending_peaks(spark, sf_dir):
+    """All three non-slope trending strategies over zero-filled daily
+    waveforms per event_type: n_peaks (PEAKS), leader (LEADER), and
+    highest_peak (HIGHEST_PEAK). Waveform aggregation is distributed
+    (groupBy + collect_list of day buckets -- bucket count is the query's
+    segment count, bounded); peak counting runs in an Arrow-batched
+    pandas UDF over one tiny row per entity."""
+    from pyspark.sql.functions import pandas_udf
+
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(
+            F.date_trunc("DAY", "ts").cast("date"),
+            F.lit("2024-01-01").cast("date"),
+        ).alias("day_idx"),
+    ).agg(F.count("*").cast("long").alias("cnt"))
+    maxd = daily.agg(F.max("day_idx")).collect()[0][0] or 0
+    days = spark.range(0, int(maxd) + 1).select(
+        F.col("id").cast("int").alias("day_idx")
+    )
+    grid = (
+        daily.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(days))
+        .join(daily, ["event_type", "day_idx"], "left")
+        .withColumn("cnt", F.coalesce("cnt", F.lit(0).cast("long")))
+    )
+    wf = (
+        grid.groupBy("event_type")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("day_idx", "cnt"))),
+                lambda x: x["cnt"],
+            ).alias("waveform")
+        )
+        .withColumn("highest_peak", F.array_max("waveform"))
+        .withColumn(
+            "leader",
+            F.aggregate(
+                "waveform", F.lit(0).cast("long"), lambda a, v: a + v
+            ),
+        )
+    )
+    highs = sorted(
+        int(r["highest_peak"]) for r in wf.select("highest_peak").collect()
+    )
+    bucket95 = _r6_percentile(highs, 0.95)
+
+    @pandas_udf("int")
+    def peaks_of(wfs: pd.Series, deltas: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                _peakdet_count(v, float(d))
+                for v, d in zip(wfs, deltas)
+            ],
+            dtype="int32",
+        )
+
+    return wf.select(
+        "event_type",
+        peaks_of(
+            F.col("waveform"),
+            F.col("highest_peak") / 6.0 + F.lit(bucket95) / 100.0,
+        ).alias("n_peaks"),
+        "leader",
+        "highest_peak",
+    )
+
+
+EV_TRENDING_PEAKS_SQL = """
+WITH RECURSIVE daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '2024-01-01', CAST(date_trunc('day', ts) AS DATE)) AS day_idx,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+), bounds AS (SELECT max(day_idx) AS maxd FROM daily),
+grid AS (
+  SELECT e.event_type, d.day_idx, COALESCE(daily.cnt, 0) AS cnt
+  FROM (SELECT DISTINCT event_type FROM daily) e
+  CROSS JOIN (SELECT unnest(range(0, (SELECT maxd + 1 FROM bounds))) AS day_idx) d
+  LEFT JOIN daily ON daily.event_type = e.event_type AND daily.day_idx = d.day_idx
+), ent AS (
+  SELECT event_type, max(cnt) AS highest, CAST(sum(cnt) AS BIGINT) AS leader
+  FROM grid GROUP BY event_type
+), b95 AS (
+  -- commons-math R-6 percentile, p = 0.95 on the 0-100 scale (faithful
+  -- to the reference's Percentile().evaluate(highestBuckets, 0.95))
+  SELECT CASE
+           WHEN n = 1 THEN CAST(l[1] AS DOUBLE)
+           WHEN 0.0095 * (n + 1) < 1 THEN CAST(l[1] AS DOUBLE)
+           WHEN 0.0095 * (n + 1) >= n THEN CAST(l[n] AS DOUBLE)
+           ELSE CAST(l[CAST(floor(0.0095 * (n + 1)) AS INT)] AS DOUBLE)
+                + (0.0095 * (n + 1) - floor(0.0095 * (n + 1)))
+                  * (l[CAST(floor(0.0095 * (n + 1)) AS INT) + 1]
+                     - l[CAST(floor(0.0095 * (n + 1)) AS INT)])
+         END AS bucket95
+  FROM (SELECT list_sort(list(highest)) AS l, count(*) AS n FROM ent)
+), thr AS (
+  SELECT ent.event_type, ent.highest / 6.0 + b95.bucket95 / 100.0 AS delta
+  FROM ent CROSS JOIN b95
+), walk(event_type, i, mx, mn, lookformax, peaks) AS (
+  -- Billauer peakdet as a per-entity left-to-right fold
+  SELECT event_type, -1, CAST(-1e308 AS DOUBLE), CAST(1e308 AS DOUBLE), 1, 0
+  FROM ent
+  UNION ALL
+  SELECT w.event_type, w.i + 1,
+         CASE WHEN w.lookformax = 0
+                   AND g.cnt > least(w.mn, CAST(g.cnt AS DOUBLE)) + t.delta
+              THEN CAST(g.cnt AS DOUBLE)
+              ELSE greatest(w.mx, CAST(g.cnt AS DOUBLE)) END,
+         CASE WHEN w.lookformax = 1
+                   AND g.cnt < greatest(w.mx, CAST(g.cnt AS DOUBLE)) - t.delta
+              THEN CAST(g.cnt AS DOUBLE)
+              ELSE least(w.mn, CAST(g.cnt AS DOUBLE)) END,
+         CASE WHEN w.lookformax = 1
+                   AND g.cnt < greatest(w.mx, CAST(g.cnt AS DOUBLE)) - t.delta
+              THEN 0
+              WHEN w.lookformax = 0
+                   AND g.cnt > least(w.mn, CAST(g.cnt AS DOUBLE)) + t.delta
+              THEN 1
+              ELSE w.lookformax END,
+         w.peaks + CASE WHEN w.lookformax = 1
+                             AND g.cnt < greatest(w.mx, CAST(g.cnt AS DOUBLE)) - t.delta
+                        THEN 1 ELSE 0 END
+  FROM walk w
+  JOIN grid g ON g.event_type = w.event_type AND g.day_idx = w.i + 1
+  JOIN thr t ON t.event_type = w.event_type
+)
+SELECT w.event_type, CAST(w.peaks AS INT) AS n_peaks, ent.leader,
+       ent.highest AS highest_peak
+FROM walk w
+JOIN ent ON ent.event_type = w.event_type
+WHERE w.i = (SELECT maxd FROM bounds)
+"""
+
+
 # -- Collaborative filtering (3-hop self-join):
 #    CollaborativeFiltering.collaborativeFiltering,
 #    miru-reco-plugins/.../CollaborativeFiltering.java:58-213:
@@ -250,5 +442,6 @@ QUERIES = {
     "ev_metrics": (ev_metrics, EV_METRICS_SQL),
     "ev_anomaly_newest": (ev_anomaly_newest, EV_ANOMALY_NEWEST_SQL),
     "ev_trending_slope": (ev_trending_slope, EV_TRENDING_SLOPE_SQL),
+    "ev_trending_peaks": (ev_trending_peaks, EV_TRENDING_PEAKS_SQL),
     "ev_reco_cofilter": (ev_reco_cofilter, EV_RECO_COFILTER_SQL),
 }

@@ -147,9 +147,14 @@ FROM ranked WHERE rn <= 5
 
 
 # -- strut: learned feature scoring = sum(count x weight) combined per
-#    strategy (Strut.java:82-236, scaleScore :180; Strategy.java:6-10
-#    UNIT_WEIGHTED / MAX). Model weight is a deterministic function of the
-#    feature (1/(1+bucket)) standing in for the catwalk model table. -------
+#    strategy (Strut.java:82-236, scaleScore :399-407, finalizeScore
+#    :367-397; Strategy.java:6-10 UNIT_WEIGHTED / REGRESSION_WEIGHTED /
+#    MAX). Model weight is a deterministic function of the feature
+#    (1/(1+bucket)) standing in for the catwalk model table;
+#    REGRESSION_WEIGHTED pre-scales each numerator by a per-feature
+#    regression scalar (Strategy.java:8 "S = 0.5*A + 0.4*B + ...") -- here
+#    the deterministic scalar 1/(2+bucket) -- then sums the positive
+#    scaled scores (finalizeScore:378-385). ---------------------------------
 
 def ev_strut_score(spark, sf_dir):
     ev = _items(spark, sf_dir).select(
@@ -160,11 +165,22 @@ def ev_strut_score(spark, sf_dir):
     )
     weighted = feat.withColumn(
         "w", F.lit(1.0) / (F.lit(1.0) + F.col("bucket").cast("double"))
+    ).withColumn(
+        "scalar", F.lit(1.0) / (F.lit(2.0) + F.col("bucket").cast("double"))
     )
     return weighted.groupBy("event_type").agg(
         F.round(
             F.sum(F.col("cnt") * F.col("w")) / F.sum("cnt"), 6
         ).alias("unit_weighted"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("cnt") * F.col("w") * F.col("scalar") > 0,
+                    F.col("cnt") * F.col("w") * F.col("scalar"),
+                ).otherwise(0.0)
+            ),
+            6,
+        ).alias("regression_weighted"),
         F.round(F.max(F.col("w")), 6).alias("max_weight"),
     )
 
@@ -174,10 +190,15 @@ WITH feat AS (
   SELECT event_type, user_id % 10 AS bucket, CAST(count(*) AS DOUBLE) AS cnt
   FROM events GROUP BY 1, 2
 ), weighted AS (
-  SELECT *, 1.0 / (1.0 + CAST(bucket AS DOUBLE)) AS w FROM feat
+  SELECT *, 1.0 / (1.0 + CAST(bucket AS DOUBLE)) AS w,
+         1.0 / (2.0 + CAST(bucket AS DOUBLE)) AS scalar
+  FROM feat
 )
 SELECT event_type,
        round(sum(cnt * w) / sum(cnt), 6) AS unit_weighted,
+       round(sum(CASE WHEN cnt * w * scalar > 0
+                      THEN cnt * w * scalar ELSE 0 END), 6)
+         AS regression_weighted,
        round(max(w), 6) AS max_weight
 FROM weighted GROUP BY event_type
 """

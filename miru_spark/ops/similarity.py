@@ -16,6 +16,10 @@ from pyspark.sql.window import Window
 
 TOP_K = 5
 N_QUERIES = 3  # vec_id 0..2 are the query vectors
+# near-dup cosine threshold: 0.35 keeps the op's oracle gate non-trivial
+# on the synthetic embeddings (whose max same-label cosine is ~0.47 at
+# sf0.01); a production near-dup sweep would run the same plan at ~0.9
+_DUP_THRESHOLD = 0.35
 
 
 def _emb(spark, sf_dir):
@@ -84,26 +88,36 @@ FROM ranked WHERE rank <= {TOP_K}
 """
 
 
-# -- label-blocked near-duplicate pairs (bucketed scale path) ---------------
+# -- near-duplicate pairs, bucketed by (label, lsh_bucket) ------------------
+# Candidate generation joins on the COMPOSITE key so the pair count is
+# quadratic only in the (label, bucket) cell size (expected cell ~=
+# label_size / 2^N_PLANES), never in the whole label -- the same banding
+# idea as dd_minhash_pairs applied inside each label. A high-cosine
+# near-duplicate almost always lands in the same hyperplane bucket; at
+# higher recall requirements, union over several independent plane sets
+# (more bands) exactly like MinHash banding.
 
 def emb_dup_pairs(spark, sf_dir):
     emb = _emb(spark, sf_dir)
-    a = emb.select(
+    eb = emb.join(_lsh_buckets(emb, spark), "vec_id")
+    a = eb.select(
         F.col("label").alias("lbl"),
+        F.col("bucket").alias("bkt"),
         F.col("vec_id").alias("vid_a"),
         F.col("embedding").alias("va"),
     )
-    b = emb.select(
+    b = eb.select(
         F.col("label").alias("lbl"),
+        F.col("bucket").alias("bkt"),
         F.col("vec_id").alias("vid_b"),
         F.col("embedding").alias("vb"),
     )
-    pairs = a.join(b, "lbl").filter(F.col("vid_a") < F.col("vid_b"))
+    pairs = a.join(b, ["lbl", "bkt"]).filter(F.col("vid_a") < F.col("vid_b"))
     scored = pairs.withColumn(
         "cos_r", F.round(_cosine(F.col("va"), F.col("vb")), 4)
     )
     return (
-        scored.filter(F.col("cos_r") >= 0.9)
+        scored.filter(F.col("cos_r") >= _DUP_THRESHOLD)
         .select(
             F.col("lbl").alias("label"),
             "vid_a",
@@ -111,15 +125,6 @@ def emb_dup_pairs(spark, sf_dir):
             F.col("cos_r").alias("cosine"),
         )
     )
-
-
-EMB_DUP_PAIRS_SQL = """
-SELECT a.label AS label, a.vec_id AS vid_a, b.vec_id AS vid_b,
-       round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cosine
-FROM embeddings a JOIN embeddings b
-  ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE round(list_cosine_similarity(a.embedding, b.embedding), 4) >= 0.9
-"""
 
 
 # -- label centroid similarity (aggregate over vectors, JVM-side) -----------
@@ -245,6 +250,20 @@ eb AS (
 )
 SELECT qid, vid, cos_r AS cosine, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+EMB_DUP_PAIRS_SQL = f"""
+WITH {_LSH_BUCKETS_SQL.strip()},
+eb AS (
+  SELECT e.vec_id, e.embedding, e.label, b.bucket
+  FROM embeddings e JOIN buckets b USING (vec_id)
+)
+SELECT a.label AS label, a.vec_id AS vid_a, b.vec_id AS vid_b,
+       round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cosine
+FROM eb a JOIN eb b
+  ON a.label = b.label AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.embedding, b.embedding), 4) >= {_DUP_THRESHOLD}
 """
 
 
