@@ -146,6 +146,10 @@ class IndexPaths:
     def lineage(self) -> str:
         return os.path.join(self.root, "lineage")
 
+    @property
+    def removals(self) -> str:
+        return os.path.join(self.root, "removals")
+
 
 @dataclass
 class BuildReport:

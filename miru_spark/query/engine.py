@@ -179,6 +179,7 @@ def _make_kernel(
     use_blockmax: bool,
     idf_map: dict | None = None,
     time_spec: tuple | None = None,
+    removed_map: dict | None = None,
 ):
     """Build the per-partition applyInPandas kernel (closure ships to
     executors with the task -- all members are small).
@@ -233,9 +234,13 @@ def _make_kernel(
             ) if len(grp) else ids
         return term_ids, term_tfs, term_dls
 
-    def score_subset(pid: int, rows: "pd.DataFrame", idf: dict, bounds):
+    def score_subset(
+        pid: int, rows: "pd.DataFrame", idf: dict, bounds, rem=None
+    ):
         """Exact match+score over a doc-range-aligned blk subset.
-        Returns (doc_ids, scores) sorted by doc_id."""
+        Returns (doc_ids, scores) sorted by doc_id. `rem` is the pid's
+        sorted removed-docID array (tombstone mask, the query-side
+        andNot(removalIndex) of MiruIndexer.remove)."""
         term_ids, term_tfs, term_dls = decode_terms(rows)
         n_docs_pid = int(pid_counts.get(pid, 0))
         if has_all:
@@ -252,6 +257,11 @@ def _make_kernel(
         if bounds is not None and matches.size:
             lo, hi = bounds
             matches = matches[(matches >= lo) & (matches < hi)]
+        if rem is not None and rem.size and matches.size:
+            pos = np.minimum(
+                np.searchsorted(rem, matches), rem.size - 1
+            )
+            matches = matches[rem[pos] != matches]
         if matches.size == 0:
             z = np.empty(0, dtype=np.int64)
             return z, np.empty(0, dtype=np.float64)
@@ -281,9 +291,15 @@ def _make_kernel(
             return pd.DataFrame(columns=["pid", "doc_id", "score"])
         pid = int(pdf["pid"].iloc[0])
         trows = None
+        rem = removed_map.get(pid) if removed_map is not None else None
         if "rk" in pdf.columns:
             rk = pdf["rk"].to_numpy()
             trows = pdf[rk == "t"]
+            xrows = pdf[rk == "x"]  # unpinned tombstones ride along
+            if len(xrows):
+                rem = np.unique(
+                    xrows["first_doc"].to_numpy().astype(np.int64)
+                )
             pdf = pdf[rk == "p"]  # 'z' marker rows carry no postings
         bounds = resolve_bounds(pid, trows)
         if pdf.empty and not has_all:
@@ -299,7 +315,7 @@ def _make_kernel(
             }
 
         if not use_blockmax or has_all or k <= 0:
-            ids, scores = score_subset(pid, pdf, idf, bounds)
+            ids, scores = score_subset(pid, pdf, idf, bounds, rem)
             out_ids, out_scores = topk_of(ids, scores)
         else:
             # ---- exact block-max pruning over aligned blk ranges ----
@@ -331,7 +347,7 @@ def _make_kernel(
                 if new:
                     sub_rows = pdf[pdf["blk"].isin(subset)]
                     scored_ids, scored_scores = score_subset(
-                        pid, sub_rows, idf, bounds
+                        pid, sub_rows, idf, bounds, rem
                     )
                     scored_blks = subset
                 if scored_ids.size >= k or m >= len(blks_desc):
@@ -346,7 +362,7 @@ def _make_kernel(
                 if cand != scored_blks:
                     sub_rows = pdf[pdf["blk"].isin(cand)]
                     scored_ids, scored_scores = score_subset(
-                        pid, sub_rows, idf, bounds
+                        pid, sub_rows, idf, bounds, rem
                     )
             out_ids, out_scores = topk_of(scored_ids, scored_scores)
 
@@ -366,6 +382,7 @@ class SearchEngine:
         index_dir: str,
         max_pinned_terms: int = 4_000_000,
         local_max_postings: int = 2_000_000,
+        max_pinned_removals: int = 2_000_000,
     ):
         self.spark = spark
         # AQE re-plans every exchange as its own job; for small interactive
@@ -428,6 +445,45 @@ class SearchEngine:
         # range) the distributed mapInPandas path runs instead.
         self.local_max_postings = int(local_max_postings)
         self._pads = None
+        # Doc-level tombstones (MiruRemovalIndex analog): every query masks
+        # its matches against the resolved removed set, so removing one doc
+        # is a parquet append, never a partition rebuild. Pinned driver-
+        # side below `max_pinned_removals` (the reference keeps the whole
+        # removal bitmap heap-resident per partition); above the bound the
+        # removed ids ride into the kernel as per-pid 'x' rows
+        # co-partitioned with the postings.
+        self._max_pinned_removals = int(max_pinned_removals)
+        self.refresh_removals()
+
+    def refresh_removals(self) -> None:
+        """(Re)load the tombstone log — call after remove_docs/
+        restore_docs against a live engine."""
+        from ..index.removals import read_removed
+
+        self._removed_df = None    # removed (pid, doc_id) relation
+        self._removed_map = None   # pinned: dict pid -> sorted doc_ids
+        self._removed_comp = None  # pinned: sorted composite ids (local)
+        rdf = read_removed(self.spark, self.paths)
+        if rdf is None:
+            return
+        rows = rdf.limit(self._max_pinned_removals + 1).collect()
+        if not rows:
+            return  # every tombstone was out-versioned by a restore
+        self._removed_df = rdf
+        if len(rows) > self._max_pinned_removals:
+            return  # unpinned: 'x' rows co-partition into the kernel
+        by_pid: dict[int, list] = {}
+        for r in rows:
+            by_pid.setdefault(int(r["pid"]), []).append(int(r["doc_id"]))
+        self._removed_map = {
+            p: np.unique(np.asarray(ds, dtype=np.int64))
+            for p, ds in by_pid.items()
+        }
+        self._removed_comp = np.sort(
+            np.concatenate(
+                [(p << 32) + ds for p, ds in self._removed_map.items()]
+            )
+        )
 
     # -- helpers -----------------------------------------------------------
     def expand_prefix(self, prefix: str) -> list[str]:
@@ -659,6 +715,26 @@ class SearchEngine:
                 [(int(p),) for p in relevant_pids], "pid long"
             )
             blocks = blocks.unionByName(_pad_cols(markers, kcols, "z"))
+        unpinned_removals = (
+            self._removed_df is not None and self._removed_map is None
+        )
+        if unpinned_removals:
+            # tombstone set too large to pin: each removed docID rides to
+            # its pid's kernel task as an 'x' row (id in first_doc),
+            # hash-co-partitioned with that pid's posting blocks
+            xr = self._removed_df
+            if p["pid_range"] is not None:
+                pid_lo, pid_hi = p["pid_range"]
+                xr = xr.filter(
+                    (F.col("pid") >= pid_lo) & (F.col("pid") <= pid_hi)
+                )
+            blocks = blocks.unionByName(
+                _pad_cols(
+                    xr.select("pid", F.col("doc_id").alias("first_doc")),
+                    kcols,
+                    "x",
+                )
+            )
 
         kernel = _make_kernel(
             tree,
@@ -672,6 +748,7 @@ class SearchEngine:
             use_blockmax,
             idf_map=idf_map,
             time_spec=time_spec,
+            removed_map=self._removed_map,
         )
         # hash-co-locate each pid's fetched blocks on one task, then ONE
         # pandas call per task loops the pids it owns -- same semantics as
@@ -685,7 +762,11 @@ class SearchEngine:
         # term-query path needs NO exchange at all; unions (time-index /
         # marker rows) or uncached reads fall back to a per-query
         # repartition bounded by the pids touched
-        plain = not boundary_pids and not (has_all_node and relevant_pids)
+        plain = (
+            not boundary_pids
+            and not (has_all_node and relevant_pids)
+            and not unpinned_removals
+        )
         if getattr(self, "_pid_colocated", False) and plain:
             src = blocks
         else:
@@ -738,6 +819,8 @@ class SearchEngine:
         return (
             self._term_df is not None
             and prep["time_bounds"] is None  # format-1 needs a Spark job
+            # unpinned tombstones can only mask on the kernel path
+            and (self._removed_df is None or self._removed_map is not None)
             and self._estimated_postings(prep) <= self.local_max_postings
         )
 
@@ -868,6 +951,10 @@ class SearchEngine:
             matches = np.concatenate(
                 (matches[:s], matches[kl:kh], matches[e:])
             )
+        rem = self._removed_comp
+        if rem is not None and rem.size and matches.size:
+            pos = np.minimum(np.searchsorted(rem, matches), rem.size - 1)
+            matches = matches[rem[pos] != matches]
         if matches.size == 0:
             return []
 
@@ -1044,6 +1131,12 @@ class SearchEngine:
         out: dict[str, list] = {}
         for qid, q in enumerate(queries):
             prep = self._prep_query(q, locale, None)
+            if self._removed_df is not None and self._removed_map is None:
+                # unpinned tombstones need per-query 'x'-row co-partition;
+                # route through the individual kernel path
+                fallback[q] = None
+                specs.append(None)
+                continue
             if self._local_eligible(prep):
                 # bounded query: answer on the serving node, no job
                 rows = self._search_local(prep, k, use_blockmax)
@@ -1099,6 +1192,7 @@ class SearchEngine:
             kernels[qid] = _make_kernel(
                 tree, scoring, n_docs, avgdl, k, pid_counts,
                 expansions, None, use_blockmax, idf_map=idf_map,
+                removed_map=self._removed_map,
             )
 
         def dispatch(batches):
@@ -1147,9 +1241,19 @@ class SearchEngine:
 
     def newest(self, k: int = 10) -> DataFrame:
         """TIME strategy: newest-k, score 0 (FullText.collectTime
-        :222-251 -- descending docID iterator)."""
+        :222-251 -- descending docID iterator), minus tombstoned docs."""
+        dm = self.docmap
+        if self._removed_df is not None:
+            # pinned sets are tiny -> broadcast anti-join; unpinned sets
+            # fall back to a plain (shuffled) anti-join
+            rd = (
+                F.broadcast(self._removed_df)
+                if self._removed_map is not None
+                else self._removed_df
+            )
+            dm = dm.join(rd, ["pid", "doc_id"], "anti")
         return (
-            self.docmap.select(
+            dm.select(
                 "url",
                 F.timestamp_micros("warc_us").alias("warc_ts"),
                 "pid",

@@ -49,11 +49,18 @@ def sip_build(
     partition_seconds: int = 86400,
     block_span: int = 4096,
     late: str = "error",
+    batch_partitions: int | None = 8,
 ) -> list[dict]:
     """Consume all files not yet checkpointed and index them.
 
     Returns one report dict per processed micro-batch. Idempotent: a
     second call with no new files is a no-op (cursor already at head).
+
+    `batch_partitions` bounds how many pids share one commit tag (the
+    reopen/repair blast radius: `reopen_pids` invalidates whole commit
+    batches, so a bounded value keeps a later repair from rebuilding the
+    entire micro-batch). None = fastest single-commit build, whole-batch
+    blast radius.
     """
     assert late in ("error", "skip")
     reports: list[dict] = []
@@ -86,6 +93,7 @@ def sip_build(
             index_dir,
             partition_seconds=partition_seconds,
             block_span=block_span,
+            batch_partitions=batch_partitions,
             resume=True,
         )
         reports.append(
@@ -113,11 +121,20 @@ def reopen_pids(
     spark: SparkSession, index_dir: str, pids: list[int]
 ) -> list[int]:
     """Invalidate completed pids so the next build re-indexes them (the
-    repair path; miru analog: partition obsolete -> rebuilding,
-    MiruPartitionState.java:10-15).
+    BULK repair path; miru analog: partition obsolete -> rebuilding,
+    MiruPartitionState.java:10-15). For single-document removal use the
+    tombstone API (miru_spark.index.removals) -- it is a parquet append,
+    not a rebuild.
 
     Commit granularity is the batch dir, so every pid sharing a batch with
-    a reopened pid is reopened too; returns the full reopened set."""
+    a reopened pid is reopened too; returns the full reopened set. NOTE:
+    a build run with `batch_partitions=None` (the fast single-commit
+    default of build_index) puts EVERY pid under one `NNNN_all` tag, so
+    reopening any pid of that build invalidates the whole build --
+    sip_build therefore defaults to bounded batches (batch_partitions=8).
+    Reopened docs already behind the sip checkpoint will not re-stream;
+    re-index them with a direct `build_index` call over their source
+    slice (the streaming cursor only moves forward)."""
     import shutil
 
     paths = IndexPaths(index_dir)
