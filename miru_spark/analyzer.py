@@ -251,6 +251,179 @@ porter2_stem = lru_cache(maxsize=1 << 18)(_porter2_stem_uncached)
 
 
 # ---------------------------------------------------------------------------
+# German analyzer (TermAnalyzers.java:60 wires Lucene's GermanAnalyzer:
+# lowercase -> stop -> umlaut normalization -> light stemming). The
+# stemmer is Savoy's German light stemmer ("Light Stemming Approaches for
+# the French, Portuguese, German and Hungarian Languages", SAC 2006),
+# implemented from the published algorithm.
+# ---------------------------------------------------------------------------
+
+# Snowball German stopword list (snowballstem.org german stop set)
+GERMAN_STOPWORDS = frozenset(
+    """aber alle allem allen aller alles als also am an ander andere anderem
+    anderen anderer anderes anderm andern anderr anders auch auf aus bei bin
+    bis bist da damit dann das dass dasselbe dazu dein deine deinem deinen
+    deiner deines dem demselben den denn denselben der derer derselbe
+    derselben des desselben dessen dich die dies diese dieselbe dieselben
+    diesem diesen dieser dieses dir doch dort du durch ein eine einem einen
+    einer eines einig einige einigem einigen einiger einiges einmal er es
+    etwas euch euer eure eurem euren eurer eures fuer gegen gewesen hab habe
+    haben hat hatte hatten hier hin hinter ich ihm ihn ihnen ihr ihre ihrem
+    ihren ihrer ihres im in indem ins ist jede jedem jeden jeder jedes jene
+    jenem jenen jener jenes jetzt kann kein keine keinem keinen keiner
+    keines koennen koennte machen man manche manchem manchen mancher manches
+    mein meine meinem meinen meiner meines mich mir mit muss musste nach
+    nicht nichts noch nun nur ob oder ohne sehr sein seine seinem seinen
+    seiner seines selbst sich sie sind so solche solchem solchen solcher
+    solches soll sollte sondern sonst ueber um und uns unse unsem unsen
+    unser unses unter viel vom von vor waehrend war waren warst was weg weil
+    weiter welche welchem welchen welcher welches wenn werde werden wie
+    wieder will wir wird wirst wo wollen wollte wuerde wuerden zu zum zur
+    zwar zwischen für über während würde würden können könnte müssen""".split()
+)
+
+_DE_ST_ENDING = frozenset("bdfghklmnt")
+
+
+def _german_normalize(word: str) -> str:
+    """Umlaut/eszett folding FSM (Lucene GermanNormalizationFilter
+    semantics): ä/ö/ü -> a/o/u, ß -> ss, and a trailing 'e' of the
+    digraphs ae/oe/ue is dropped -- except after another vowel or 'q'
+    (so 'quelle' keeps its 'ue')."""
+    out: list[str] = []
+    N, V, U = 0, 1, 2  # initial / after-vowel-or-q / after-bare-a-o-u
+    state = N
+    for c in word:
+        if c in ("a", "o"):
+            out.append(c)
+            state = U
+        elif c == "u":
+            out.append(c)
+            state = U if state == N else V
+        elif c == "e":
+            if state != U:
+                out.append(c)
+            state = V
+        elif c in ("i", "q", "y"):
+            out.append(c)
+            state = V
+        elif c == "ä":
+            out.append("a")
+            state = V
+        elif c == "ö":
+            out.append("o")
+            state = V
+        elif c == "ü":
+            out.append("u")
+            state = V
+        elif c == "ß":
+            out.append("ss")
+            state = N
+        else:
+            out.append(c)
+            state = N
+    return "".join(out)
+
+
+def _german_light_stem_uncached(word: str) -> str:
+    """Savoy's German light stemmer (plural/case suffix removal in two
+    passes) over the normalized form."""
+    w = _german_normalize(word)
+    # accent folding the normalizer doesn't cover
+    w = (
+        w.replace("à", "a").replace("á", "a").replace("â", "a")
+        .replace("ò", "o").replace("ó", "o").replace("ô", "o")
+        .replace("ì", "i").replace("í", "i").replace("î", "i")
+        .replace("ù", "u").replace("ú", "u").replace("û", "u")
+    )
+
+    def step1(s: str) -> str:
+        if len(s) > 5 and s.endswith("ern"):
+            return s[:-3]
+        if len(s) > 4 and len(s) >= 2 and s[-2] == "e" and s[-1] in "mnrs":
+            return s[:-2]
+        if len(s) > 3 and s.endswith("e"):
+            return s[:-1]
+        if len(s) > 3 and s.endswith("s") and s[-2] in _DE_ST_ENDING:
+            return s[:-1]
+        return s
+
+    def step2(s: str) -> str:
+        if len(s) > 5 and s.endswith("est"):
+            return s[:-3]
+        if len(s) > 4 and (s.endswith("er") or s.endswith("en")):
+            return s[:-2]
+        if len(s) > 3 and s.endswith("s") and s[-2] in _DE_ST_ENDING:
+            return s[:-1]
+        return s
+
+    return step2(step1(w))
+
+
+german_light_stem = lru_cache(maxsize=1 << 16)(_german_light_stem_uncached)
+
+
+# ---------------------------------------------------------------------------
+# French analyzer (TermAnalyzers.java:63 wires Lucene's FrenchAnalyzer:
+# elision -> lowercase -> stop -> light stemming). Our tokenizer already
+# splits on the apostrophe, so elided articles (l', d', qu', ...) arrive
+# as standalone tokens; they are folded into the stopword set below.
+# The stemmer is Savoy's French MINIMAL stemmer ("A stemming procedure
+# and stopword list for general French corpora", JASIS 50(10), 1999) --
+# a documented scope reduction from Lucene's light variant.
+# ---------------------------------------------------------------------------
+
+# Snowball French stopword list + elided-article tokens
+FRENCH_STOPWORDS = frozenset(
+    """au aux avec ce ces dans de des du elle en et eux il ils je la le les
+    leur lui ma mais me meme mes moi mon ne nos notre nous on ou par pas
+    pour qu que qui sa se ses son sur ta te tes toi ton tu un une vos votre
+    vous ceci cela cet cette ici là leurs quel quels quelle quelles
+    sans soi même
+    c d j l m n s t jusqu lorsqu puisqu quoiqu
+    été étée étées étés étant suis es est sommes êtes sont serai seras sera
+    serons serez seront serais serait serions seriez seraient étais était
+    étions étiez étaient fus fut fûmes fûtes furent sois soit soyons soyez
+    soient fusse fusses fût fussions fussiez fussent ayant eu eue eues eus
+    ai as avons avez ont aurai auras aura aurons aurez auront aurais aurait
+    aurions auriez auraient avais avait avions aviez avaient eut eûmes
+    eûtes eurent aie aies ait ayons ayez aient eusse eusses eût eussions
+    eussiez eussent a""".split()
+)
+
+
+def _french_minimal_stem_uncached(word: str) -> str:
+    """Savoy's minimal French stemmer: plural -x (with -aux -> -al),
+    then final s / r / e / é, then undouble the final consonant. Applies
+    only to words longer than 5 chars (published guard)."""
+    s = word
+    if len(s) < 6:
+        return s
+    if s.endswith("x"):
+        # -aux -> -al (chevaux -> cheval), except -eaux (manteaux ->
+        # manteau): only the plain x drops there
+        if s.endswith("aux") and not s.endswith("eaux"):
+            return s[:-2] + "l"
+        return s[:-1]
+    if s.endswith("s"):
+        s = s[:-1]
+    if s.endswith("r"):
+        s = s[:-1]
+    if s.endswith("e"):
+        s = s[:-1]
+    if s.endswith("é"):
+        s = s[:-1]
+    if len(s) >= 2 and s[-1] == s[-2] and s[-1].isalpha():
+        s = s[:-1]
+    return s
+
+
+french_minimal_stem = lru_cache(maxsize=1 << 16)(
+    _french_minimal_stem_uncached
+)
+
+
+# ---------------------------------------------------------------------------
 # Tokenization / analysis
 # ---------------------------------------------------------------------------
 
@@ -268,20 +441,34 @@ def standard_tokenize(text: str) -> list[str]:
 def analyze(text: str, locale: str | None = None) -> list[str]:
     """Analyze text with the locale's analyzer.
 
-    `en` (and `en_*` -- locale suffix stripping per TermAnalyzers.java:117-131)
-    gets English stopword removal + Porter2 stemming; everything else gets
-    Standard behavior (documented scope reduction from the reference's 30+
-    Lucene language analyzers).
+    Locale suffix stripping per TermAnalyzers.java:117-131. `en` gets
+    English stopwords + Porter2; `de` German stopwords + normalization +
+    light stemming; `fr` French stopwords (incl. elided articles) +
+    minimal stemming. Everything else falls back to Standard behavior
+    (lowercase tokens, no stop/stem), exactly like
+    TermAnalyzers.findAnalyzer's StandardAnalyzer fallback -- a
+    documented scope reduction from the reference's 30+ Lucene language
+    analyzers to its three most-hit ones.
     """
     tokens = standard_tokenize(text)
     base = (locale or "").lower()
-    while base and base not in ("en",):
+    while base and base not in ("en", "de", "fr"):
         if "_" in base:
             base = base.rsplit("_", 1)[0]
         else:
             break
     if base == "en":
         return [porter2_stem(t) for t in tokens if t not in ENGLISH_STOPWORDS]
+    if base == "de":
+        return [
+            german_light_stem(t) for t in tokens
+            if t not in GERMAN_STOPWORDS
+        ]
+    if base == "fr":
+        return [
+            french_minimal_stem(t) for t in tokens
+            if t not in FRENCH_STOPWORDS
+        ]
     return tokens
 
 

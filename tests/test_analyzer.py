@@ -69,8 +69,63 @@ def test_en_analyzer_stops_and_stems():
 
 def test_locale_fallback_is_standard():
     text = "The Running Foxes"
-    for loc in ("de", "fr", "und", None, "zh"):
+    for loc in ("und", None, "zh"):
         assert analyze(text, loc) == ["the", "running", "foxes"]
+
+
+# -- German analyzer goldens (normalization FSM + Savoy light stemmer) ----
+
+GOLDEN_DE = {
+    # umlaut/eszett folding
+    "häuser": "haus",       # ä->a, -er removal (len>4)
+    "größe": "gross",       # ö->o, ß->ss, final -e
+    "quelle": "quell",      # 'ue' kept after q, final -e
+    "baer": "bar",          # digraph ae -> a
+    "kindes": "kind",       # genitive -es
+    "schönste": "schonst",  # superlative: -e then (len>5) -est stays? no: step1 -e, step2 len>5 'est'->cut
+    "lernen": "lern",       # -en
+    "w000123": "w000123",   # synthetic terms untouched
+}
+
+
+def test_german_analyzer_goldens():
+    from miru_spark.analyzer import german_light_stem
+
+    for word, want in GOLDEN_DE.items():
+        assert german_light_stem(word) == want, word
+
+
+def test_german_analyzer_stops():
+    got = analyze("der Hund und die Häuser", "de")
+    assert got == ["hund", "haus"]
+    assert analyze("die hunde", "de_AT") == analyze("die hunde", "de")
+
+
+# -- French analyzer goldens (Savoy minimal stemmer + elided articles) ----
+
+GOLDEN_FR = {
+    "chevaux": "cheval",    # -aux -> -al
+    "manteaux": "manteau",  # -eaux keeps the vowel, drops x
+    "maisons": "maison",    # plural -s
+    "belles": "bel",        # -s, -e, undouble ll
+    "parler": "parl",       # infinitive -er
+    "petit": "petit",       # < 6 chars: untouched
+    "w000123": "w000123",
+}
+
+
+def test_french_analyzer_goldens():
+    from miru_spark.analyzer import french_minimal_stem
+
+    for word, want in GOLDEN_FR.items():
+        assert french_minimal_stem(word) == want, word
+
+
+def test_french_analyzer_stops_and_elision():
+    # tokenizer splits l'église -> [l, église]; the elided article token
+    # is folded into the stop set (ElisionFilter analog)
+    got = analyze("l'église dans les chevaux", "fr")
+    assert got == ["églis", "cheval"]
 
 
 def test_locale_suffix_stripping():

@@ -120,6 +120,26 @@ def test_rank_identity_generated_set(engine, oracle):
     assert n_nonempty >= len(_GEN_QUERIES) // 2, "query set mostly empty"
 
 
+@pytest.mark.parametrize(
+    "query,locale",
+    [
+        ("the OR w000200", "de"),       # 'the' survives the de analyzer
+        ("w000001 AND w000004", "de"),  # synthetic terms: de stems no-op
+        ("the AND w000005", "fr"),
+        ("w000002 OR w000007", "fr_CA"),  # suffix strips to fr
+    ],
+)
+def test_rank_identity_locale_analyzers(engine, oracle, query, locale):
+    """de/fr query-side analysis: engine and oracle share the analyzer
+    module, so locale-analyzed queries must stay rank-identical over the
+    mixed-language corpus (10% of docs index through de/fr analyzers)."""
+    want = oracle.search(query, k=10, locale=locale)
+    got = engine.search_collect(query, k=10, locale=locale)
+    _assert_rank_identical(got, want, f"{query} [{locale}]")
+    got_d = engine.search_collect(query, k=10, locale=locale, local=False)
+    _assert_rank_identical(got_d, want, f"{query} [{locale}] distributed")
+
+
 @pytest.mark.parametrize("query", ["w000001 OR w000009", "w000000", "w00004*"])
 def test_blockmax_equals_exhaustive(engine, query):
     a = engine.search_collect(query, k=10, use_blockmax=True)
