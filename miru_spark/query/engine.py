@@ -180,6 +180,8 @@ def _make_kernel(
     idf_map: dict | None = None,
     time_spec: tuple | None = None,
     removed_map: dict | None = None,
+    theta0: float = 0.0,
+    counter: dict | None = None,
 ):
     """Build the per-partition applyInPandas kernel (closure ships to
     executors with the task -- all members are small).
@@ -335,6 +337,17 @@ def _make_kernel(
                 .sum()
                 .sort_values(ascending=False)
             )
+            n_blocks_all = len(blk_ub)
+            if theta0 > 0.0:
+                # cross-partition theta: the driver's seed score (the
+                # k-th best of the densest pid, computed job-free on the
+                # serving node) is a lower bound on the GLOBAL k-th
+                # score, so any block whose upper bound cannot reach it
+                # can never contribute to the merged top-k -- prune it
+                # before phase 1 even starts. This is the one-partition-
+                # at-a-time solution-state handoff of the reference's
+                # solver turned into a broadcast seed.
+                blk_ub = blk_ub[blk_ub.to_numpy() >= theta0]
             blks_desc = blk_ub.index.to_numpy()
             # phase 1: grow the scored prefix until >= k docs matched
             scored_ids = np.empty(0, dtype=np.int64)
@@ -355,7 +368,7 @@ def _make_kernel(
                 m = min(m * 4, len(blks_desc))
             if scored_ids.size >= k:
                 kth = np.partition(-scored_scores, k - 1)
-                theta = -kth[k - 1]
+                theta = max(-kth[k - 1], theta0)
                 # phase 2: every blk whose bound can reach theta
                 cand = set(blk_ub.index[blk_ub.to_numpy() >= theta].tolist())
                 cand |= scored_blks
@@ -364,6 +377,13 @@ def _make_kernel(
                     scored_ids, scored_scores = score_subset(
                         pid, sub_rows, idf, bounds, rem
                     )
+            if counter is not None:
+                counter["blocks_scored"] = (
+                    counter.get("blocks_scored", 0) + len(scored_blks)
+                )
+                counter["blocks_total"] = (
+                    counter.get("blocks_total", 0) + n_blocks_all
+                )
             out_ids, out_scores = topk_of(scored_ids, scored_scores)
 
         return pd.DataFrame(
@@ -659,6 +679,7 @@ class SearchEngine:
         time_range_us: tuple[int, int] | None = None,
         use_blockmax: bool = True,
         prep: dict | None = None,
+        theta0: float = 0.0,
     ) -> DataFrame:
         """Build the distributed match+score frame for a query: one
         mapInPandas kernel pass over the pruned posting blocks, yielding
@@ -749,6 +770,7 @@ class SearchEngine:
             idf_map=idf_map,
             time_spec=time_spec,
             removed_map=self._removed_map,
+            theta0=theta0,
         )
         # hash-co-locate each pid's fetched blocks on one task, then ONE
         # pandas call per task loops the pids it owns -- same semantics as
@@ -814,6 +836,45 @@ class SearchEngine:
                 for p in prep["relevant_pids"]
             )
         return est
+
+    def _theta_seed(self, prep: dict, k: int) -> float:
+        """Cross-partition theta seed for the distributed block-max
+        kernel: score ONE pid (the densest relevant one) on the serving
+        node via the job-free pyarrow path and take its k-th score. That
+        score lower-bounds the global k-th, so every kernel task can
+        discard blocks whose upper bound cannot reach it (SURVEY §4's
+        custom optimization; the reference's analog is its solver
+        carrying solution state across replica hops). Returns 0.0 when
+        seeding is unavailable or too expensive (whole-corpus scans)."""
+        if (
+            self._term_df is None
+            or prep["has_all_node"]
+            or k <= 0
+            or prep["time_bounds"] is not None
+            or (self._removed_df is not None and self._removed_map is None)
+            or not prep["relevant_pids"]
+        ):
+            return 0.0
+        # bound the seed's read: one pid's share of the postings
+        est = self._estimated_postings(prep)
+        if est // max(1, len(prep["relevant_pids"])) > self.local_max_postings:
+            return 0.0
+        seed_pid = max(
+            prep["relevant_pids"], key=lambda p: self.pid_counts.get(p, 0)
+        )
+        sub = dict(prep)
+        sub["pid_range"] = (int(seed_pid), int(seed_pid))
+        sub["relevant_pids"] = [int(seed_pid)]
+        sub["boundary_pids"] = [
+            p for p in prep["boundary_pids"] if int(p) == int(seed_pid)
+        ]
+        try:
+            rows = self._search_local(sub, k, use_blockmax=True)
+        except Exception:
+            return 0.0
+        if len(rows) < k:
+            return 0.0
+        return float(rows[k - 1][4])
 
     def _local_eligible(self, prep: dict) -> bool:
         return (
@@ -1054,9 +1115,10 @@ class SearchEngine:
                 "doc_id",
                 "score",
             )
+        theta0 = self._theta_seed(prep, k) if use_blockmax else 0.0
         per_part = self.kernel_frame(
             query, k=k, locale=locale, time_range_us=time_range_us,
-            use_blockmax=use_blockmax, prep=prep,
+            use_blockmax=use_blockmax, prep=prep, theta0=theta0,
         )
         wrows = per_part.orderBy(
             F.desc("score"), F.asc("pid"), F.asc("doc_id")
