@@ -265,6 +265,44 @@ GROUP BY event_type
 """
 
 
+# -- pairedLatest aux index: "for each distinct value of this field, what
+#    is the latest activity against each distinct value of the related
+#    field?" (MiruIndexPairedLatest.compose,
+#    miru-service/.../stream/MiruIndexPairedLatest.java:37-85 -- walks ids
+#    backwards, keeps the first (= largest id) per (fieldValue,
+#    aggregateFieldValue) pair). Spark form: one map-side-combinable
+#    max_by per (user_id, item) pair -- the backwards walk IS argmax on
+#    the activity id. Field pair here: (user_id, item), capped to a
+#    deterministic slice so the oracle row set stays bounded. -------------
+
+def ev_paired_latest(spark, sf_dir):
+    ev = _items(spark, sf_dir).filter(
+        F.col("item").isNotNull() & (F.col("user_id") < 20)
+    )
+    return (
+        ev.groupBy("user_id", "item")
+        .agg(
+            F.max_by(
+                "event_id", F.struct(F.col("ts"), F.col("event_id"))
+            ).alias("latest_event"),
+            F.max("ts").alias("latest_ts"),
+            F.count("*").cast("long").alias("n_events"),
+        )
+    )
+
+
+EV_PAIRED_LATEST_SQL = f"""
+WITH {_ITEMS_SQL.strip()}
+SELECT user_id, item,
+       first(event_id ORDER BY ts DESC, event_id DESC) AS latest_event,
+       max(ts) AS latest_ts,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM ev
+WHERE item IS NOT NULL AND user_id < 20
+GROUP BY user_id, item
+"""
+
+
 # -- bloom containment probe: approximate semi-join with deterministic
 #    false positives (BloomIndex.mightContain, miru-plugin/.../
 #    BloomIndex.java:34-105 -- bitmap-backed bloom over hashed term bits).
@@ -418,6 +456,7 @@ QUERIES = {
     "ev_authz_filter": (ev_authz_filter, EV_AUTHZ_FILTER_SQL),
     "ev_bloom_probe": (ev_bloom_probe, EV_BLOOM_PROBE_SQL),
     "ev_latest_first": (ev_latest_first, EV_LATEST_FIRST_SQL),
+    "ev_paired_latest": (ev_paired_latest, EV_PAIRED_LATEST_SQL),
     "ev_time_range_mask": (ev_time_range_mask, EV_TIME_RANGE_MASK_SQL),
     "ev_bounded_cardinalities": (
         ev_bounded_cardinalities,
