@@ -146,6 +146,9 @@ def main() -> None:
         )
 
         # -- 3. breadth ops over driver tables ----------------------------
+        # the interactive engine is done: release its cache and give AQE
+        # back to the wide analytic ops below
+        eng.close()
         if os.environ.get("BENCH_SKIP_OPS", "0") != "1":
             from miru_spark.ops import dedup, events_ops, fulltext_sql
             from miru_spark.ops import similarity, textstats

@@ -407,8 +407,12 @@ class SearchEngine:
         self.spark = spark
         # AQE re-plans every exchange as its own job; for small interactive
         # top-k queries that is ~6 jobs and +30-40% latency with no upside
-        # (the kernel shuffle is tiny). build_index() save/restores it.
+        # (the kernel shuffle is tiny). build_index() save/restores it, and
+        # close() hands the saved value back when the engine is done --
+        # other workloads on the session (wide analytic ops) want AQE on.
+        self._prior_aqe = None
         try:
+            self._prior_aqe = spark.conf.get("spark.sql.adaptive.enabled")
             spark.conf.set("spark.sql.adaptive.enabled", "false")
         except Exception:
             pass
@@ -506,6 +510,22 @@ class SearchEngine:
         )
 
     # -- helpers -----------------------------------------------------------
+    def close(self) -> None:
+        """Release cached tables and restore the session conf the engine
+        scoped to itself (AQE toggle). The SparkSession stays usable."""
+        if self._prior_aqe is not None:
+            try:
+                self.spark.conf.set(
+                    "spark.sql.adaptive.enabled", self._prior_aqe
+                )
+            except Exception:
+                pass
+        for df in (self.postings, self.termstats, self.docmap):
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+
     def expand_prefix(self, prefix: str) -> list[str]:
         """Wildcard expansion: term-dictionary range scan, lexicographic,
         capped (MiruAggregateUtil.java:1154-1167 maxWildcardExpansion)."""
