@@ -53,14 +53,19 @@ def _shingles(docs: DataFrame) -> DataFrame:
     """Distinct 3-token shingles per doc, built with array higher-order
     functions on the row itself -- zero shuffles (no explode+window, no
     global distinct), which is what survives a 100TB corpus."""
+    # zip_with evaluates each argument array ONCE per row and pairs
+    # elements positionally; a transform whose lambda does F.get(arr, i+k)
+    # would instead re-evaluate the outer split() per element -- O(tokens^2)
+    # per document.  F.concat (not concat_ws) so a null from zip_with's
+    # tail padding nulls the whole shingle, which the filter then drops.
     arr = F.split(F.col("text"), " ")
+    n = F.size(arr)
+    pair = F.zip_with(
+        arr, F.slice(arr, 2, n), lambda x, y: F.concat(x, F.lit(" "), y)
+    )
     sh = F.filter(
-        F.transform(
-            arr,
-            lambda x, i: F.when(
-                F.get(arr, i + 2).isNotNull(),
-                F.concat_ws(" ", x, F.get(arr, i + 1), F.get(arr, i + 2)),
-            ),
+        F.zip_with(
+            pair, F.slice(arr, 3, n), lambda xy, z: F.concat(xy, F.lit(" "), z)
         ),
         lambda s: s.isNotNull(),
     )
