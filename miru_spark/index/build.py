@@ -497,6 +497,12 @@ def _make_indexer(block_span: int):
         run_docs = np.diff(np.append(pid_runs, n))
         doc_counts = dict(zip(run_pids.tolist(), run_docs.tolist()))
 
+        # Release the raw text/url buffers before materializing the sorted
+        # posting table: peak task memory becomes max(input slice, encoded
+        # blocks) rather than their sum. (pid_np et al. are zero-copy views
+        # of single fixed-width columns and pin only those buffers.)
+        del tbl, pid_arr, url_arr, warc_arr
+
         stat_bytes: dict = {}
         stat_terms: dict = {}
         if block_batches:
