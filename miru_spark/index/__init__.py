@@ -1,4 +1,10 @@
-from .build import IndexPaths, build_index, finalize_index  # noqa: F401
+from .build import (  # noqa: F401
+    IndexPaths,
+    build_index,
+    finalize_index,
+    read_lineage,
+    snapshots,
+)
 from .removals import (  # noqa: F401
     read_removed,
     remove_docs,

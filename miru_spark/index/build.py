@@ -577,43 +577,119 @@ def _read_done_pids(spark: SparkSession, paths: IndexPaths) -> set[int]:
     return {r["pid"] for r in rows}
 
 
-def _read_parquet_dir(spark: SparkSession, base: str) -> DataFrame:
+def _read_parquet_dir(
+    spark: SparkSession, base: str, tags: list[str] | None = None
+) -> DataFrame:
     """Read a batch-subdir table. Subdirs are commit units (`b_<tag>/`),
     committed by atomic rename -- the local-fs stand-in for an Iceberg
-    snapshot commit."""
+    snapshot commit. With `tags`, read exactly those commit units (the
+    snapshot-pinned read path)."""
+    if tags is not None:
+        dirs = [os.path.join(base, f"b_{t}") for t in tags]
+        return spark.read.parquet(*dirs)
     return spark.read.option("recursiveFileLookup", "true").parquet(base)
 
 
-def read_docmap(spark: SparkSession, paths: IndexPaths) -> DataFrame:
+def _tags_as_of(
+    spark: SparkSession, paths: IndexPaths, as_of: str
+) -> list[str]:
+    """Committed batch tags forming snapshot `as_of` (inclusive). Tags
+    are `{epoch:04d}_{suffix}` so lexicographic order == commit order;
+    `as_of` may be a full tag or just its 4-digit epoch prefix. Raises
+    if the snapshot is empty or was partially vacuumed (a reopened pid
+    physically deletes its old batch dir -- the Iceberg analog of
+    reading an expired snapshot after vacuum)."""
+    valid = sorted(_valid_tags(spark, paths))
+    # an epoch prefix means "everything committed through that epoch"
+    cutoff = as_of if "_" in as_of else as_of + "_￿"
+    tags = [t for t in valid if t <= cutoff]
+    if not tags:
+        raise ValueError(
+            f"no committed snapshot at or before {as_of!r}; "
+            f"committed tags: {valid}"
+        )
+    missing = [
+        t for t in tags
+        if not os.path.isdir(os.path.join(paths.segments, f"b_{t}"))
+    ]
+    if missing:
+        raise ValueError(
+            f"snapshot {as_of!r} unreadable: batch dirs {missing} were "
+            f"vacuumed (reopen_pids deletes replaced commit units)"
+        )
+    return tags
+
+
+def read_docmap(
+    spark: SparkSession, paths: IndexPaths, as_of: str | None = None
+) -> DataFrame:
     """Forward-index view: one row per doc (MiruActivityIndex analog).
     row_type + column pruning reach the parquet scan, so docmap reads
-    never touch posting binaries."""
+    never touch posting binaries. `as_of` pins the read to a committed
+    snapshot tag (time travel over the batch-commit log)."""
+    tags = _tags_as_of(spark, paths, as_of) if as_of is not None else None
     return (
-        _read_parquet_dir(spark, paths.segments)
+        _read_parquet_dir(spark, paths.segments, tags)
         .filter(F.col("row_type") == "d")
         .select(*_DOC_COLS)
     )
 
 
-def read_postings(spark: SparkSession, paths: IndexPaths) -> DataFrame:
+def read_postings(
+    spark: SparkSession, paths: IndexPaths, as_of: str | None = None
+) -> DataFrame:
     """Posting-blocks view: one row per (pid, term, blk). Rows are stored
     sorted by (pid, term, blk), so term predicates prune at parquet
     row-group granularity."""
+    tags = _tags_as_of(spark, paths, as_of) if as_of is not None else None
     return (
-        _read_parquet_dir(spark, paths.segments)
+        _read_parquet_dir(spark, paths.segments, tags)
         .filter(F.col("row_type") == "p")
         .select(*_POSTING_COLS)
     )
 
 
-def read_timeindex(spark: SparkSession, paths: IndexPaths) -> DataFrame:
+def read_timeindex(
+    spark: SparkSession, paths: IndexPaths, as_of: str | None = None
+) -> DataFrame:
     """Time-index view: one row per (pid, blk) with the block's sorted
     warc_us varint blob. Read only for boundary pids of a time-ranged
     query (LabTimeIndex.getClosestId analog)."""
+    tags = _tags_as_of(spark, paths, as_of) if as_of is not None else None
     return (
-        _read_parquet_dir(spark, paths.segments)
+        _read_parquet_dir(spark, paths.segments, tags)
         .filter(F.col("row_type") == "t")
         .select(*_TIME_COLS)
+    )
+
+
+def read_lineage(spark: SparkSession, index_dir: str) -> DataFrame:
+    """The metrics table: one row per (pid, commit) with doc_count,
+    postings_bytes, n_terms, wall_time_ms, status, batch_tag -- the
+    per-partition lineage rows the build writes at every commit
+    (MiruPartitionState bookkeeping analog; north-star 'lineage rows
+    written to a metrics table')."""
+    paths = index_dir if isinstance(index_dir, IndexPaths) else IndexPaths(index_dir)
+    return spark.read.parquet(paths.lineage)
+
+
+def snapshots(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Snapshot log: one row per committed batch tag, in commit order,
+    with its pid count / doc count / postings bytes / wall time -- the
+    Iceberg `snapshots` metadata-table analog over the batch-commit
+    dirs. Any `batch_tag` (or its 4-digit epoch prefix) is a valid
+    `as_of` for the readers and SearchEngine."""
+    return (
+        read_lineage(spark, index_dir)
+        .filter(F.col("status") == "complete")
+        .groupBy("batch_tag")
+        .agg(
+            F.count("*").cast("long").alias("n_pids"),
+            F.sum("doc_count").cast("long").alias("doc_count"),
+            F.sum("postings_bytes").cast("long").alias("postings_bytes"),
+            F.max("wall_time_ms").cast("long").alias("wall_time_ms"),
+        )
+        .orderBy("batch_tag")
     )
 
 

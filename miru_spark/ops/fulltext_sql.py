@@ -314,6 +314,103 @@ LIMIT 10
 """
 
 
+def ft_engine_not(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negation (pButNotQ) through the REAL engine: `spark AND NOT join`
+    scores BM25 on the positive term only and masks out every doc
+    containing the negated term (MiruFilterOperation.pButNotQ,
+    LuceneBackedQueryParser MUST_NOT clauses -> andNot). Exercises the
+    kernel's block-max pruning with a negative clause present: block
+    upper bounds come from scoring (positive) terms only, and negation
+    can only REMOVE docs, so pruning stays admissible. DuckDB recomputes
+    it as single-term BM25 with a NOT IN anti-filter."""
+    return _engine_result(
+        _engine_for(spark, sf_dir).search("spark AND NOT join", k=10)
+    )
+
+
+FT_ENGINE_NOT_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), dl AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks
+  WHERE term IN ('spark') GROUP BY doc_id, term
+), stats AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n,
+         (SELECT avg(dl) FROM dl) AS avgdl
+), dfreq AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+), scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * tf.tf * {K1 + 1.0}
+              / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl)) ) AS raw_score
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(raw_score, 4) AS score
+FROM scores
+WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM toks WHERE term = 'join')
+ORDER BY round(raw_score, 4) DESC, doc_id ASC
+LIMIT 10
+"""
+
+
+# The engine corpus (see _engine_for) stamps warc_ts = 2024-01-01 +
+# doc_id seconds, so a [base+100s, base+300s] range is docIDs 100..300.
+_TR_BASE_US = 1704067200_000_000
+_TR_LO, _TR_HI = 100, 300
+
+
+def ft_engine_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range-bounded BM25 through the REAL engine: `buildTimeRangeMask`
+    (MiruTimeIndex getClosestId / smallestExclusiveTimestampIndex,
+    miru-service/.../index/lab/LabTimeIndex.java:191-208) resolved
+    kernel-side from the per-block time-index rows, one Spark job.
+    DuckDB recomputes it as a doc_id BETWEEN filter (docIDs are minted
+    in warc_ts order, one per second)."""
+    return _engine_result(
+        _engine_for(spark, sf_dir).search(
+            "spark",
+            k=10,
+            time_range_us=(
+                _TR_BASE_US + _TR_LO * 1_000_000,
+                _TR_BASE_US + _TR_HI * 1_000_000,
+            ),
+        )
+    )
+
+
+FT_ENGINE_TIME_RANGE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), dl AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks
+  WHERE term IN ('spark') GROUP BY doc_id, term
+), stats AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n,
+         (SELECT avg(dl) FROM dl) AS avgdl
+), dfreq AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+), scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * tf.tf * {K1 + 1.0}
+              / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl)) ) AS raw_score
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(raw_score, 4) AS score
+FROM scores
+WHERE doc_id BETWEEN {_TR_LO} AND {_TR_HI}
+ORDER BY round(raw_score, 4) DESC, doc_id ASC
+LIMIT 10
+"""
+
+
 QUERIES = {
     "ft_term_stats": (ft_term_stats, FT_TERM_STATS_SQL),
     "ft_bm25_and_topk": (ft_bm25_and_topk, FT_BM25_AND_SQL),
@@ -324,4 +421,6 @@ QUERIES = {
     "ft_engine_bm25": (ft_engine_bm25, FT_ENGINE_BM25_SQL),
     "ft_engine_bm25_or": (ft_engine_bm25_or, FT_ENGINE_BM25_OR_SQL),
     "ft_numeric_range": (ft_numeric_range, FT_NUMERIC_RANGE_SQL),
+    "ft_engine_not": (ft_engine_not, FT_ENGINE_NOT_SQL),
+    "ft_engine_time_range": (ft_engine_time_range, FT_ENGINE_TIME_RANGE_SQL),
 }

@@ -403,6 +403,7 @@ class SearchEngine:
         max_pinned_terms: int = 4_000_000,
         local_max_postings: int = 2_000_000,
         max_pinned_removals: int = 2_000_000,
+        as_of: str | None = None,
     ):
         self.spark = spark
         # AQE re-plans every exchange as its own job; for small interactive
@@ -422,16 +423,41 @@ class SearchEngine:
         if os.path.exists(meta_path):
             with open(meta_path) as f:
                 self.meta = json.load(f)
-        from ..index.build import read_docmap, read_postings, read_timeindex
+        from ..index.build import (
+            _tags_as_of,
+            read_docmap,
+            read_postings,
+            read_timeindex,
+        )
 
-        srow = spark.read.parquet(self.paths.stats).collect()[0]
+        # Snapshot pin (time travel): `as_of` restricts every read to
+        # commit units at or before that batch tag -- the Iceberg
+        # snapshot-read analog over the batch-commit log. BM25 global /
+        # per-term stats are snapshot-scoped, so they are recomputed
+        # over the pinned subset (two small jobs at init) instead of
+        # read from the finalized full-index tables.
+        self.as_of = as_of
+        self.postings = read_postings(spark, self.paths, as_of=as_of)
+        self.docmap = read_docmap(spark, self.paths, as_of=as_of)
+        self.timeindex = read_timeindex(spark, self.paths, as_of=as_of)
+        if as_of is None:
+            srow = spark.read.parquet(self.paths.stats).collect()[0]
+            self.termstats = spark.read.parquet(self.paths.termstats)
+        else:
+            srow = self.docmap.agg(
+                F.count("*").alias("n_docs"),
+                (F.sum("doc_len") / F.count("*")).alias("avgdl"),
+            ).collect()[0]
+            self.termstats = self.postings.groupBy("term").agg(
+                F.sum("n").alias("df"), F.sum("ctf").alias("ctf")
+            )
         self.n_docs = int(srow["n_docs"])
         self.avgdl = float(srow["avgdl"])
-        self.termstats = spark.read.parquet(self.paths.termstats)
-        self.postings = read_postings(spark, self.paths)
-        self.docmap = read_docmap(spark, self.paths)
-        self.timeindex = read_timeindex(spark, self.paths)
         lineage = spark.read.parquet(self.paths.lineage)
+        if as_of is not None:
+            lineage = lineage.filter(
+                F.col("batch_tag").isin(_tags_as_of(spark, self.paths, as_of))
+            )
         self.pid_counts = {
             int(r["pid"]): int(r["doc_count"])
             for r in lineage.filter(F.col("status") == "complete")
@@ -831,10 +857,20 @@ class SearchEngine:
             import pyarrow.dataset as pads
 
             seg = self.paths.segments
+            pinned = None
+            if self.as_of is not None:
+                from ..index.build import _tags_as_of
+
+                pinned = {
+                    f"b_{t}"
+                    for t in _tags_as_of(self.spark, self.paths, self.as_of)
+                }
             files = []
             for d in sorted(os.listdir(seg)):
                 if not d.startswith("b_"):
                     continue  # skip _tmp_ write dirs / stray files
+                if pinned is not None and d not in pinned:
+                    continue  # snapshot pin: commit units after as_of
                 bdir = os.path.join(seg, d)
                 files.extend(
                     os.path.join(bdir, f)
