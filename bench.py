@@ -42,6 +42,10 @@ BM25_QUERIES = {
     "q_not": "w000019 AND NOT w000404",
     "q_prefix": "w00042*",
     "q_head_tail": "w000003 AND w004242",
+    # round-2 composed-field paths: keyword field filter and an
+    # order-preserving numeric range scan (MiruTermComposer analog)
+    "q_field": "w000017 AND lang:de",
+    "q_numrange": "w000017 AND site:[100 TO 140]",
 }
 
 
