@@ -495,6 +495,7 @@ class SearchEngine:
         # range) the distributed mapInPandas path runs instead.
         self.local_max_postings = int(local_max_postings)
         self._pads = None
+        self._rgcat = None
         # Doc-level tombstones (MiruRemovalIndex analog): every query masks
         # its matches against the resolved removed set, so removing one doc
         # is a parquet append, never a partition rebuild. Pinned driver-
@@ -551,6 +552,8 @@ class SearchEngine:
                 df.unpersist()
             except Exception:
                 pass
+        self._pads = None
+        self._rgcat = None  # drops the catalog's open ParquetFile readers
 
     def expand_prefix(self, prefix: str) -> list[str]:
         """Wildcard expansion: term-dictionary range scan, lexicographic,
@@ -849,6 +852,32 @@ class SearchEngine:
         return src.mapInPandas(_per_pid_dispatch(kernel), _RESULT_SCHEMA)
 
     # -- serving-node local path -------------------------------------------
+    def _segment_files(self) -> list[str]:
+        """Parquet files of the committed (and, under `as_of`, pinned)
+        segment batch dirs, in deterministic order."""
+        seg = self.paths.segments
+        pinned = None
+        if self.as_of is not None:
+            from ..index.build import _tags_as_of
+
+            pinned = {
+                f"b_{t}"
+                for t in _tags_as_of(self.spark, self.paths, self.as_of)
+            }
+        files = []
+        for d in sorted(os.listdir(seg)):
+            if not d.startswith("b_"):
+                continue  # skip _tmp_ write dirs / stray files
+            if pinned is not None and d not in pinned:
+                continue  # snapshot pin: commit units after as_of
+            bdir = os.path.join(seg, d)
+            files.extend(
+                os.path.join(bdir, f)
+                for f in sorted(os.listdir(bdir))
+                if f.endswith(".parquet")
+            )
+        return files
+
     def _dataset(self):
         """Lazy pyarrow dataset over the committed segment batch dirs.
         Row-group min/max stats on (row_type, pid, term) give the same
@@ -856,29 +885,139 @@ class SearchEngine:
         if self._pads is None:
             import pyarrow.dataset as pads
 
-            seg = self.paths.segments
-            pinned = None
-            if self.as_of is not None:
-                from ..index.build import _tags_as_of
-
-                pinned = {
-                    f"b_{t}"
-                    for t in _tags_as_of(self.spark, self.paths, self.as_of)
-                }
-            files = []
-            for d in sorted(os.listdir(seg)):
-                if not d.startswith("b_"):
-                    continue  # skip _tmp_ write dirs / stray files
-                if pinned is not None and d not in pinned:
-                    continue  # snapshot pin: commit units after as_of
-                bdir = os.path.join(seg, d)
-                files.extend(
-                    os.path.join(bdir, f)
-                    for f in sorted(os.listdir(bdir))
-                    if f.endswith(".parquet")
-                )
-            self._pads = pads.dataset(files, format="parquet")
+            self._pads = pads.dataset(
+                self._segment_files(), format="parquet"
+            )
         return self._pads
+
+    # Above this many row groups the footer catalog stops paying for
+    # itself on one serving node (a 100 TB index is served by many nodes,
+    # each owning a partition subset, as the reference shards partitions
+    # across MiruHosts) -- fall back to the pyarrow-dataset filter path.
+    MAX_CATALOG_ROW_GROUPS = 1_000_000
+
+    def _rg_catalog(self):
+        """Driver-pinned row-group catalog: per posting-bearing row group,
+        (file_idx, rg_idx, term_min, term_max, pid_min, pid_max) read ONCE
+        from the parquet footers. A query then maps its fetch terms to the
+        exact row groups via bisect and reads them directly -- the
+        serving-node analog of the reference's memory-mapped index
+        metadata (LabInvertedIndex keys stay hot in page cache), replacing
+        a per-query dataset-filter evaluation over every footer."""
+        if self._rgcat is None:
+            import pyarrow.parquet as pq
+
+            files = self._segment_files()
+            readers, rows = [], []
+            for fi, f in enumerate(files):
+                pf = pq.ParquetFile(f)
+                readers.append(pf)
+                md = pf.metadata
+                cols = {
+                    md.schema.column(j).name: j
+                    for j in range(md.num_columns)
+                }
+                ct, cp, cr = cols["term"], cols["pid"], cols["row_type"]
+                for i in range(md.num_row_groups):
+                    rg = md.row_group(i)
+                    st_r = rg.column(cr).statistics
+                    if (
+                        st_r is not None
+                        and st_r.has_min_max
+                        and (st_r.max < "p" or st_r.min > "p")
+                    ):
+                        continue  # no posting rows in this group
+                    st_t = rg.column(ct).statistics
+                    st_p = rg.column(cp).statistics
+                    tmin = tmax = None
+                    if st_t is not None and st_t.has_min_max:
+                        tmin, tmax = st_t.min, st_t.max
+                    pmin = pmax = None
+                    if st_p is not None and st_p.has_min_max:
+                        pmin, pmax = int(st_p.min), int(st_p.max)
+                    rows.append((fi, i, tmin, tmax, pmin, pmax))
+                if len(rows) > self.MAX_CATALOG_ROW_GROUPS:
+                    self._rgcat = (readers, None)
+                    return self._rgcat
+            self._rgcat = (readers, rows)
+        return self._rgcat
+
+    def _fetch_posting_rows(self, fetch_terms, pid_range, columns):
+        """Read exactly the row groups whose (term, pid) stat ranges can
+        contain the query's postings, via direct read_row_groups on the
+        pinned footer catalog; exact-filter the surviving rows. Falls
+        back to the pyarrow-dataset filter path when the catalog is
+        too large to pin."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.dataset as pads
+
+        readers, cat = self._rg_catalog()
+        if cat is None:
+            filt = pads.field("row_type") == "p"
+            if pid_range is not None:
+                plo, phi = pid_range
+                filt = (
+                    filt
+                    & (pads.field("pid") >= plo)
+                    & (pads.field("pid") <= phi)
+                )
+            return self._dataset().to_table(
+                filter=filt & pads.field("term").isin(fetch_terms),
+                columns=columns,
+            )
+        terms = sorted(fetch_terms)
+        want: dict[int, list[int]] = {}
+        for fi, i, tmin, tmax, pmin, pmax in cat:
+            if pid_range is not None and pmin is not None:
+                if pmax < pid_range[0] or pmin > pid_range[1]:
+                    continue
+            if tmin is not None:
+                import bisect
+
+                j = bisect.bisect_left(terms, tmin)
+                if j >= len(terms) or terms[j] > tmax:
+                    continue
+            want.setdefault(fi, []).append(i)
+        cols = list(columns) + ["row_type"]
+        # per-file reads release the GIL in Arrow; a term's postings are
+        # spread over many task files (one file per build task, a term in
+        # many pids), so parallelizing across files is the win here
+        items = list(want.items())
+        if len(items) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(min(16, len(items))) as ex:
+                parts = list(
+                    ex.map(
+                        lambda it: readers[it[0]].read_row_groups(
+                            it[1], columns=cols, use_threads=False
+                        ),
+                        items,
+                    )
+                )
+        else:
+            parts = [
+                readers[fi].read_row_groups(rgs, columns=cols)
+                for fi, rgs in items
+            ]
+        if not parts:
+            empty = self._dataset().schema.empty_table()
+            return empty.select(columns)
+        tbl = pa.concat_tables(parts)
+        mask = pc.and_(
+            pc.equal(tbl["row_type"], "p"),
+            pc.is_in(tbl["term"], value_set=pa.array(terms)),
+        )
+        if pid_range is not None:
+            mask = pc.and_(
+                mask,
+                pc.and_(
+                    pc.greater_equal(tbl["pid"], pid_range[0]),
+                    pc.less_equal(tbl["pid"], pid_range[1]),
+                ),
+            )
+        return tbl.filter(mask).select(columns)
 
     def _estimated_postings(self, prep: dict) -> int:
         """Upper bound on rows the query must touch, from the pinned
@@ -973,6 +1112,28 @@ class SearchEngine:
             )
         return out
 
+    def _local_relation(self, rows: list) -> DataFrame:
+        """Wrap serving-node winner rows as an Arrow-backed LocalRelation.
+        createDataFrame from a pandas frame converts via Arrow and plans
+        as a LocalRelation -- collect()/joins on it are plan-local --
+        whereas createDataFrame(list) parallelizes an RDD through a
+        Python worker and costs a full Spark job (~0.5 s) per query."""
+        import pandas as pd
+
+        pdf = pd.DataFrame(
+            rows, columns=["url", "warc_us", "pid", "doc_id", "score"]
+        )
+        if not len(pdf):
+            pdf = pdf.astype(
+                {"warc_us": "int64", "pid": "int64", "doc_id": "int64",
+                 "score": "float64"}
+            )
+        return self.spark.createDataFrame(
+            pdf,
+            schema="url string, warc_us long, pid long, doc_id long, "
+                   "score double",
+        )
+
     def _search_local(self, prep: dict, k: int, use_blockmax: bool) -> list:
         """Answer a bounded query on the serving node: pyarrow row-group-
         pruned reads + one vectorized NumPy pass over composite
@@ -988,19 +1149,16 @@ class SearchEngine:
         if k <= 0:
             return []
         dset = self._dataset()
-        filt = pads.field("row_type") == "p"
-        if prep["pid_range"] is not None:
-            plo, phi = prep["pid_range"]
-            filt = filt & (pads.field("pid") >= plo) & (pads.field("pid") <= phi)
 
         term_cids: dict[str, np.ndarray] = {}
         term_tfs: dict[str, np.ndarray] = {}
         term_dls: dict[str, np.ndarray] = {}
         if prep["fetch_terms"]:
-            tbl = dset.to_table(
-                filter=filt & pads.field("term").isin(prep["fetch_terms"]),
-                columns=["pid", "term", "blk", "n", "ids_bin", "tfs_bin",
-                         "dls_bin"],
+            tbl = self._fetch_posting_rows(
+                prep["fetch_terms"],
+                prep["pid_range"],
+                ["pid", "term", "blk", "n", "ids_bin", "tfs_bin",
+                 "dls_bin"],
             )
             if tbl.num_rows:
                 order = pc.sort_indices(
@@ -1159,11 +1317,7 @@ class SearchEngine:
             local = self._local_eligible(prep)
         if local:
             rows = self._search_local(prep, k, use_blockmax)
-            wdf = self.spark.createDataFrame(
-                rows,
-                "url string, warc_us long, pid long, doc_id long, "
-                "score double",
-            )
+            wdf = self._local_relation(rows)
             return wdf.select(
                 "url",
                 F.timestamp_micros("warc_us").alias("warc_ts"),
@@ -1185,10 +1339,15 @@ class SearchEngine:
         )
         if not wrows:
             return self.spark.createDataFrame([], out_schema)
+        import pandas as pd
+
         wdf = self.spark.createDataFrame(
-            [(int(r["pid"]), int(r["doc_id"]), float(r["score"]))
-             for r in wrows],
-            "pid long, doc_id long, score double",
+            pd.DataFrame(
+                [(int(r["pid"]), int(r["doc_id"]), float(r["score"]))
+                 for r in wrows],
+                columns=["pid", "doc_id", "score"],
+            ),
+            schema="pid long, doc_id long, score double",
         )
         winners = (
             self.docmap.filter(
@@ -1291,7 +1450,10 @@ class SearchEngine:
                 "term",
                 "left",
             )
-        qmap = self.spark.createDataFrame(qterm_rows, "qid int, term string")
+        qmap = self.spark.createDataFrame(
+            pd.DataFrame(qterm_rows, columns=["qid", "term"]),
+            schema="qid int, term string",
+        )
         tagged = blocks.join(F.broadcast(qmap), "term")
 
         n_docs, avgdl, pid_counts = self.n_docs, self.avgdl, self.pid_counts
