@@ -496,6 +496,7 @@ class SearchEngine:
         self.local_max_postings = int(local_max_postings)
         self._pads = None
         self._rgcat = None
+        self._pool = None
         # Doc-level tombstones (MiruRemovalIndex analog): every query masks
         # its matches against the resolved removed set, so removing one doc
         # is a parquet append, never a partition rebuild. Pinned driver-
@@ -554,6 +555,9 @@ class SearchEngine:
                 pass
         self._pads = None
         self._rgcat = None  # drops the catalog's open ParquetFile readers
+        if self._pool is not None:
+            self._pool.shutdown(wait=False)
+            self._pool = None
 
     def expand_prefix(self, prefix: str) -> list[str]:
         """Wildcard expansion: term-dictionary range scan, lexicographic,
@@ -896,6 +900,17 @@ class SearchEngine:
     # across MiruHosts) -- fall back to the pyarrow-dataset filter path.
     MAX_CATALOG_ROW_GROUPS = 1_000_000
 
+    def _io_pool(self):
+        """Persistent reader thread pool (Arrow releases the GIL during
+        row-group reads); spawning threads per query costs ~25 ms."""
+        if self._pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._pool = ThreadPoolExecutor(
+                16, thread_name_prefix="miru-read"
+            )
+        return self._pool
+
     def _rg_catalog(self):
         """Driver-pinned row-group catalog: per posting-bearing row group,
         (file_idx, rg_idx, term_min, term_max, pid_min, pid_max) read ONCE
@@ -985,17 +1000,14 @@ class SearchEngine:
         # many pids), so parallelizing across files is the win here
         items = list(want.items())
         if len(items) > 1:
-            from concurrent.futures import ThreadPoolExecutor
-
-            with ThreadPoolExecutor(min(16, len(items))) as ex:
-                parts = list(
-                    ex.map(
-                        lambda it: readers[it[0]].read_row_groups(
-                            it[1], columns=cols, use_threads=False
-                        ),
-                        items,
-                    )
+            parts = list(
+                self._io_pool().map(
+                    lambda it: readers[it[0]].read_row_groups(
+                        it[1], columns=cols, use_threads=False
+                    ),
+                    items,
                 )
+            )
         else:
             parts = [
                 readers[fi].read_row_groups(rgs, columns=cols)
