@@ -378,3 +378,48 @@ def test_search_many_equals_sequential(engine):
     batched = engine.search_many(qs, k=10)
     for q in qs:
         assert batched[q] == engine.search_collect(q, k=10), q
+
+
+# -- hypothesis fuzz: random boolean query trees ---------------------------
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_LEAF_TERMS = [
+    f"w{i:06d}"
+    for i in (0, 1, 2, 3, 4, 5, 7, 9, 11, 14, 33, 100, 200, 294, 512, 731)
+] + ["the", "w00004*"]
+_FIELD_LEAVES = ["lang:de", "lang:en", "doclen:[5 TO 40]", "site:[0 TO 200]"]
+
+_leaf = st.sampled_from(_LEAF_TERMS)
+
+
+def _combos(child):
+    return st.one_of(
+        st.tuples(child, child).map(lambda ab: f"({ab[0]} AND {ab[1]})"),
+        st.tuples(child, child).map(lambda ab: f"({ab[0]} OR {ab[1]})"),
+        st.tuples(child, child).map(lambda ab: f"({ab[0]} AND NOT {ab[1]})"),
+        # field constraints are filter-only, so attach them under an AND
+        # with a scoring term (the reference shape: MiruFilter constraint
+        # + collected query terms)
+        st.tuples(child, st.sampled_from(_FIELD_LEAVES)).map(
+            lambda af: f"({af[0]} AND {af[1]})"
+        ),
+    )
+
+
+_query_st = st.recursive(_leaf, _combos, max_leaves=6)
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(query=_query_st)
+def test_rank_identity_fuzz(engine, oracle, query):
+    """Random boolean trees (AND/OR/NOT/prefix/field/range leaves):
+    engine top-10 must stay rank- and score-identical to the pure-Python
+    oracle for every generated tree."""
+    want = oracle.search(query, k=10)
+    got = engine.search_collect(query, k=10)
+    _assert_rank_identical(got, want, query)
