@@ -8,10 +8,11 @@ inside Arrow-batched pandas UDFs:
   tokenStream + StandardFilter, collect non-blank terms): split on
   non-alphanumeric boundaries, lowercase.
 - Per-locale analyzers (reference: miru-plugin/.../query/TermAnalyzers.java:43-136)
-  are scoped to `en` (English stopwords + Porter2 stemming, mirroring
+  cover ten locales: en (English stopwords + Porter2 stemming, mirroring
   Lucene's EnglishAnalyzer with the custom stopword set in
-  EnStopwords.java:998-1004) with everything else falling back to Standard
-  behavior (lowercase tokens, no stop/stem) exactly like
+  EnStopwords.java:998-1004), de/fr/es/pt/it (Snowball stop sets + Savoy
+  light stemmers), and nl/ru/sv/da (stopword-only). Everything else falls
+  back to Standard behavior (lowercase tokens, no stop/stem) exactly like
   TermAnalyzers.findAnalyzer's StandardAnalyzer fallback
   (TermAnalyzers.java:117-136). Locale resolution strips `_` suffixes.
 
@@ -424,6 +425,275 @@ french_minimal_stem = lru_cache(maxsize=1 << 16)(
 
 
 # ---------------------------------------------------------------------------
+# Spanish analyzer (TermAnalyzers.java:69 wires Lucene's SpanishAnalyzer:
+# lowercase -> stop -> light stemming). The stemmer is Savoy's Spanish
+# light stemmer ("Report on CLEF-2001 Experiments", CLEF 2001): accent
+# folding, then gendered/plural final-vowel conflation with the -ces -> -z
+# and -eses -> -es special cases.
+# ---------------------------------------------------------------------------
+
+# Snowball Spanish stop set: function words + the high-frequency
+# ser/estar/haber/tener forms (the long conjugation tail is trimmed --
+# self-consistent index/query behavior is what matters, frozen in goldens).
+SPANISH_STOPWORDS = frozenset(
+    """de la que el en y a los del se las por un para con no una su al lo
+    como más mas pero sus le ya o este sí si porque esta entre cuando muy
+    sin sobre también tambien me hasta hay donde quien desde todo nos
+    durante todos uno les ni contra otros ese eso ante ellos e esto mí mi
+    antes algunos qué que unos yo otro otras otra él tanto esa estos mucho
+    quienes nada muchos cual poco ella estar estas algunas algo nosotros
+    mis tú tu te ti tus ellas nosotras vosotros vosotras os nuestro nuestra
+    nuestros nuestras vuestro vuestra vuestros vuestras esos esas
+    es son era eran fue fueron ser está esta están estaban estaba estamos
+    estoy ha han he hemos había habían habia habian tiene tienen tengo
+    tenía tenia tenemos""".split()
+)
+
+_ES_FOLD = str.maketrans(
+    "àáâäãòóôöõèéêëùúûüìíîï", "aaaaaoooooeeeeuuuuiiii"
+)
+
+
+def _spanish_light_stem_uncached(word: str) -> str:
+    """Savoy's Spanish light stemmer: words shorter than 5 chars pass
+    through; otherwise fold accents, then conflate the gender/plural
+    endings -o/-a/-e, -os/-as/-es (with -eses kept as -es and -ces
+    rewritten to -z, e.g. voces -> voz)."""
+    if len(word) < 5:
+        return word
+    s = word.translate(_ES_FOLD)
+    if s[-1] in "oae":
+        return s[:-1]
+    if s[-1] == "s":
+        if s.endswith("eses"):
+            return s[:-2]
+        if s.endswith("ces"):
+            return s[:-3] + "z"
+        if s[-2] in "oae":
+            return s[:-2]
+    return s
+
+
+spanish_light_stem = lru_cache(maxsize=1 << 16)(
+    _spanish_light_stem_uncached
+)
+
+
+# ---------------------------------------------------------------------------
+# Portuguese analyzer (TermAnalyzers.java:74 wires Lucene's
+# PortugueseAnalyzer; `pt_br`'s BrazilianAnalyzer resolves here via suffix
+# stripping -- a documented scope reduction). The stemmer is Savoy's
+# Portuguese light stemmer ("Light Stemming Approaches for the French,
+# Portuguese, German and Hungarian Languages", SAC 2006): plural suffix
+# normalization (-ões/-ães -> -ão, -ais -> -al, -ns -> -m, ...), feminine
+# -> masculine conflation, final-vowel removal, accent folding.
+# ---------------------------------------------------------------------------
+
+PORTUGUESE_STOPWORDS = frozenset(
+    """de a o que e do da em um para é e com não nao uma os no se na por
+    mais as dos como mas foi ao ele das tem à a seu sua ou ser quando muito
+    há ha nos já ja está esta eu também tambem só so pelo pela até ate isso
+    ela entre era depois sem mesmo aos ter seus quem nas me esse eles estão
+    estao você voce tinha foram essa num nem suas meu às minha têm tem numa
+    pelos elas havia seja qual será sera nós nos tenho lhe deles essas
+    esses pelas este fosse dele tu te vocês voces vos lhes meus minhas teu
+    tua teus tuas nosso nossa nossos nossas dela delas esta estes estas
+    aquele aquela aqueles aquelas isto aquilo estou estamos estive esteve
+    estivemos estiveram são sao""".split()
+)
+
+_PT_FOLD = str.maketrans(
+    "àáâäãòóôöõèéêëùúûüìíîïç", "aaaaaoooooeeeeuuuuiiiic"
+)
+
+
+def _pt_norm_feminine(s: str) -> str:
+    if len(s) > 7 and s.endswith(("inha", "iaca", "eira")):
+        return s[:-1] + "o"
+    if len(s) > 6:
+        if s.endswith(("osa", "ica", "ida", "ada", "iva", "ama")):
+            return s[:-1] + "o"
+        if s.endswith("ona"):
+            return s[:-3] + "ão"
+        if s.endswith("ora"):
+            return s[:-1]
+        if s.endswith("esa"):
+            return s[:-3] + "ês"
+        if s.endswith("na"):
+            return s[:-1] + "o"
+    return s
+
+
+def _pt_remove_suffix(s: str) -> str:
+    if len(s) > 4 and s.endswith("es") and s[-3] in "rslz":
+        return s[:-2]
+    if len(s) > 3 and s.endswith("ns"):
+        return s[:-2] + "m"
+    if len(s) > 4 and (s.endswith("eis") or s.endswith("éis")):
+        return s[:-3] + "el"
+    if len(s) > 4 and s.endswith("ais"):
+        return s[:-3] + "al"
+    if len(s) > 4 and s.endswith("óis"):
+        return s[:-3] + "ol"
+    if len(s) > 4 and s.endswith("is"):
+        return s[:-2] + "il"
+    if len(s) > 3 and (s.endswith("ões") or s.endswith("ães")):
+        return s[:-3] + "ão"
+    if len(s) > 6 and s.endswith("mente"):
+        return s[:-5]
+    if len(s) > 3 and s.endswith("s"):
+        return s[:-1]
+    return s
+
+
+def _portuguese_light_stem_uncached(word: str) -> str:
+    """Savoy's Portuguese light stemmer over a lowercase token."""
+    if len(word) < 4:
+        return word
+    s = _pt_remove_suffix(word)
+    if len(s) > 3 and s.endswith("a"):
+        s = _pt_norm_feminine(s)
+    if len(s) > 4 and s[-1] in "eao":
+        s = s[:-1]
+    return s.translate(_PT_FOLD)
+
+
+portuguese_light_stem = lru_cache(maxsize=1 << 16)(
+    _portuguese_light_stem_uncached
+)
+
+
+# ---------------------------------------------------------------------------
+# Italian analyzer (TermAnalyzers.java:66 wires Lucene's ItalianAnalyzer:
+# elision -> lowercase -> stop -> light stemming). The stemmer is Savoy's
+# Italian light stemmer (CLEF 2001 UniNE): accent folding then
+# final-vowel conflation, dropping a preceding 'i' (plural marker:
+# amici/amico -> amic) or the 'h' of a -che/-chi digraph.
+# ---------------------------------------------------------------------------
+
+# Snowball Italian stop set (function words; elided articles l'/un'/
+# dell'... arrive as standalone tokens from the apostrophe split and are
+# included, mirroring the French elision handling above).
+ITALIAN_STOPWORDS = frozenset(
+    """ad al allo ai agli all agl alla alle con col coi da dal dallo dai
+    dagli dall dagl dalla dalle di del dello dei degli dell degl della
+    delle in nel nello nei negli nell negl nella nelle su sul sullo sui
+    sugli sull sugl sulla sulle per tra fra contro io tu lui lei noi voi
+    loro mio mia miei mie tuo tua tuoi tue suo sua suoi sue nostro nostra
+    nostri nostre vostro vostra vostri vostre mi ti ci vi lo la li le gli
+    ne il un uno una ma ed se perché perche anche come dov dove che chi
+    cui non più piu quale quanto quanti quanta quante quello quelli quella
+    quelle questo questi questa queste si tutto tutti a c e i l o
+    è sono era erano sarà sara ho hai ha abbiamo avete hanno qui quando
+    d qu""".split()
+)
+
+_IT_FOLD = str.maketrans(
+    "àáâäòóôöèéêëùúûüìíîï", "aaaaooooeeeeuuuuiiii"
+)
+
+
+def _italian_light_stem_uncached(word: str) -> str:
+    """Savoy's Italian light stemmer: words shorter than 6 chars pass
+    through; fold accents; conflate the final vowel, also dropping a
+    preceding plural 'i' or soft-consonant 'h' (banche/banchi -> banc)."""
+    if len(word) < 6:
+        return word
+    s = word.translate(_IT_FOLD)
+    last, prev = s[-1], s[-2]
+    if last == "e":
+        return s[:-2] if prev in "ih" else s[:-1]
+    if last == "i":
+        return s[:-2] if prev in "ih" else s[:-1]
+    if last == "a":
+        return s[:-2] if prev == "i" else s[:-1]
+    if last == "o":
+        return s[:-2] if prev == "i" else s[:-1]
+    return s
+
+
+italian_light_stem = lru_cache(maxsize=1 << 16)(
+    _italian_light_stem_uncached
+)
+
+
+# ---------------------------------------------------------------------------
+# Stopword-only analyzers. The reference wires full Lucene analyzers for
+# ~30 more locales (TermAnalyzers.java:50-81); for nl/ru/sv/da we ship the
+# Snowball stop set with Standard tokenization and NO stemmer -- an
+# explicit, documented scope reduction (stopping captures most of the
+# retrieval win; a wrong stemmer would be worse than none). Remaining
+# locales fall through to the Standard analyzer exactly like
+# findAnalyzer's fallback (TermAnalyzers.java:117-136).
+# ---------------------------------------------------------------------------
+
+DUTCH_STOPWORDS = frozenset(
+    """de en van ik te dat die in een hij het niet zijn is was op aan met
+    als voor had er maar om hem dan zou of wat mijn men dit zo door over ze
+    zich bij ook tot je mij uit der daar haar naar heb hoe heeft hebben
+    deze u want nog zal me zij nu ge geen omdat iets worden toch al waren
+    veel meer doen toen moet ben zonder kan hun dus alles onder ja eens
+    hier wie werd altijd doch wordt wezen kunnen ons zelf tegen na reeds
+    wil kon niets uw iemand geweest andere""".split()
+)
+
+RUSSIAN_STOPWORDS = frozenset(
+    """и в во не что он на я с со как а то все она так его но да ты к у же
+    вы за бы по только ее её мне было вот от меня еще ещё нет о из ему
+    теперь когда даже ну вдруг ли если уже или ни быть был него до вас
+    нибудь опять уж вам ведь там потом себя ничего ей может они тут где
+    есть надо ней для мы тебя их чем была сам чтоб без будто чего раз тоже
+    себе под будет ж тогда кто этот того потому этого какой совсем ним
+    здесь этом один почти мой тем чтобы нее неё сейчас были куда зачем всех
+    никогда можно при наконец два об другой хоть после над больше тот через
+    эти нас про всего них какая много разве три эту моя впрочем хорошо свою
+    этой перед иногда лучше чуть том нельзя такой им более всегда конечно
+    всю между""".split()
+)
+
+SWEDISH_STOPWORDS = frozenset(
+    """och det att i en jag hon som han på den med var sig för så till är
+    men ett om hade de av icke mig du henne då sin nu har inte hans honom
+    skulle hennes där min man ej vid kunde något från ut när efter upp vi
+    dem vara vad över än dig kan sina här ha mot alla under någon eller
+    allt mycket sedan ju denna själv detta åt utan varit hur ingen mitt ni
+    bli blev oss din dessa några deras blir mina samma vilken er sådan vår
+    blivit dess inom mellan sådant varför varje vilka ditt vem vilket
+    sådana vart dina vars vårt våra ert era vilkas""".split()
+)
+
+DANISH_STOPWORDS = frozenset(
+    """og i jeg det at en den til er som på de med han af for ikke der var
+    mig sig men et har om vi min havde ham hun nu over da fra du ud sin dem
+    os op man hans hvor eller hvad skal selv her alle vil blev kunne ind
+    når være dog noget ville jo deres efter ned skulle denne end dette mit
+    også under have dig anden hende mine alt meget sit sine vor mod disse
+    hvis din nogle hos blive mange ad bliver hendes været thi jer
+    sådan""".split()
+)
+
+
+def _identity_stem(word: str) -> str:
+    return word
+
+
+# locale -> (stopword set, stemmer). Resolution strips `_` suffixes like
+# TermAnalyzers.findAnalyzer (so pt_BR -> pt, de_AT -> de).
+_LOCALE_ANALYZERS: dict[str, tuple[frozenset, object]] = {
+    "en": (ENGLISH_STOPWORDS, porter2_stem),
+    "de": (GERMAN_STOPWORDS, german_light_stem),
+    "fr": (FRENCH_STOPWORDS, french_minimal_stem),
+    "es": (SPANISH_STOPWORDS, spanish_light_stem),
+    "pt": (PORTUGUESE_STOPWORDS, portuguese_light_stem),
+    "it": (ITALIAN_STOPWORDS, italian_light_stem),
+    "nl": (DUTCH_STOPWORDS, _identity_stem),
+    "ru": (RUSSIAN_STOPWORDS, _identity_stem),
+    "sv": (SWEDISH_STOPWORDS, _identity_stem),
+    "da": (DANISH_STOPWORDS, _identity_stem),
+}
+
+
+# ---------------------------------------------------------------------------
 # Tokenization / analysis
 # ---------------------------------------------------------------------------
 
@@ -438,38 +708,34 @@ def standard_tokenize(text: str) -> list[str]:
     return _TOKEN_RE.findall(text.lower())
 
 
-def analyze(text: str, locale: str | None = None) -> list[str]:
+def analyze(
+    text: str, locale: str | None = None, use_stopwords: bool = True
+) -> list[str]:
     """Analyze text with the locale's analyzer.
 
-    Locale suffix stripping per TermAnalyzers.java:117-131. `en` gets
-    English stopwords + Porter2; `de` German stopwords + normalization +
-    light stemming; `fr` French stopwords (incl. elided articles) +
-    minimal stemming. Everything else falls back to Standard behavior
-    (lowercase tokens, no stop/stem), exactly like
-    TermAnalyzers.findAnalyzer's StandardAnalyzer fallback -- a
-    documented scope reduction from the reference's 30+ Lucene language
-    analyzers to its three most-hit ones.
+    Locale suffix stripping per TermAnalyzers.java:117-131 (pt_BR -> pt,
+    de_AT -> de). Ten locales are wired in `_LOCALE_ANALYZERS`: en
+    (Porter2), de/fr/es/pt/it (Savoy light stemmers), nl/ru/sv/da
+    (stopword-only -- documented scope reduction). Everything else falls
+    back to Standard behavior (lowercase tokens, no stop/stem), exactly
+    like TermAnalyzers.findAnalyzer's StandardAnalyzer fallback.
+    `use_stopwords=False` mirrors findAnalyzer's non-stopword analyzer
+    map (TermAnalyzers.java:84-115,118): same stemmer, empty stop set.
     """
     tokens = standard_tokenize(text)
     base = (locale or "").lower()
-    while base and base not in ("en", "de", "fr"):
+    while base and base not in _LOCALE_ANALYZERS:
         if "_" in base:
             base = base.rsplit("_", 1)[0]
         else:
             break
-    if base == "en":
-        return [porter2_stem(t) for t in tokens if t not in ENGLISH_STOPWORDS]
-    if base == "de":
-        return [
-            german_light_stem(t) for t in tokens
-            if t not in GERMAN_STOPWORDS
-        ]
-    if base == "fr":
-        return [
-            french_minimal_stem(t) for t in tokens
-            if t not in FRENCH_STOPWORDS
-        ]
-    return tokens
+    spec = _LOCALE_ANALYZERS.get(base)
+    if spec is None:
+        return tokens
+    stopwords, stem = spec
+    if not use_stopwords:
+        stopwords = frozenset()
+    return [stem(t) for t in tokens if t not in stopwords]
 
 
 @lru_cache(maxsize=8)

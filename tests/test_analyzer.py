@@ -135,3 +135,108 @@ def test_locale_suffix_stripping():
 
 def test_stopword_list_is_classic_33():
     assert len(ENGLISH_STOPWORDS) == 33
+
+
+# -- Spanish analyzer goldens (Savoy CLEF-2001 light stemmer) --------------
+
+GOLDEN_ES = {
+    "casas": "cas",        # plural -as
+    "casa": "casa",        # < 5 chars: untouched (published guard)
+    "voces": "voz",        # -ces -> -z
+    "meses": "mes",        # -eses -> -es
+    "grandes": "grand",    # -es
+    "rápido": "rapid",     # accent fold + final -o
+    "librerías": "libreri",
+    "w000123": "w000123",
+}
+
+
+def test_spanish_analyzer_goldens():
+    from miru_spark.analyzer import spanish_light_stem
+
+    for word, want in GOLDEN_ES.items():
+        assert spanish_light_stem(word) == want, word
+
+
+def test_spanish_analyzer_stops():
+    got = analyze("las casas grandes y los niños", "es")
+    assert got == ["cas", "grand", "niñ"]
+    assert analyze("las casas", "es_MX") == analyze("las casas", "es")
+
+
+# -- Portuguese analyzer goldens (Savoy SAC-2006 light stemmer) ------------
+
+GOLDEN_PT = {
+    "nações": "naca",      # -ões -> -ão, final vowel, fold ç/ã
+    "nação": "naca",       # conflates with its plural
+    "livros": "livr",
+    "livro": "livr",
+    "meninas": "menin",    # feminine -a -> -o conflation
+    "menino": "menin",
+    "finalmente": "final",  # adverb -mente
+    "papéis": "papel",     # -éis -> -el
+    "animais": "animal",   # -ais -> -al
+    "bons": "bom",         # -ns -> -m
+    "w000123": "w000123",
+}
+
+
+def test_portuguese_analyzer_goldens():
+    from miru_spark.analyzer import portuguese_light_stem
+
+    for word, want in GOLDEN_PT.items():
+        assert portuguese_light_stem(word) == want, word
+
+
+def test_portuguese_analyzer_stops():
+    got = analyze("os livros de uma menina", "pt")
+    assert got == ["livr", "menin"]
+    # pt_BR (BrazilianAnalyzer in the reference) resolves to pt --
+    # documented scope reduction via suffix stripping
+    assert analyze("os livros", "pt_BR") == analyze("os livros", "pt")
+
+
+# -- Italian analyzer goldens (Savoy light stemmer) ------------------------
+
+GOLDEN_IT = {
+    "amiche": "amic",      # -he digraph: drop 2
+    "banche": "banc",
+    "banchi": "banc",
+    "grande": "grand",
+    "grandi": "grand",
+    "amico": "amico",      # < 6 chars: untouched (published guard)
+    "città": "città",      # < 6 chars: untouched, accents kept
+    "w000123": "w000123",
+}
+
+
+def test_italian_analyzer_goldens():
+    from miru_spark.analyzer import italian_light_stem
+
+    for word, want in GOLDEN_IT.items():
+        assert italian_light_stem(word) == want, word
+
+
+def test_italian_analyzer_stops():
+    got = analyze("gli amici e le amiche della banca", "it")
+    assert got == ["amici", "amic", "banca"]
+
+
+# -- Stopword-only locales (nl/ru/sv/da: documented no-stemmer scope) ------
+
+def test_stopword_only_locales():
+    assert analyze("de huizen en de katten", "nl") == ["huizen", "katten"]
+    assert analyze("и в не что он на я банки", "ru") == ["банки"]
+    assert analyze("och det att banker", "sv") == ["banker"]
+    assert analyze("og i jeg banker", "da") == ["banker"]
+    # no stemming: tokens pass through verbatim
+    assert analyze("bankerna", "sv") == ["bankerna"]
+
+
+def test_use_stopwords_flag():
+    # non-stopword analyzer map analog (TermAnalyzers.java:84-115): same
+    # stemmer, empty stop set
+    assert analyze("the running dogs", "en", use_stopwords=False) == [
+        "the", "run", "dog",
+    ]
+    assert analyze("las casas", "es", use_stopwords=False) == ["las", "cas"]

@@ -127,6 +127,11 @@ def test_rank_identity_generated_set(engine, oracle):
         ("w000001 AND w000004", "de"),  # synthetic terms: de stems no-op
         ("the AND w000005", "fr"),
         ("w000002 OR w000007", "fr_CA"),  # suffix strips to fr
+        ("the OR w000200", "es"),       # 'the' survives the es analyzer
+        ("w000001 AND w000004", "pt_BR"),  # suffix strips to pt
+        ("the AND w000005", "it"),
+        ("w000002 OR w000007", "ru"),   # stopword-only locale
+        ("w000001 OR w000009", "sv"),
     ],
 )
 def test_rank_identity_locale_analyzers(engine, oracle, query, locale):
