@@ -1,4 +1,12 @@
 from .analytics import stream_waveform, waveform_stream
 from .sip import reopen_pids, sip_build
+from .stateful import latest_per_entity_stream, stream_latest_per_entity
 
-__all__ = ["sip_build", "reopen_pids", "stream_waveform", "waveform_stream"]
+__all__ = [
+    "sip_build",
+    "reopen_pids",
+    "stream_waveform",
+    "waveform_stream",
+    "latest_per_entity_stream",
+    "stream_latest_per_entity",
+]
