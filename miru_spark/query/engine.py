@@ -405,18 +405,37 @@ class SearchEngine:
         max_pinned_removals: int = 2_000_000,
         as_of: str | None = None,
     ):
-        self.spark = spark
         # AQE re-plans every exchange as its own job; for small interactive
         # top-k queries that is ~6 jobs and +30-40% latency with no upside
-        # (the kernel shuffle is tiny). build_index() save/restores it, and
-        # close() hands the saved value back when the engine is done --
-        # other workloads on the session (wide analytic ops) want AQE on.
-        self._prior_aqe = None
+        # (the kernel shuffle is tiny). Wide analytic workloads sharing the
+        # SparkSession want AQE *on*, so instead of toggling the shared
+        # conf (round-1 design: save/restore in close()) the engine plans
+        # every one of its own reads through a private child session --
+        # spark.newSession() shares the SparkContext, executors, and cache
+        # manager but has an isolated SQLConf, so nothing the engine
+        # configures is visible to other workloads on the same session.
         try:
-            self._prior_aqe = spark.conf.get("spark.sql.adaptive.enabled")
-            spark.conf.set("spark.sql.adaptive.enabled", "false")
-        except Exception:
-            pass
+            child = spark.newSession()
+            # newSession() starts from the builder-time options, not the
+            # parent's *runtime* conf -- carry over the keys that shape
+            # query plans so the engine behaves identically to the session
+            # the caller tuned, minus AQE.
+            for key in (
+                "spark.sql.shuffle.partitions",
+                "spark.sql.session.timeZone",
+                "spark.sql.execution.arrow.pyspark.enabled",
+                "spark.sql.execution.arrow.maxRecordsPerBatch",
+                "spark.sql.parquet.compression.codec",
+            ):
+                try:
+                    child.conf.set(key, spark.conf.get(key))
+                except Exception:
+                    pass
+            child.conf.set("spark.sql.adaptive.enabled", "false")
+            self.spark = child
+        except Exception:  # bare test doubles without newSession
+            self.spark = spark
+        spark = self.spark
         self.paths = IndexPaths(index_dir)
         meta_path = os.path.join(index_dir, "meta.json")
         self.meta = {}
@@ -539,15 +558,9 @@ class SearchEngine:
 
     # -- helpers -----------------------------------------------------------
     def close(self) -> None:
-        """Release cached tables and restore the session conf the engine
-        scoped to itself (AQE toggle). The SparkSession stays usable."""
-        if self._prior_aqe is not None:
-            try:
-                self.spark.conf.set(
-                    "spark.sql.adaptive.enabled", self._prior_aqe
-                )
-            except Exception:
-                pass
+        """Release cached tables. The engine's conf lives in its private
+        child session (see __init__), so there is nothing to restore on
+        the caller's SparkSession -- it was never touched."""
         for df in (self.postings, self.termstats, self.docmap):
             try:
                 df.unpersist()
