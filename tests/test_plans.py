@@ -83,3 +83,16 @@ def test_docmap_scan_prunes_columns(engine):
     assert "ReadSchema" in plan
     rs = plan.split("ReadSchema:")[1][:200]
     assert "url" not in rs and "doc_len" not in rs
+
+
+def test_engine_conf_isolated_from_caller_session(spark, engine):
+    # the engine plans through a private child session (shared
+    # SparkContext, isolated SQLConf): an open engine must not change
+    # what OTHER workloads on the caller's session plan with
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert engine.spark is not spark
+    assert engine.spark.conf.get("spark.sql.adaptive.enabled") == "false"
+    # plan-shaping runtime conf carries over to the child
+    assert engine.spark.conf.get("spark.sql.shuffle.partitions") == (
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
