@@ -40,6 +40,7 @@ _TOKEN_SPEC = re.compile(
       | (?P<or>OR\b)
       | (?P<not>NOT\b)
       | (?P<minus>-)
+      | (?P<quoted>"[^"]*")
       | (?P<fieldexpr>[A-Za-z_][A-Za-z0-9_]*:(?:\[[^\]]*\]|[^\s()]+))
       | (?P<word>[^\s()\-][^\s()]*)
     )""",
@@ -160,6 +161,22 @@ class _Parser:
             if self.next()[0] != "rparen":
                 raise QueryParseError("unbalanced parenthesis")
             return node
+        if kind == "quoted":
+            # Lucene-classic phrase syntax. The index stores no positions
+            # (like the reference's), so: 1 analyzed token collapses to a
+            # TermQuery (QueryParser does this before makeFilter ever sees
+            # it); 0 tokens (all stopwords) drops the clause; >=2 tokens is
+            # a PhraseQuery, which the reference rejects with "Unsupported
+            # query type" (LuceneBackedQueryParser.java:108-110).
+            analyzed = analyze(val[1:-1], self.locale)
+            if not analyzed:
+                return ("all",)
+            if len(analyzed) == 1:
+                return ("term", analyzed[0])
+            raise QueryParseError(
+                f"Unsupported query type: phrase {val} (index stores no "
+                f"term positions, same as the reference)"
+            )
         if kind == "word":
             if val.endswith("*") and len(val) > 1:
                 stem = val[:-1].lower()

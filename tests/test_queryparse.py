@@ -122,3 +122,29 @@ def test_unbalanced_paren_raises():
 
 def test_empty_query():
     assert parse_query("") == ("none",)
+
+
+def test_quoted_single_term_collapses_to_term():
+    # Lucene's QueryParser turns a 1-token "phrase" into a TermQuery
+    # before makeFilter ever sees it
+    assert parse_query('"Search"') == ("term", "search")
+    assert parse_query('"searches"', locale="en") == ("term", "search")
+
+
+def test_quoted_stopword_only_drops_clause():
+    assert parse_query('"the" foo', locale="en") == ("term", "foo")
+
+
+def test_quoted_multiterm_phrase_rejected_like_reference():
+    # the reference's makeFilter throws "Unsupported query type" on
+    # PhraseQuery (LuceneBackedQueryParser.java:108-110): no positions
+    with pytest.raises(QueryParseError, match="Unsupported query type"):
+        parse_query('"big data"')
+
+
+def test_quoted_composes_with_boolean():
+    assert parse_query('foo -"junk"', locale=None) == (
+        "not",
+        ("term", "foo"),
+        ("term", "junk"),
+    )
