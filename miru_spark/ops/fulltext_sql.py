@@ -210,6 +210,22 @@ GROUP BY term
 _ENGINE_CACHE: dict = {}
 
 
+def _close_cached_engines() -> None:
+    """Release fds/threads held by cached engines (atexit: the cache is
+    process-lifetime by design -- one engine per (session, sf_dir))."""
+    for eng in _ENGINE_CACHE.values():
+        try:
+            eng.close()
+        except Exception:
+            pass
+    _ENGINE_CACHE.clear()
+
+
+import atexit as _atexit  # noqa: E402
+
+_atexit.register(_close_cached_engines)
+
+
 def _engine_for(spark: SparkSession, sf_dir: str):
     """Build (once per sf_dir) a real blocked-postings index over
     `documents` (lang forced to 'und' so the standard analyzer ==

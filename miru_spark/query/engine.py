@@ -377,6 +377,7 @@ def _make_kernel(
                     scored_ids, scored_scores = score_subset(
                         pid, sub_rows, idf, bounds, rem
                     )
+                    scored_blks = cand
             if counter is not None:
                 counter["blocks_scored"] = (
                     counter.get("blocks_scored", 0) + len(scored_blks)
@@ -567,7 +568,13 @@ class SearchEngine:
             except Exception:
                 pass
         self._pads = None
-        self._rgcat = None  # drops the catalog's open ParquetFile readers
+        if self._rgcat is not None:
+            for r in self._rgcat[0]:  # the catalog's open ParquetFiles
+                try:
+                    r.close()
+                except Exception:
+                    pass
+            self._rgcat = None
         if self._pool is not None:
             self._pool.shutdown(wait=False)
             self._pool = None
@@ -965,7 +972,12 @@ class SearchEngine:
                         pmin, pmax = int(st_p.min), int(st_p.max)
                     rows.append((fi, i, tmin, tmax, pmin, pmax))
                 if len(rows) > self.MAX_CATALOG_ROW_GROUPS:
-                    self._rgcat = (readers, None)
+                    # catalog too large to pin: the fallback path reads
+                    # through _dataset(), so keeping the partially-opened
+                    # readers would only leak file descriptors
+                    for r in readers:
+                        r.close()
+                    self._rgcat = ([], None)
                     return self._rgcat
             self._rgcat = (readers, rows)
         return self._rgcat
@@ -1091,6 +1103,17 @@ class SearchEngine:
         try:
             rows = self._search_local(sub, k, use_blockmax=True)
         except Exception:
+            # a failed seed only loses pruning, never correctness -- but
+            # a silent fallback would also hide real decode/schema bugs
+            # from the distributed path, so say something once
+            if not getattr(self, "_theta_seed_warned", False):
+                self._theta_seed_warned = True
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "theta seed failed; block-max runs unseeded",
+                    exc_info=True,
+                )
             return 0.0
         if len(rows) < k:
             return 0.0
@@ -1316,6 +1339,7 @@ class SearchEngine:
         time_range_us: tuple[int, int] | None = None,
         use_blockmax: bool = True,
         local: bool | None = None,
+        prep: dict | None = None,
     ) -> DataFrame:
         """Run a query; returns DataFrame(url, warc_ts, pid, doc_id, score)
         ordered by (score desc, pid, doc_id), limit k.
@@ -1337,9 +1361,19 @@ class SearchEngine:
         against the broadcast local winner relation. This is miru's
         gatherValues forward-index point read (FullText.java:253-280) in
         two bounded jobs."""
-        prep = self._prep_query(query, locale, time_range_us)
+        if prep is None:
+            prep = self._prep_query(query, locale, time_range_us)
         if local is None:
             local = self._local_eligible(prep)
+        elif local and not self._local_eligible(prep):
+            # forcing the serving-node path when it can't answer this
+            # query correctly (unpinned dictionary/tombstones, format-1
+            # time bounds, oversized posting volume) must fail loudly,
+            # not return silently-wrong results
+            raise ValueError(
+                "local=True forced but this query is not eligible for "
+                "the serving-node path; use local=None for auto-routing"
+            )
         if local:
             rows = self._search_local(prep, k, use_blockmax)
             wdf = self._local_relation(rows)
@@ -1401,12 +1435,17 @@ class SearchEngine:
         )
         if local is None:
             local = self._local_eligible(prep)
+        elif local and not self._local_eligible(prep):
+            raise ValueError(
+                "local=True forced but this query is not eligible for "
+                "the serving-node path; use local=None for auto-routing"
+            )
         if local:
             rows = self._search_local(
                 prep, k, kw.get("use_blockmax", True)
             )
             return [(p, d, s, u) for (u, _w, p, d, s) in rows]
-        rows = self.search(query, k=k, local=False, **kw).collect()
+        rows = self.search(query, k=k, local=False, prep=prep, **kw).collect()
         return [(r["pid"], r["doc_id"], r["score"], r["url"]) for r in rows]
 
     def search_many(
@@ -1482,18 +1521,20 @@ class SearchEngine:
         tagged = blocks.join(F.broadcast(qmap), "term")
 
         n_docs, avgdl, pid_counts = self.n_docs, self.avgdl, self.pid_counts
+        idf_map = None
+        if pinned:
+            # one shared map over the union fetch set; each kernel reads
+            # only its own scoring terms from it
+            idf_map = {
+                t: bm25_idf(n_docs, self._term_df[t])
+                for t in fetch_all
+                if t in self._term_df
+            }
         kernels = {}
         for qid, spec in enumerate(specs):
             if spec is None:
                 continue
             tree, scoring, expansions = spec
-            idf_map = None
-            if pinned:
-                idf_map = {
-                    t: bm25_idf(n_docs, self._term_df[t])
-                    for t in fetch_all
-                    if t in self._term_df
-                }
             kernels[qid] = _make_kernel(
                 tree, scoring, n_docs, avgdl, k, pid_counts,
                 expansions, None, use_blockmax, idf_map=idf_map,

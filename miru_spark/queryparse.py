@@ -21,6 +21,16 @@ Tree nodes (plain tuples, picklable for broadcast into UDFs):
     ("not", pos_node, neg_node)   -- pButNotQ: pos AND NOT neg
     ("all",)               -- match-everything (inclusiveFilter base,
                               MiruFilter.java:18)
+    ("dropped",)           -- parser-internal only: a clause the analyzer
+                              eliminated entirely (stopword-only word or
+                              quote). Lucene's QueryParser omits such
+                              clauses from the BooleanQuery, so every
+                              combiner filters this sentinel out (under
+                              AND, OR and NOT alike); it never appears in
+                              a returned tree -- a query that analyzes to
+                              nothing raises, like the reference's
+                              wrap() "Nothing to filter"
+                              (LuceneBackedQueryParser.java:142)
     ("none",)              -- match-nothing (empty AND operand short-circuit,
                               MiruAggregateUtil.java:1175-1177)
 """
@@ -92,9 +102,12 @@ class _Parser:
         while self.peek()[0] == "or":
             self.next()
             parts.append(self.parse_and_list())
-        if len(parts) == 1:
-            return parts[0]
-        return ("or", parts)
+        live = [p for p in parts if p != ("dropped",)]
+        if not live:
+            return ("dropped",)
+        if len(live) == 1:
+            return live[0]
+        return ("or", live)
 
     def parse_and_list(self):
         pos, neg = [], []
@@ -112,6 +125,10 @@ class _Parser:
                 pos.append(self.parse_atom())
         if not pos and not neg:
             raise QueryParseError("empty clause")
+        pos = [p for p in pos if p != ("dropped",)]
+        neg = [n for n in neg if n != ("dropped",)]
+        if not pos and not neg:
+            return ("dropped",)
         pos = [p for p in pos if p != ("all",)] or []
         if any(p == ("none",) for p in pos):
             pos_node = ("none",)
@@ -170,7 +187,7 @@ class _Parser:
             # query type" (LuceneBackedQueryParser.java:108-110).
             analyzed = analyze(val[1:-1], self.locale)
             if not analyzed:
-                return ("all",)
+                return ("dropped",)
             if len(analyzed) == 1:
                 return ("term", analyzed[0])
             raise QueryParseError(
@@ -183,10 +200,10 @@ class _Parser:
                 return ("prefix", stem)
             analyzed = analyze(val, self.locale)
             if not analyzed:
-                # analyzer removed the term (stopword under `en`): the
-                # clause contributes nothing -- match-all so AND siblings
-                # decide, mirroring Lucene's dropped-stopword behavior.
-                return ("all",)
+                # analyzer removed the term (stopword under `en`): Lucene
+                # omits the clause from the BooleanQuery entirely, so it
+                # must contribute nothing under AND, OR *and* NOT alike
+                return ("dropped",)
             if len(analyzed) == 1:
                 return ("term", analyzed[0])
             return ("and", [("term", t) for t in analyzed])
@@ -202,6 +219,10 @@ def parse_query(q: str, locale: str | None = None):
     node = p.parse_expr()
     if p.peek()[0] is not None:
         raise QueryParseError("trailing tokens")
+    if node == ("dropped",):
+        # every clause was analyzer-eliminated; the reference's wrap()
+        # throws "Nothing to filter" (LuceneBackedQueryParser.java:142)
+        raise QueryParseError("Nothing to filter (query analyzed to nothing)")
     return node
 
 

@@ -132,6 +132,10 @@ def test_rank_identity_generated_set(engine, oracle):
         ("the AND w000005", "it"),
         ("w000002 OR w000007", "ru"),   # stopword-only locale
         ("w000001 OR w000009", "sv"),
+        # en drops 'the' -> Lucene omits the clause: OR of a dropped
+        # clause must NOT become match-all (it's just w000200)
+        ("the OR w000200", "en"),
+        ("w000005 AND NOT the", "en"),
     ],
 )
 def test_rank_identity_locale_analyzers(engine, oracle, query, locale):

@@ -64,9 +64,25 @@ def test_lowercasing_via_analyzer():
     assert parse_query("FOO") == ("term", "foo")
 
 
-def test_en_stopword_dropped_to_all():
-    # under the en analyzer "the" is a stopword -> clause matches all
+def test_en_stopword_clause_omitted_like_lucene():
+    # under the en analyzer "the" is a stopword; Lucene's QueryParser
+    # omits the clause from the BooleanQuery under AND, OR and NOT alike
     assert parse_query("the AND fox", locale="en") == ("term", "fox")
+    assert parse_query("fox OR the", locale="en") == ("term", "fox")
+    assert parse_query("fox AND NOT the", locale="en") == ("term", "fox")
+    assert parse_query("fox -the", locale="en") == ("term", "fox")
+    assert parse_query("fox OR (the AND a)", locale="en") == ("term", "fox")
+
+
+def test_all_clauses_dropped_raises_nothing_to_filter():
+    # reference wrap() throws "Nothing to filter"
+    # (LuceneBackedQueryParser.java:142) when every clause drops
+    with pytest.raises(QueryParseError, match="Nothing to filter"):
+        parse_query("the", locale="en")
+    with pytest.raises(QueryParseError, match="Nothing to filter"):
+        parse_query("the OR a", locale="en")
+    with pytest.raises(QueryParseError, match="Nothing to filter"):
+        parse_query('-"the"', locale="en")
 
 
 def test_collect_terms():

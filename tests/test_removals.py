@@ -163,3 +163,19 @@ def test_remove_urls_roundtrip(spark, index_dir):
     assert n >= 1
     eng = SearchEngine(spark, index_dir)
     assert all(r["url"] != url for r in eng.newest(k=10).collect())
+
+
+def test_forced_local_raises_when_ineligible(spark, index_dir):
+    """local=True must fail loudly when the serving-node path can't
+    honor the query (here: tombstones exist but are unpinned, so only
+    the kernel path can mask removals) instead of silently resurrecting
+    removed docs."""
+    eng = SearchEngine(spark, index_dir, max_pinned_removals=0)
+    try:
+        assert eng._removed_df is not None and eng._removed_map is None
+        with pytest.raises(ValueError, match="not eligible"):
+            eng.search_collect("w000001", k=5, local=True)
+        with pytest.raises(ValueError, match="not eligible"):
+            eng.search("w000001", k=5, local=True)
+    finally:
+        eng.close()
