@@ -141,6 +141,19 @@ def main() -> None:
         extras["query_p50_ms"] = round(sorted(qtimes)[len(qtimes) // 2] * 1000, 1)
         extras["query_qps"] = round(len(qtimes) / sum(qtimes), 2)
 
+        # serving-node latency: search_collect answers eligible queries
+        # in-process (pyarrow + NumPy, zero Spark jobs) -- the analog of
+        # the reference's memory-mapped partition host answering directly
+        ctimes = []
+        for q in BM25_QUERIES.values():
+            t0 = time.time()
+            eng.search_collect(q, k=10)
+            ctimes.append(time.time() - t0)
+        extras["query_p50_servingnode_ms"] = round(
+            sorted(ctimes)[len(ctimes) // 2] * 1000, 1
+        )
+        extras["query_qps_servingnode"] = round(len(ctimes) / sum(ctimes), 2)
+
         # batched qps: all queries in ONE Spark job (stress-harness shape)
         t0 = time.time()
         eng.search_many(list(BM25_QUERIES.values()), k=10)

@@ -40,7 +40,7 @@ from __future__ import annotations
 import re
 
 from .analyzer import analyze
-from .fields import FIELD_SEP, NUMERIC_FIELDS, compose_value
+from .fields import FIELD_SEP, NUMERIC_FIELDS, compose, compose_value
 
 _TOKEN_SPEC = re.compile(
     r"""\s*(?:
@@ -158,6 +158,22 @@ class _Parser:
                 if lo > hi:
                     return ("none",)
                 return ("frange", field, lo, hi)
+            if rest.endswith("*"):
+                # field-scoped PrefixQuery (the reference composes it as
+                # MiruValue(text, "*") over the field's term space,
+                # LuceneBackedQueryParser.java:102-107); expansion is the
+                # same dictionary range scan as text wildcards, composed
+                # terms share the posting dictionary
+                if rest == "*":
+                    raise QueryParseError(
+                        f"Unsupported query type: wildcard {val!r}"
+                    )
+                if field in NUMERIC_FIELDS:
+                    raise QueryParseError(
+                        f"prefix on numeric field {field!r}: use a range "
+                        f"({field}:[lo TO hi])"
+                    )
+                return ("prefix", compose(field, rest[:-1].lower()))
             if field in NUMERIC_FIELDS:
                 m = _RANGE_DASH.match(rest)
                 if m:  # reference numeric-range shorthand `obj:1-100`
@@ -246,6 +262,8 @@ def collect_terms(node) -> tuple[set, set, set]:
         elif tag == "frange":
             return  # filter-only
         elif tag == "prefix":
+            if FIELD_SEP in n[1]:
+                return  # composed field prefixes filter, never score
             if negated:
                 neg_t.add(n[1] + "*")
             else:

@@ -253,6 +253,8 @@ FIELD_QUERIES = [
     "site:100-199 AND w000002",   # dash shorthand, same result
     "doclen:[16 TO 60] AND w000001",
     "w000001 AND NOT lang:en",
+    "lang:d* AND w000001",        # field-scoped PrefixQuery (de + da)
+    "w000002 AND NOT lang:d*",    # negated field prefix
 ]
 
 
@@ -397,7 +399,9 @@ _LEAF_TERMS = [
     f"w{i:06d}"
     for i in (0, 1, 2, 3, 4, 5, 7, 9, 11, 14, 33, 100, 200, 294, 512, 731)
 ] + ["the", "w00004*"]
-_FIELD_LEAVES = ["lang:de", "lang:en", "doclen:[5 TO 40]", "site:[0 TO 200]"]
+_FIELD_LEAVES = [
+    "lang:de", "lang:en", "lang:d*", "doclen:[5 TO 40]", "site:[0 TO 200]",
+]
 
 _leaf = st.sampled_from(_LEAF_TERMS)
 

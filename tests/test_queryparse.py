@@ -164,3 +164,22 @@ def test_quoted_composes_with_boolean():
         ("term", "foo"),
         ("term", "junk"),
     )
+
+
+def test_field_prefix_composes():
+    # field-scoped PrefixQuery: same dictionary range-scan machinery as
+    # text wildcards, composed into the field's term space
+    assert parse_query("lang:d*") == ("prefix", "lang\x1fd")
+    assert parse_query("lang:D*") == ("prefix", "lang\x1fd")
+
+
+def test_field_prefix_filter_only_never_scores():
+    pos_t, pos_p, neg_t = collect_terms(parse_query("foo AND lang:d*"))
+    assert pos_t == {"foo"} and pos_p == set() and neg_t == set()
+
+
+def test_field_prefix_numeric_and_bare_star_rejected():
+    with pytest.raises(QueryParseError, match="numeric"):
+        parse_query("doclen:1*")
+    with pytest.raises(QueryParseError, match="Unsupported query type"):
+        parse_query("lang:*")
