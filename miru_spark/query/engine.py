@@ -517,6 +517,16 @@ class SearchEngine:
         self._pads = None
         self._rgcat = None
         self._pool = None
+        # Decoded-postings LRU (term -> full-pid-span (cids, tfs, dls)):
+        # the serving-node analog of the reference's memory-mapped posting
+        # lists staying hot in page cache (LabInvertedIndex). Snapshot-
+        # immutable per engine, so no invalidation; bounded by posting
+        # entries, evicted least-recently-used.
+        from collections import OrderedDict
+
+        self._post_cache: OrderedDict = OrderedDict()
+        self._post_cache_entries = 0
+        self.post_cache_max_entries = 8 * local_max_postings
         # Doc-level tombstones (MiruRemovalIndex analog): every query masks
         # its matches against the resolved removed set, so removing one doc
         # is a parquet append, never a partition rebuild. Pinned driver-
@@ -578,6 +588,8 @@ class SearchEngine:
         if self._pool is not None:
             self._pool.shutdown(wait=False)
             self._pool = None
+        self._post_cache.clear()
+        self._post_cache_entries = 0
 
     def expand_prefix(self, prefix: str) -> list[str]:
         """Wildcard expansion: term-dictionary range scan, lexicographic,
@@ -1182,6 +1194,120 @@ class SearchEngine:
                    "score double",
         )
 
+    _POSTING_COLS = ["pid", "term", "blk", "n", "ids_bin", "tfs_bin",
+                     "dls_bin"]
+
+    def _decode_posting_table(self, tbl) -> dict:
+        """Decode a fetched posting-rows table into
+        {term: (cids, tfs, dls)} with absolute composite
+        (pid << 32 | doc_id) ids, ascending."""
+        import pyarrow.compute as pc
+
+        out: dict = {}
+        if not tbl.num_rows:
+            return out
+        order = pc.sort_indices(
+            tbl,
+            sort_keys=[
+                ("term", "ascending"),
+                ("pid", "ascending"),
+                ("blk", "ascending"),
+            ],
+        )
+        tbl = tbl.take(order)
+        terms = np.asarray(tbl["term"].to_pylist(), dtype=object)
+        pids = tbl["pid"].to_numpy().astype(np.int64)
+        ns = tbl["n"].to_numpy().astype(np.int64)
+        ids_bins = tbl["ids_bin"].to_pylist()
+        tfs_bins = tbl["tfs_bin"].to_pylist()
+        dls_bins = tbl["dls_bin"].to_pylist()
+        bnd = np.flatnonzero(terms[1:] != terms[:-1]) + 1
+        starts = np.concatenate(([0], bnd, [len(terms)]))
+        for gi in range(len(starts) - 1):
+            s, e = int(starts[gi]), int(starts[gi + 1])
+            t = terms[s]
+            # ONE varint decode per term over the concatenated blobs,
+            # then vectorized per-block rebase to absolute composite ids
+            # (first gap of each block is absolute within its pid)
+            gaps = decode_varint(b"".join(ids_bins[s:e]))
+            acc = np.cumsum(gaps)
+            row_n = ns[s:e]
+            rs = np.zeros(e - s, dtype=np.int64)
+            np.cumsum(row_n[:-1], out=rs[1:])
+            base = acc[rs] - gaps[rs] - (pids[s:e] << 32)
+            out[t] = (
+                acc - np.repeat(base, row_n),
+                decode_varint(b"".join(tfs_bins[s:e])),
+                decode_varint(b"".join(dls_bins[s:e])),
+            )
+        return out
+
+    _EMPTY_POSTINGS = (
+        np.empty(0, dtype=np.int64),
+        np.empty(0, dtype=np.int64),
+        np.empty(0, dtype=np.int64),
+    )
+
+    def _postings_maps(
+        self, fetch_terms, pid_range
+    ) -> tuple[dict, dict, dict]:
+        """Decoded postings for the serving-node path, through the LRU.
+
+        Cached entries hold the term's FULL pid span; a pid-bounded query
+        slices the cached arrays by composite-id range (they are sorted),
+        which is exactly what a ranged fetch would have decoded. A
+        pid-bounded MISS fetches only the range and does NOT populate the
+        cache (the theta-seed path probes single pids of head terms whose
+        full span may exceed the serving-node budget)."""
+        term_cids: dict = {}
+        term_tfs: dict = {}
+        term_dls: dict = {}
+        if not fetch_terms:
+            return term_cids, term_tfs, term_dls
+        missing = [t for t in fetch_terms if t not in self._post_cache]
+        if missing and pid_range is None:
+            dec = self._decode_posting_table(
+                self._fetch_posting_rows(missing, None, self._POSTING_COLS)
+            )
+            for t in missing:
+                arrs = dec.get(t, self._EMPTY_POSTINGS)
+                self._post_cache[t] = arrs
+                self._post_cache_entries += arrs[0].size
+            while (
+                self._post_cache_entries > self.post_cache_max_entries
+                and len(self._post_cache) > len(fetch_terms)
+            ):
+                _t, old = self._post_cache.popitem(last=False)
+                self._post_cache_entries -= old[0].size
+            missing = []
+        if missing:
+            dec = self._decode_posting_table(
+                self._fetch_posting_rows(
+                    fetch_terms, pid_range, self._POSTING_COLS
+                )
+            )
+            for t, (c, f, d) in dec.items():
+                term_cids[t], term_tfs[t], term_dls[t] = c, f, d
+            return term_cids, term_tfs, term_dls
+        lo_c = hi_c = None
+        if pid_range is not None:
+            lo_c = int(pid_range[0]) << 32
+            hi_c = (int(pid_range[1]) + 1) << 32
+        for t in fetch_terms:
+            arrs = self._post_cache[t]
+            self._post_cache.move_to_end(t)
+            c, f, d = arrs
+            if not c.size:
+                continue
+            if lo_c is not None:
+                s = int(np.searchsorted(c, lo_c, "left"))
+                e = int(np.searchsorted(c, hi_c, "left"))
+                if s == e:
+                    continue
+                c, f, d = c[s:e], f[s:e], d[s:e]
+            term_cids[t], term_tfs[t], term_dls[t] = c, f, d
+        return term_cids, term_tfs, term_dls
+
     def _search_local(self, prep: dict, k: int, use_blockmax: bool) -> list:
         """Answer a bounded query on the serving node: pyarrow row-group-
         pruned reads + one vectorized NumPy pass over composite
@@ -1198,50 +1324,9 @@ class SearchEngine:
             return []
         dset = self._dataset()
 
-        term_cids: dict[str, np.ndarray] = {}
-        term_tfs: dict[str, np.ndarray] = {}
-        term_dls: dict[str, np.ndarray] = {}
-        if prep["fetch_terms"]:
-            tbl = self._fetch_posting_rows(
-                prep["fetch_terms"],
-                prep["pid_range"],
-                ["pid", "term", "blk", "n", "ids_bin", "tfs_bin",
-                 "dls_bin"],
-            )
-            if tbl.num_rows:
-                order = pc.sort_indices(
-                    tbl,
-                    sort_keys=[
-                        ("term", "ascending"),
-                        ("pid", "ascending"),
-                        ("blk", "ascending"),
-                    ],
-                )
-                tbl = tbl.take(order)
-                terms = np.asarray(tbl["term"].to_pylist(), dtype=object)
-                pids = tbl["pid"].to_numpy().astype(np.int64)
-                ns = tbl["n"].to_numpy().astype(np.int64)
-                ids_bins = tbl["ids_bin"].to_pylist()
-                tfs_bins = tbl["tfs_bin"].to_pylist()
-                dls_bins = tbl["dls_bin"].to_pylist()
-                bnd = np.flatnonzero(terms[1:] != terms[:-1]) + 1
-                starts = np.concatenate(([0], bnd, [len(terms)]))
-                for gi in range(len(starts) - 1):
-                    s, e = int(starts[gi]), int(starts[gi + 1])
-                    t = terms[s]
-                    # ONE varint decode per term over the concatenated
-                    # blobs, then vectorized per-block rebase to absolute
-                    # composite ids (first gap of each block is absolute
-                    # within its pid)
-                    gaps = decode_varint(b"".join(ids_bins[s:e]))
-                    acc = np.cumsum(gaps)
-                    row_n = ns[s:e]
-                    rs = np.zeros(e - s, dtype=np.int64)
-                    np.cumsum(row_n[:-1], out=rs[1:])
-                    base = acc[rs] - gaps[rs] - (pids[s:e] << 32)
-                    term_cids[t] = acc - np.repeat(base, row_n)
-                    term_tfs[t] = decode_varint(b"".join(tfs_bins[s:e]))
-                    term_dls[t] = decode_varint(b"".join(dls_bins[s:e]))
+        term_cids, term_tfs, term_dls = self._postings_maps(
+            prep["fetch_terms"], prep["pid_range"]
+        )
 
         bounds = self._local_bounds(prep, dset)
 

@@ -18,7 +18,7 @@ of a query, never inside a distributed job.
 from __future__ import annotations
 
 from ..analyzer import _TOKEN_RE, analyze
-from ..queryparse import collect_terms, parse_query
+from ..queryparse import QueryParseError, collect_terms, parse_query
 
 
 def highlight(
@@ -34,7 +34,13 @@ def highlight(
 ) -> str | None:
     if not query or not content:
         return None
-    tree = parse_query(query, locale)
+    try:
+        tree = parse_query(query, locale)
+    except QueryParseError:
+        # the reference catches ParseException and returns null
+        # (LuceneBackedQueryParser.highlight:68-71); a stopword-only
+        # query analyzes to nothing and can highlight nothing
+        return None
     pos_terms, pos_prefixes, _neg = collect_terms(tree)
     if not pos_terms and not pos_prefixes:
         return None
