@@ -51,7 +51,9 @@ _TOKEN_SPEC = re.compile(
       | (?P<not>NOT\b)
       | (?P<minus>-)
       | (?P<quoted>"[^"]*")
+      | (?P<fieldgroup>[A-Za-z_][A-Za-z0-9_]*:\()
       | (?P<fieldexpr>[A-Za-z_][A-Za-z0-9_]*:(?:\[[^\]]*\]|[^\s()]+))
+      | (?P<bracket>\[[^\]]*\])
       | (?P<word>[^\s()\-][^\s()]*)
     )""",
     re.VERBOSE,
@@ -87,6 +89,7 @@ class _Parser:
         self.toks = tokens
         self.i = 0
         self.locale = locale
+        self._fields: list[str] = []  # enclosing field-group context
 
     def peek(self):
         return self.toks[self.i] if self.i < len(self.toks) else (None, None)
@@ -144,57 +147,93 @@ class _Parser:
         neg_node = neg[0] if len(neg) == 1 else ("or", neg)
         return ("not", pos_node, neg_node)
 
-    def parse_atom(self):
-        kind, val = self.next()
-        if kind == "fieldexpr":
-            field, _, rest = val.partition(":")
-            if rest.startswith("[") and rest.endswith("]"):
-                m = _RANGE_BRACKET.match(rest[1:-1].strip())
-                if not m:
-                    raise QueryParseError(f"bad range syntax: {val!r}")
-                if field not in NUMERIC_FIELDS:
-                    raise QueryParseError(f"range on non-numeric field: {field}")
+    def _field_atom(self, field: str, rest: str):
+        """One value under a field: range bracket / dash shorthand,
+        prefix star, numeric or keyword term -- shared by `field:value`
+        and the values inside a `field:(...)` group."""
+        if rest.startswith("[") and rest.endswith("]"):
+            m = _RANGE_BRACKET.match(rest[1:-1].strip())
+            if not m:
+                raise QueryParseError(f"bad range syntax: {field}:{rest!r}")
+            if field not in NUMERIC_FIELDS:
+                raise QueryParseError(f"range on non-numeric field: {field}")
+            lo, hi = int(m.group(1)), int(m.group(2))
+            if lo > hi:
+                return ("none",)
+            return ("frange", field, lo, hi)
+        if rest.endswith("*"):
+            # field-scoped PrefixQuery (the reference composes it as
+            # MiruValue(text, "*") over the field's term space,
+            # LuceneBackedQueryParser.java:102-107); expansion is the
+            # same dictionary range scan as text wildcards, composed
+            # terms share the posting dictionary
+            if rest == "*":
+                raise QueryParseError(
+                    f"Unsupported query type: wildcard {field}:{rest!r}"
+                )
+            if field in NUMERIC_FIELDS:
+                raise QueryParseError(
+                    f"prefix on numeric field {field!r}: use a range "
+                    f"({field}:[lo TO hi])"
+                )
+            return ("prefix", compose(field, rest[:-1].lower()))
+        if field in NUMERIC_FIELDS:
+            m = _RANGE_DASH.match(rest)
+            if m:  # reference numeric-range shorthand `obj:1-100`
                 lo, hi = int(m.group(1)), int(m.group(2))
                 if lo > hi:
                     return ("none",)
                 return ("frange", field, lo, hi)
-            if rest.endswith("*"):
-                # field-scoped PrefixQuery (the reference composes it as
-                # MiruValue(text, "*") over the field's term space,
-                # LuceneBackedQueryParser.java:102-107); expansion is the
-                # same dictionary range scan as text wildcards, composed
-                # terms share the posting dictionary
-                if rest == "*":
-                    raise QueryParseError(
-                        f"Unsupported query type: wildcard {val!r}"
-                    )
-                if field in NUMERIC_FIELDS:
-                    raise QueryParseError(
-                        f"prefix on numeric field {field!r}: use a range "
-                        f"({field}:[lo TO hi])"
-                    )
-                return ("prefix", compose(field, rest[:-1].lower()))
-            if field in NUMERIC_FIELDS:
-                m = _RANGE_DASH.match(rest)
-                if m:  # reference numeric-range shorthand `obj:1-100`
-                    lo, hi = int(m.group(1)), int(m.group(2))
-                    if lo > hi:
-                        return ("none",)
-                    return ("frange", field, lo, hi)
-                if not re.match(r"^-?\d+$", rest):
-                    raise QueryParseError(
-                        f"non-numeric value for numeric field: {val!r}"
-                    )
+            if not re.match(r"^-?\d+$", rest):
+                raise QueryParseError(
+                    f"non-numeric value for numeric field: {field}:{rest!r}"
+                )
+        try:
+            return ("term", compose_value(field, rest))
+        except ValueError as e:
+            raise QueryParseError(str(e)) from e
+
+    def parse_atom(self):
+        kind, val = self.next()
+        if kind == "fieldexpr":
+            if self._fields:
+                raise QueryParseError(
+                    f"nested field expression {val!r} inside "
+                    f"{self._fields[-1]}:(...)"
+                )
+            field, _, rest = val.partition(":")
+            return self._field_atom(field, rest)
+        if kind == "fieldgroup":
+            # Lucene field grouping `field:(a OR b ...)`: the field
+            # distributes over every value leaf in the group
+            if self._fields:
+                raise QueryParseError(
+                    f"nested field group {val!r} inside "
+                    f"{self._fields[-1]}:(...)"
+                )
+            self._fields.append(val[: val.index(":")])
             try:
-                return ("term", compose_value(field, rest))
-            except ValueError as e:
-                raise QueryParseError(str(e)) from e
+                node = self.parse_expr()
+                if self.next()[0] != "rparen":
+                    raise QueryParseError(
+                        "unbalanced parenthesis in field group"
+                    )
+            finally:
+                self._fields.pop()
+            return node
+        if kind == "bracket":
+            if not self._fields:
+                raise QueryParseError(f"range {val!r} outside a field")
+            return self._field_atom(self._fields[-1], val)
         if kind == "lparen":
             node = self.parse_expr()
             if self.next()[0] != "rparen":
                 raise QueryParseError("unbalanced parenthesis")
             return node
         if kind == "quoted":
+            if self._fields:
+                # a quoted value inside a field group is one raw value
+                return self._field_atom(self._fields[-1], val[1:-1])
             # Lucene-classic phrase syntax. The index stores no positions
             # (like the reference's), so: 1 analyzed token collapses to a
             # TermQuery (QueryParser does this before makeFilter ever sees
@@ -211,6 +250,11 @@ class _Parser:
                 f"term positions, same as the reference)"
             )
         if kind == "word":
+            if self._fields:
+                # a bare word inside `field:(...)` is a field VALUE --
+                # composed raw (lowercased), never analyzer-stemmed,
+                # exactly like the single `field:value` form
+                return self._field_atom(self._fields[-1], val)
             if val.endswith("*") and len(val) > 1:
                 stem = val[:-1].lower()
                 return ("prefix", stem)

@@ -255,6 +255,8 @@ FIELD_QUERIES = [
     "w000001 AND NOT lang:en",
     "lang:d* AND w000001",        # field-scoped PrefixQuery (de + da)
     "w000002 AND NOT lang:d*",    # negated field prefix
+    "w000001 AND lang:(de OR fr)",       # Lucene field grouping
+    "site:([100 TO 120] OR 42) AND w000002",
 ]
 
 
@@ -401,6 +403,7 @@ _LEAF_TERMS = [
 ] + ["the", "w00004*"]
 _FIELD_LEAVES = [
     "lang:de", "lang:en", "lang:d*", "doclen:[5 TO 40]", "site:[0 TO 200]",
+    "lang:(de OR fr)", "site:([0 TO 60] OR [100 TO 160])",
 ]
 
 _leaf = st.sampled_from(_LEAF_TERMS)

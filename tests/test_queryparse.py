@@ -183,3 +183,69 @@ def test_field_prefix_numeric_and_bare_star_rejected():
         parse_query("doclen:1*")
     with pytest.raises(QueryParseError, match="Unsupported query type"):
         parse_query("lang:*")
+
+
+def test_field_group_distributes():
+    from miru_spark.fields import compose
+
+    assert parse_query("lang:(de OR fr)") == (
+        "or",
+        [("term", compose("lang", "de")), ("term", compose("lang", "fr"))],
+    )
+    assert parse_query("lang:(DE fr)") == (
+        "and",
+        [("term", compose("lang", "de")), ("term", compose("lang", "fr"))],
+    )
+    assert parse_query("lang:(de -fr)") == (
+        "not",
+        ("term", compose("lang", "de")),
+        ("term", compose("lang", "fr")),
+    )
+
+
+def test_field_group_numeric_and_ranges():
+    assert parse_query("site:([1 TO 3] OR 7)") == (
+        "or",
+        [("frange", "site", 1, 3), parse_query("site:7")],
+    )
+    assert parse_query("site:(1-3 OR 9-12)") == (
+        "or",
+        [("frange", "site", 1, 3), ("frange", "site", 9, 12)],
+    )
+
+
+def test_field_group_prefix_and_quoted():
+    from miru_spark.fields import compose
+
+    assert parse_query("lang:(d* OR sv)") == (
+        "or",
+        [("prefix", compose("lang", "d")), ("term", compose("lang", "sv"))],
+    )
+    assert parse_query('lang:("de")') == ("term", compose("lang", "de"))
+
+
+def test_field_group_values_not_stemmed():
+    from miru_spark.fields import compose
+
+    # 'searches' under en would stem to 'search' as a text term; as a
+    # field VALUE it stays raw
+    assert parse_query("lang:(searches)", locale="en") == (
+        "term", compose("lang", "searches")
+    )
+
+
+def test_field_group_errors():
+    with pytest.raises(QueryParseError, match="nested"):
+        parse_query("lang:(de lang:fr)")
+    with pytest.raises(QueryParseError, match="nested"):
+        parse_query("lang:(site:(1))")
+    with pytest.raises(QueryParseError, match="unbalanced"):
+        parse_query("lang:(de OR fr")
+    with pytest.raises(QueryParseError, match="outside a field"):
+        parse_query("[1 TO 3]")
+
+
+def test_field_group_composes_with_text():
+    tree = parse_query("w000001 AND lang:(de OR fr)")
+    pos, prefixes, neg = collect_terms(tree)
+    assert pos == {"w000001"} and prefixes == set() and neg == set()
