@@ -67,6 +67,17 @@ class QueryParseError(ValueError):
     pass
 
 
+def _reject_unsupported_syntax(val: str) -> None:
+    """Lucene-classic syntax the reference's makeFilter throws
+    'Unsupported query type' on (LuceneBackedQueryParser.java:108-110):
+    FuzzyQuery (~), BoostQuery (^). Failing loudly beats silently
+    analyzing the operator characters away."""
+    if "~" in val:
+        raise QueryParseError(f"Unsupported query type: fuzzy {val!r}")
+    if "^" in val:
+        raise QueryParseError(f"Unsupported query type: boost {val!r}")
+
+
 def _lex(q: str) -> list[tuple[str, str]]:
     out = []
     pos = 0
@@ -151,6 +162,12 @@ class _Parser:
         """One value under a field: range bracket / dash shorthand,
         prefix star, numeric or keyword term -- shared by `field:value`
         and the values inside a `field:(...)` group."""
+        _reject_unsupported_syntax(rest)
+        if "*" in rest[:-1]:
+            raise QueryParseError(
+                f"Unsupported query type: wildcard {field}:{rest!r} "
+                f"(only trailing-star PrefixQuery, like the reference)"
+            )
         if rest.startswith("[") and rest.endswith("]"):
             m = _RANGE_BRACKET.match(rest[1:-1].strip())
             if not m:
@@ -255,9 +272,20 @@ class _Parser:
                 # composed raw (lowercased), never analyzer-stemmed,
                 # exactly like the single `field:value` form
                 return self._field_atom(self._fields[-1], val)
+            _reject_unsupported_syntax(val)
             if val.endswith("*") and len(val) > 1:
                 stem = val[:-1].lower()
+                if "*" in stem:
+                    raise QueryParseError(
+                        f"Unsupported query type: wildcard {val!r} (only "
+                        f"trailing-star PrefixQuery, like the reference)"
+                    )
                 return ("prefix", stem)
+            if "*" in val:
+                raise QueryParseError(
+                    f"Unsupported query type: wildcard {val!r} (only "
+                    f"trailing-star PrefixQuery, like the reference)"
+                )
             analyzed = analyze(val, self.locale)
             if not analyzed:
                 # analyzer removed the term (stopword under `en`): Lucene

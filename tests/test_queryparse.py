@@ -249,3 +249,13 @@ def test_field_group_composes_with_text():
     tree = parse_query("w000001 AND lang:(de OR fr)")
     pos, prefixes, neg = collect_terms(tree)
     assert pos == {"w000001"} and prefixes == set() and neg == set()
+
+
+def test_unsupported_lucene_syntax_rejected():
+    # the reference's makeFilter throws on FuzzyQuery/BoostQuery/
+    # WildcardQuery; silently analyzing the operators away would return
+    # different results than the reference errors on
+    for q in ["foo~", "foo~2", "foo^2", "te*m", "*foo", "te*m*",
+              "lang:de~", "lang:d^2", "lang:d*e", "lang:(de~)"]:
+        with pytest.raises(QueryParseError, match="Unsupported query type"):
+            parse_query(q)
