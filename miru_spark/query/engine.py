@@ -523,9 +523,11 @@ class SearchEngine:
         # immutable per engine, so no invalidation; bounded by posting
         # entries, evicted least-recently-used.
         from collections import OrderedDict
+        from threading import Lock
 
         self._post_cache: OrderedDict = OrderedDict()
         self._post_cache_entries = 0
+        self._post_cache_lock = Lock()  # concurrent serving threads
         self.post_cache_max_entries = 8 * local_max_postings
         # Doc-level tombstones (MiruRemovalIndex analog): every query masks
         # its matches against the resolved removed set, so removing one doc
@@ -1264,47 +1266,63 @@ class SearchEngine:
         term_dls: dict = {}
         if not fetch_terms:
             return term_cids, term_tfs, term_dls
-        missing = [t for t in fetch_terms if t not in self._post_cache]
+        with self._post_cache_lock:
+            missing = [t for t in fetch_terms if t not in self._post_cache]
         if missing and pid_range is None:
+            # fetch + decode OUTSIDE the lock (slow IO); racing threads
+            # may decode the same term, last insert wins harmlessly
             dec = self._decode_posting_table(
                 self._fetch_posting_rows(missing, None, self._POSTING_COLS)
             )
-            for t in missing:
-                arrs = dec.get(t, self._EMPTY_POSTINGS)
-                self._post_cache[t] = arrs
-                self._post_cache_entries += arrs[0].size
-            while (
-                self._post_cache_entries > self.post_cache_max_entries
-                and len(self._post_cache) > len(fetch_terms)
-            ):
-                _t, old = self._post_cache.popitem(last=False)
-                self._post_cache_entries -= old[0].size
+            with self._post_cache_lock:
+                for t in missing:
+                    if t in self._post_cache:
+                        continue
+                    arrs = dec.get(t, self._EMPTY_POSTINGS)
+                    self._post_cache[t] = arrs
+                    self._post_cache_entries += arrs[0].size
+                while (
+                    self._post_cache_entries > self.post_cache_max_entries
+                    and len(self._post_cache) > len(fetch_terms)
+                ):
+                    _t, old = self._post_cache.popitem(last=False)
+                    self._post_cache_entries -= old[0].size
             missing = []
-        if missing:
-            dec = self._decode_posting_table(
-                self._fetch_posting_rows(
-                    fetch_terms, pid_range, self._POSTING_COLS
-                )
-            )
-            for t, (c, f, d) in dec.items():
-                term_cids[t], term_tfs[t], term_dls[t] = c, f, d
-            return term_cids, term_tfs, term_dls
-        lo_c = hi_c = None
-        if pid_range is not None:
-            lo_c = int(pid_range[0]) << 32
-            hi_c = (int(pid_range[1]) + 1) << 32
-        for t in fetch_terms:
-            arrs = self._post_cache[t]
-            self._post_cache.move_to_end(t)
-            c, f, d = arrs
-            if not c.size:
-                continue
-            if lo_c is not None:
-                s = int(np.searchsorted(c, lo_c, "left"))
-                e = int(np.searchsorted(c, hi_c, "left"))
-                if s == e:
-                    continue
-                c, f, d = c[s:e], f[s:e], d[s:e]
+        if not missing:
+            # cache hits: snapshot array refs under the lock (entries may
+            # be evicted concurrently, but referenced arrays stay alive)
+            snap: dict | None = {}
+            with self._post_cache_lock:
+                for t in fetch_terms:
+                    arrs = self._post_cache.get(t)
+                    if arrs is None:  # evicted in the race window
+                        snap = None
+                        break
+                    self._post_cache.move_to_end(t)
+                    snap[t] = arrs
+            if snap is not None:
+                lo_c = hi_c = None
+                if pid_range is not None:
+                    lo_c = int(pid_range[0]) << 32
+                    hi_c = (int(pid_range[1]) + 1) << 32
+                for t in fetch_terms:
+                    c, f, d = snap[t]
+                    if not c.size:
+                        continue
+                    if lo_c is not None:
+                        s = int(np.searchsorted(c, lo_c, "left"))
+                        e = int(np.searchsorted(c, hi_c, "left"))
+                        if s == e:
+                            continue
+                        c, f, d = c[s:e], f[s:e], d[s:e]
+                    term_cids[t], term_tfs[t], term_dls[t] = c, f, d
+                return term_cids, term_tfs, term_dls
+        # ranged miss (theta-seed probes) or eviction race: read exactly
+        # what the query needs, bypassing the cache
+        dec = self._decode_posting_table(
+            self._fetch_posting_rows(fetch_terms, pid_range, self._POSTING_COLS)
+        )
+        for t, (c, f, d) in dec.items():
             term_cids[t], term_tfs[t], term_dls[t] = c, f, d
         return term_cids, term_tfs, term_dls
 

@@ -439,3 +439,39 @@ def test_rank_identity_fuzz(engine, oracle, query):
     want = oracle.search(query, k=10)
     got = engine.search_collect(query, k=10)
     _assert_rank_identical(got, want, query)
+
+
+def test_posting_cache_eviction_bound_and_identity(engine, oracle):
+    """Shrink the decoded-postings LRU so every query evicts, and check
+    results stay rank-identical while the entry budget holds."""
+    old = engine.post_cache_max_entries
+    engine._post_cache.clear()
+    engine._post_cache_entries = 0
+    engine.post_cache_max_entries = 1000  # far below one head term
+    try:
+        for query in _GEN_QUERIES[:6] + ["w00004*", "w000001 AND w000004"]:
+            want = oracle.search(query, k=10)
+            got = engine.search_collect(query, k=10)
+            _assert_rank_identical(got, want, f"{query} [tiny cache]")
+        # budget respected up to the per-query working set
+        assert len(engine._post_cache) < 200
+    finally:
+        engine.post_cache_max_entries = old
+        engine._post_cache.clear()
+        engine._post_cache_entries = 0
+
+
+def test_concurrent_serving_rank_identity(engine, oracle):
+    """The reference's stress harness fires queries concurrently
+    (WikiMiruStressService.java:58-120); serving-node reads through the
+    shared postings LRU must stay rank-identical under threads."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    engine._post_cache.clear()
+    engine._post_cache_entries = 0
+    queries = (_GEN_QUERIES[:8] + ["w00004*", "lang:(de OR fr) AND w000001"]) * 3
+    want = {q: oracle.search(q, k=10) for q in set(queries)}
+    with ThreadPoolExecutor(8) as ex:
+        results = list(ex.map(lambda q: (q, engine.search_collect(q, k=10)), queries))
+    for q, got in results:
+        _assert_rank_identical(got, want[q], f"{q} [concurrent]")
