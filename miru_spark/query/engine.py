@@ -402,7 +402,14 @@ class SearchEngine:
         spark: SparkSession,
         index_dir: str,
         max_pinned_terms: int = 4_000_000,
-        local_max_postings: int = 2_000_000,
+        # Routing threshold: estimated postings at or below this answer
+        # on the serving node (pyarrow + NumPy, zero Spark jobs); above
+        # it, the distributed kernel. Measured at 6M docs/local[32]: a
+        # 2-term head AND (est ~3M) runs 624 ms warm on the serving node
+        # vs 1.8 s through the kernel, so 8M (~200 MB transient) routes
+        # mid-size queries local while wide prefix expansions stay
+        # distributed. Tune down for thin drivers, up for fat ones.
+        local_max_postings: int = 8_000_000,
         max_pinned_removals: int = 2_000_000,
         as_of: str | None = None,
     ):
