@@ -447,11 +447,73 @@ LIMIT 10
 """
 
 
+def ev_catwalk_train(spark, sf_dir):
+    """Catwalk model TRAINING: per feature value, count co-occurrence
+    with each numerator term set and the feature's total cardinality.
+
+    Faithful to the reference's Catwalk.model
+    (miru-stream-plugins/.../catwalk/Catwalk.java:120-197): numerators[i]
+    = docs having the feature value whose answer term is in
+    numeratorTermSets[i] (:126-131), denominator = cardinality of the
+    feature value's bitmap (:163), one FeatureScore row per feature value
+    (:195, miru-catwalk-shared/.../FeatureScore.java:15-31); partition
+    models merge by SUMMING numerators and denominators
+    (CatwalkAnswerMerger.java:74-80) -- exactly a distributed groupBy
+    sum, so this single map-side-combinable aggregation IS the
+    cluster-wide trainer. max_score = max(numerators)/denominator
+    (FeatureScore.getMaxScore :44-49).
+
+    Feature = user bucket (user_id % 10); numerator sets over the answer
+    term event_type: {click} and {click, view}.
+    """
+    ev = _items(spark, sf_dir).select(
+        (F.col("user_id") % 10).alias("bucket"), "event_type"
+    )
+    model = ev.groupBy("bucket").agg(
+        F.sum(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        ).cast("long").alias("num_click"),
+        F.sum(
+            F.when(F.col("event_type").isin("click", "view"), 1).otherwise(0)
+        ).cast("long").alias("num_engage"),
+        F.count("*").cast("long").alias("denominator"),
+    )
+    return model.select(
+        "bucket",
+        "num_click",
+        "num_engage",
+        "denominator",
+        F.round(
+            F.greatest("num_click", "num_engage")
+            / F.col("denominator").cast("double"),
+            6,
+        ).alias("max_score"),
+    )
+
+
+EV_CATWALK_TRAIN_SQL = """
+WITH model AS (
+  SELECT user_id % 10 AS bucket,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+           AS num_click,
+         CAST(sum(CASE WHEN event_type IN ('click', 'view') THEN 1 ELSE 0 END)
+           AS BIGINT) AS num_engage,
+         CAST(count(*) AS BIGINT) AS denominator
+  FROM events GROUP BY 1
+)
+SELECT bucket, num_click, num_engage, denominator,
+       round(greatest(num_click, num_engage) / CAST(denominator AS DOUBLE), 6)
+         AS max_score
+FROM model
+"""
+
+
 QUERIES = {
     "ev_gather_counts": (ev_gather_counts, EV_GATHER_COUNTS_SQL),
     "ev_stream_sets": (ev_stream_sets, EV_STREAM_SETS_SQL),
     "ev_gather_features": (ev_gather_features, EV_GATHER_FEATURES_SQL),
     "ev_strut_score": (ev_strut_score, EV_STRUT_SCORE_SQL),
+    "ev_catwalk_train": (ev_catwalk_train, EV_CATWALK_TRAIN_SQL),
     "ev_inbox_unread": (ev_inbox_unread, EV_INBOX_UNREAD_SQL),
     "ev_authz_filter": (ev_authz_filter, EV_AUTHZ_FILTER_SQL),
     "ev_bloom_probe": (ev_bloom_probe, EV_BLOOM_PROBE_SQL),
