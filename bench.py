@@ -143,16 +143,22 @@ def main() -> None:
 
         # serving-node latency: search_collect answers eligible queries
         # in-process (pyarrow + NumPy, zero Spark jobs) -- the analog of
-        # the reference's memory-mapped partition host answering directly
-        ctimes = []
-        for q in BM25_QUERIES.values():
-            t0 = time.time()
-            eng.search_collect(q, k=10)
-            ctimes.append(time.time() - t0)
-        extras["query_p50_servingnode_ms"] = round(
-            sorted(ctimes)[len(ctimes) // 2] * 1000, 1
-        )
-        extras["query_qps_servingnode"] = round(len(ctimes) / sum(ctimes), 2)
+        # the reference's memory-mapped partition host answering directly.
+        # Skipped in scaling-protocol runs (BENCH_SKIP_OPS=1): those
+        # measure build throughput on multi-million-doc corpora where
+        # cold serving reads would just add unrelated minutes.
+        if os.environ.get("BENCH_SKIP_OPS", "0") != "1":
+            ctimes = []
+            for q in BM25_QUERIES.values():
+                t0 = time.time()
+                eng.search_collect(q, k=10)
+                ctimes.append(time.time() - t0)
+            extras["query_p50_servingnode_ms"] = round(
+                sorted(ctimes)[len(ctimes) // 2] * 1000, 1
+            )
+            extras["query_qps_servingnode"] = round(
+                len(ctimes) / sum(ctimes), 2
+            )
 
         # batched qps: all queries in ONE Spark job (stress-harness shape)
         t0 = time.time()
