@@ -120,3 +120,44 @@ def test_sip_late_arrival_raises_then_reopen(spark, dirs, tmp_path):
     assert rep.pids_built == [first_pid]
     full = dirs["full"]
     assert _postings_sorted(spark, idx) == _postings_sorted(spark, full)
+
+
+def test_sip_build_then_remove_then_query(spark, tmp_path_factory):
+    """Integration: incremental sip build -> doc-level tombstone ->
+    queries exclude the removed doc, rank-identical to the oracle minus
+    the victim, on BOTH the serving-node and kernel paths."""
+    import math
+
+    from miru_spark.index.removals import remove_docs
+    from miru_spark.oracle import OracleIndex
+    from miru_spark.webtext import generate_rows
+
+    root = tmp_path_factory.mktemp("sip_rm")
+    idx = str(root / "idx")
+    ckpt = str(root / "ckpt")
+    src = str(root / "src")
+    webtext_df(spark, 900, parallelism=4).write.mode("overwrite").parquet(src)
+    sip_build(spark, src, idx, ckpt, partition_seconds=PSEC)
+
+    eng0 = SearchEngine(spark, idx)
+    q = "w000001 AND w000004"
+    top = eng0.search_collect(q, k=3)
+    assert top
+    victims = [(int(top[0][0]), int(top[0][1]))]
+    eng0.close()
+    remove_docs(spark, idx, victims)
+
+    oracle = OracleIndex(generate_rows(range(900)), partition_seconds=PSEC)
+    full = oracle.search(q, k=10**9)
+    want = [r for r in full if (r[0], r[1]) not in set(victims)][:10]
+
+    eng = SearchEngine(spark, idx)
+    try:
+        for local in (None, False):
+            got = eng.search_collect(q, k=10, local=local)
+            assert len(got) == len(want), (local, len(got), len(want))
+            for g, w in zip(got, want):
+                assert (g[0], g[1]) == (w[0], w[1]), (local, g, w)
+                assert math.isclose(g[2], w[2], rel_tol=0, abs_tol=1e-9)
+    finally:
+        eng.close()
