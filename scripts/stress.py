@@ -1,0 +1,115 @@
+#!/usr/bin/env python
+"""Query stress harness: concurrent callers against one SearchEngine.
+
+Mirrors the reference's stress-plugin metric shape -- a sliding window of
+query latencies reduced to p50/p75/p90/p95/p99/p999 plus qps
+(WikiMiruStressPluginRegion.java:145-157 DescriptiveStatistics window,
+WikiMiruStressService.java:58-120 concurrent query firing) -- against the
+serving-node path (`search_collect`, zero Spark jobs per eligible query).
+
+    STRESS_THREADS=8 STRESS_SECONDS=20 python scripts/stress.py
+
+Prints one JSON line per thread level.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from concurrent.futures import ThreadPoolExecutor
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+LEVELS = tuple(
+    int(x) for x in os.environ.get("STRESS_THREADS", "1,8,16").split(",")
+)
+SECONDS = float(os.environ.get("STRESS_SECONDS", "15"))
+INDEX_DIR = os.environ.get("STRESS_INDEX_DIR", "/tmp/miru_stress_idx")
+
+QUERIES = [
+    "w000001 AND w000004",
+    "w000001 AND w000002 AND w000003 AND w000005",
+    "w000001 OR w000009 OR w000011",
+    "(w000005 OR w000006) AND w000007",
+    "w000001 AND NOT w000002",
+    "w00004*",
+    "the OR w000200",
+    "w000017 AND lang:de",
+    "doclen:[16 TO 60] AND w000001",
+]
+
+
+def _pct(sorted_ms: list[float], p: float) -> float:
+    i = min(len(sorted_ms) - 1, int(p * len(sorted_ms)))
+    return round(sorted_ms[i], 2)
+
+
+def main() -> None:
+    from miru_spark.index.build import build_index
+    from miru_spark.query import SearchEngine
+    from miru_spark.session import get_spark
+    from miru_spark.webtext import webtext_df
+
+    spark = get_spark(
+        app_name="stress", master=f"local[{CPUS}]", shuffle_partitions=32
+    )
+    if not os.path.exists(os.path.join(INDEX_DIR, "meta.json")):
+        import re
+
+        m = re.search(r"sf([0-9.]+)", SF_DIR)
+        n_docs = int(float(m.group(1)) * 2_000_000) if m else 200_000
+        wt = webtext_df(spark, n_docs, parallelism=CPUS)
+        build_index(
+            spark, wt, INDEX_DIR,
+            partition_seconds=14400, block_span=4096,
+            shuffle_partitions=32,
+        )
+    eng = SearchEngine(spark, INDEX_DIR)
+    for q in QUERIES:  # warm the postings LRU + row-group catalog
+        rows = eng.search_collect(q, k=10)
+        assert len(rows) == 10, q
+
+    for threads in LEVELS:
+        lat_ms: list[float] = []
+
+        def worker(wid: int) -> list[float]:
+            out = []
+            i = wid
+            end = time.time() + SECONDS
+            while time.time() < end:
+                q = QUERIES[i % len(QUERIES)]
+                t0 = time.perf_counter()
+                eng.search_collect(q, k=10)
+                out.append((time.perf_counter() - t0) * 1000)
+                i += 1
+            return out
+
+        t0 = time.time()
+        with ThreadPoolExecutor(threads) as ex:
+            for res in ex.map(worker, range(threads)):
+                lat_ms.extend(res)
+        wall = time.time() - t0
+        lat_ms.sort()
+        print(json.dumps({
+            "threads": threads,
+            "seconds": round(wall, 1),
+            "queries": len(lat_ms),
+            "qps": round(len(lat_ms) / wall, 1),
+            "p50_ms": _pct(lat_ms, 0.50),
+            "p75_ms": _pct(lat_ms, 0.75),
+            "p90_ms": _pct(lat_ms, 0.90),
+            "p95_ms": _pct(lat_ms, 0.95),
+            "p99_ms": _pct(lat_ms, 0.99),
+            "p999_ms": _pct(lat_ms, 0.999),
+        }), flush=True)
+
+    eng.close()
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
