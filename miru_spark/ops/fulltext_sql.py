@@ -379,6 +379,32 @@ _TR_BASE_US = 1704067200_000_000
 _TR_LO, _TR_HI = 100, 300
 
 
+def ft_engine_newest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME strategy through the REAL engine: newest-10 among the docs
+    matching a conjunctive filter (FullTextQuery.Strategy.TIME,
+    FullText.collectTime:222-251 -- descending docID iterator over the
+    answer bitmap). The engine corpus mints docIDs in warc order with a
+    single time partition, so newest == highest doc_id; DuckDB recomputes
+    it as a membership filter ORDER BY doc_id DESC."""
+    eng = _engine_for(spark, sf_dir)
+    return eng.newest(k=10, query="spark AND join").select(
+        "doc_id", F.lit(0.0).alias("score")
+    ).orderBy(F.desc("doc_id"))
+
+
+FT_ENGINE_NEWEST_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), m AS (
+  SELECT doc_id FROM toks WHERE term = 'spark'
+  INTERSECT
+  SELECT doc_id FROM toks WHERE term = 'join'
+)
+SELECT doc_id, 0.0 AS score FROM m ORDER BY doc_id DESC LIMIT 10
+"""
+
+
+
 def ft_engine_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-range-bounded BM25 through the REAL engine: `buildTimeRangeMask`
     (MiruTimeIndex getClosestId / smallestExclusiveTimestampIndex,
@@ -438,5 +464,6 @@ QUERIES = {
     "ft_engine_bm25_or": (ft_engine_bm25_or, FT_ENGINE_BM25_OR_SQL),
     "ft_numeric_range": (ft_numeric_range, FT_NUMERIC_RANGE_SQL),
     "ft_engine_not": (ft_engine_not, FT_ENGINE_NOT_SQL),
+    "ft_engine_newest": (ft_engine_newest, FT_ENGINE_NEWEST_SQL),
     "ft_engine_time_range": (ft_engine_time_range, FT_ENGINE_TIME_RANGE_SQL),
 }

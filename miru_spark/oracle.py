@@ -156,3 +156,16 @@ class OracleIndex:
             scored.append((key[0], key[1], s, d["url"]))
         scored.sort(key=lambda x: (-x[2], x[0], x[1]))
         return scored[:k]
+
+    def newest(self, k: int = 10, query: str | None = None,
+               locale: str | None = None):
+        """TIME strategy oracle: newest-k [(pid, doc_id, url)] among the
+        filtered matches (FullText.collectTime:222-251 descending docID
+        order; composite (pid, doc_id) descending == warc order since
+        docIDs are minted time-ordered per pid)."""
+        keys = (
+            self._eval(parse_query(query, locale))
+            if query is not None else set(self.docs)
+        )
+        out = sorted(keys, key=lambda x: (-x[0], -x[1]))[:k]
+        return [(p, d, self.docs[(p, d)]["url"]) for p, d in out]

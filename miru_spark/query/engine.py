@@ -182,6 +182,7 @@ def _make_kernel(
     removed_map: dict | None = None,
     theta0: float = 0.0,
     counter: dict | None = None,
+    strategy: str = "tfidf",
 ):
     """Build the per-partition applyInPandas kernel (closure ships to
     executors with the task -- all members are small).
@@ -283,7 +284,12 @@ def _make_kernel(
         return matches, scores
 
     def topk_of(ids: np.ndarray, scores: np.ndarray):
-        order = np.lexsort((ids, -scores))
+        if strategy == "time":
+            # TIME strategy: newest-k = largest docIDs (time-ordered ids,
+            # FullText.collectTime:222-251 descending iterator)
+            order = np.argsort(-ids)
+        else:
+            order = np.lexsort((ids, -scores))
         if k > 0:
             order = order[:k]
         return ids[order], scores[order]
@@ -316,7 +322,7 @@ def _make_kernel(
                 if t is not None and not pd.isna(d)
             }
 
-        if not use_blockmax or has_all or k <= 0:
+        if not use_blockmax or has_all or k <= 0 or strategy == "time":
             ids, scores = score_subset(pid, pdf, idf, bounds, rem)
             out_ids, out_scores = topk_of(ids, scores)
         else:
@@ -774,6 +780,7 @@ class SearchEngine:
         use_blockmax: bool = True,
         prep: dict | None = None,
         theta0: float = 0.0,
+        strategy: str = "tfidf",
     ) -> DataFrame:
         """Build the distributed match+score frame for a query: one
         mapInPandas kernel pass over the pruned posting blocks, yielding
@@ -865,6 +872,7 @@ class SearchEngine:
             time_spec=time_spec,
             removed_map=self._removed_map,
             theta0=theta0,
+            strategy=strategy,
         )
         # hash-co-locate each pid's fetched blocks on one task, then ONE
         # pandas call per task loops the pids it owns -- same semantics as
@@ -1333,7 +1341,10 @@ class SearchEngine:
             term_cids[t], term_tfs[t], term_dls[t] = c, f, d
         return term_cids, term_tfs, term_dls
 
-    def _search_local(self, prep: dict, k: int, use_blockmax: bool) -> list:
+    def _search_local(
+        self, prep: dict, k: int, use_blockmax: bool,
+        strategy: str = "tfidf",
+    ) -> list:
         """Answer a bounded query on the serving node: pyarrow row-group-
         pruned reads + one vectorized NumPy pass over composite
         (pid << 32 | doc_id) ids -- no per-pid loop, no Spark job. Exact
@@ -1391,6 +1402,16 @@ class SearchEngine:
         if matches.size == 0:
             return []
 
+        if strategy == "time":
+            # newest-k: matches is ascending composite (pid<<32|doc_id),
+            # which IS global time order (pids are time buckets, docIDs
+            # minted in warc order within each pid)
+            take = matches[-k:][::-1] if k > 0 else matches[:0]
+            w_pids = (take >> 32).astype(np.int64)
+            w_docs = (take & 0xFFFFFFFF).astype(np.int64)
+            return self._gather_rows(dset, w_pids, w_docs,
+                                     np.zeros(take.size, dtype=np.float64))
+
         idf = prep["idf_map"] or {}
         scores = np.zeros(matches.size, dtype=np.float64)
         for t in prep["scoring_terms"]:
@@ -1415,11 +1436,17 @@ class SearchEngine:
             order = order[:k]
         if order.size == 0:
             return []
-        w_pids, w_docs = w_pids[order], w_docs[order]
-        w_scores = scores[order]
+        return self._gather_rows(
+            dset, w_pids[order], w_docs[order], scores[order]
+        )
 
-        # forward-index point gather (FullText.gatherValues analog):
-        # row-group pruned by the tiny winner (pid, doc_id) predicate
+    def _gather_rows(self, dset, w_pids, w_docs, w_scores) -> list:
+        """Forward-index point gather (FullText.gatherValues analog):
+        row-group pruned by the tiny winner (pid, doc_id) predicate."""
+        import pyarrow.dataset as pads
+
+        if w_pids.size == 0:
+            return []
         dm = dset.to_table(
             filter=(pads.field("row_type") == "d")
             & pads.field("pid").isin(sorted({int(p) for p in w_pids}))
@@ -1695,9 +1722,60 @@ class SearchEngine:
             out[q] = [(p, d, s, u) for _rn, p, d, s, u in rows]
         return out
 
-    def newest(self, k: int = 10) -> DataFrame:
+    def newest(
+        self,
+        k: int = 10,
+        query: str | None = None,
+        locale: str | None = None,
+        time_range_us: tuple[int, int] | None = None,
+    ) -> DataFrame:
         """TIME strategy: newest-k, score 0 (FullText.collectTime
-        :222-251 -- descending docID iterator), minus tombstoned docs."""
+        :222-251 -- descending docID iterator), minus tombstoned docs.
+
+        With `query`, newest-k among the FILTERED matches (the
+        reference's FullTextQuery.Strategy.TIME runs the same filter
+        tree as TF_IDF and collects descending docIDs instead of
+        scoring). Composite (pid << 32 | doc_id) descending IS global
+        time order: pids are time buckets and docIDs are minted in
+        warc_ts order within each pid."""
+        if query is not None:
+            prep = self._prep_query(query, locale, time_range_us)
+            if self._local_eligible(prep):
+                rows = self._search_local(prep, k, False, strategy="time")
+                wdf = self._local_relation(rows)
+            else:
+                per = self.kernel_frame(
+                    query, k=k, locale=locale, time_range_us=time_range_us,
+                    use_blockmax=False, prep=prep, strategy="time",
+                )
+                wrows = per.orderBy(
+                    F.desc("pid"), F.desc("doc_id")
+                ).limit(k).collect() if k > 0 else []
+                rows = []
+                if wrows:
+                    import pandas as pd
+
+                    keys = [(int(r["pid"]), int(r["doc_id"])) for r in wrows]
+                    dm_rows = self.docmap.filter(
+                        F.col("pid").isin(sorted({p for p, _ in keys}))
+                        & F.col("doc_id").isin(sorted({d for _, d in keys}))
+                    ).select("pid", "doc_id", "url", "warc_us").collect()
+                    lk = {
+                        (int(r["pid"]), int(r["doc_id"])):
+                            (r["url"], int(r["warc_us"]))
+                        for r in dm_rows
+                    }
+                    rows = [
+                        (lk[key][0], lk[key][1], key[0], key[1], 0.0)
+                        for key in keys if key in lk
+                    ]
+                wdf = self._local_relation(rows)
+            return wdf.select(
+                "url",
+                F.timestamp_micros("warc_us").alias("warc_ts"),
+                "pid",
+                "doc_id",
+            )
         dm = self.docmap
         if self._removed_df is not None:
             # pinned sets are tiny -> broadcast anti-join; unpinned sets

@@ -475,3 +475,30 @@ def test_concurrent_serving_rank_identity(engine, oracle):
         results = list(ex.map(lambda q: (q, engine.search_collect(q, k=10)), queries))
     for q, got in results:
         _assert_rank_identical(got, want[q], f"{q} [concurrent]")
+
+
+@pytest.mark.parametrize("query", [
+    "w000001 OR w000009",
+    "lang:de",
+    "w000001 AND NOT w000002",
+    "lang:(de OR fr) AND w000001",
+])
+def test_newest_filtered_rank_identity(engine, oracle, query):
+    """TIME strategy with a filter tree: newest-k among matches,
+    identical on the serving-node and distributed kernel paths."""
+    want = oracle.newest(k=8, query=query)
+    got = [
+        (r["pid"], r["doc_id"], r["url"])
+        for r in engine.newest(k=8, query=query).collect()
+    ]
+    assert got == want, (query, got, want)
+    old = engine.local_max_postings
+    engine.local_max_postings = 0  # force the distributed kernel path
+    try:
+        got_d = [
+            (r["pid"], r["doc_id"], r["url"])
+            for r in engine.newest(k=8, query=query).collect()
+        ]
+    finally:
+        engine.local_max_postings = old
+    assert got_d == want, (query, got_d, want)
