@@ -90,6 +90,34 @@ def _bm25_tf_part(tf, dl, avgdl: float):
     return tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / avgdl))
 
 
+def _accumulate_term(scores, matches, ids, tfs, dls, idf_t, avgdl):
+    """Add one term's BM25 contribution onto `scores` (aligned with the
+    sorted `matches` array). Searches the SMALLER side into the larger:
+    for conjunctive queries matches << ids (probe matches into postings);
+    for disjunctive/prefix queries ids << union-of-matches (probe
+    postings into matches, ~|ids| log|matches| instead of
+    |matches| log|ids|). Both directions add the same per-doc
+    contributions in the same term order, so float sums are identical."""
+    if ids.size >= matches.size:
+        pos = np.searchsorted(ids, matches)
+        pos_c = np.minimum(pos, ids.size - 1)
+        present = ids[pos_c] == matches
+        if not present.any():
+            return
+        tf = tfs[pos_c[present]].astype(np.float64)
+        dl = dls[pos_c[present]].astype(np.float64)
+        scores[present] += idf_t * _bm25_tf_part(tf, dl, avgdl)
+    else:
+        pos = np.searchsorted(matches, ids)
+        pos_c = np.minimum(pos, matches.size - 1)
+        present = matches[pos_c] == ids
+        if not present.any():
+            return
+        tf = tfs[present].astype(np.float64)
+        dl = dls[present].astype(np.float64)
+        scores[pos_c[present]] += idf_t * _bm25_tf_part(tf, dl, avgdl)
+
+
 def _eval_tree(node, term_ids: dict, expansions: dict, universe: np.ndarray):
     """Evaluate filter tree -> sorted unique docID array."""
     tag = node[0]
@@ -273,14 +301,10 @@ def _make_kernel(
             ids = term_ids.get(t)
             if ids is None or ids.size == 0:
                 continue
-            pos = np.searchsorted(ids, matches)
-            pos_c = np.minimum(pos, ids.size - 1)
-            present = ids[pos_c] == matches
-            if not present.any():
-                continue
-            tf = term_tfs[t][pos_c[present]].astype(np.float64)
-            dl = term_dls[t][pos_c[present]].astype(np.float64)
-            scores[present] += idf[t] * _bm25_tf_part(tf, dl, avgdl)
+            _accumulate_term(
+                scores, matches, ids, term_tfs[t], term_dls[t],
+                idf[t], avgdl,
+            )
         return matches, scores
 
     def topk_of(ids: np.ndarray, scores: np.ndarray):
@@ -1418,15 +1442,9 @@ class SearchEngine:
             cids = term_cids.get(t)
             if cids is None or cids.size == 0:
                 continue
-            pos = np.searchsorted(cids, matches)
-            pos_c = np.minimum(pos, cids.size - 1)
-            present = cids[pos_c] == matches
-            if not present.any():
-                continue
-            tf = term_tfs[t][pos_c[present]].astype(np.float64)
-            dl = term_dls[t][pos_c[present]].astype(np.float64)
-            scores[present] += idf.get(t, 0.0) * _bm25_tf_part(
-                tf, dl, self.avgdl
+            _accumulate_term(
+                scores, matches, cids, term_tfs[t], term_dls[t],
+                idf.get(t, 0.0), self.avgdl,
             )
 
         w_pids = (matches >> 32).astype(np.int64)
