@@ -241,6 +241,30 @@ GROUP BY t.user_id
 """
 
 
+def ev_inbox_distinct_count(spark, sf_dir):
+    """DistinctCount scoped to an inbox stream: number of DISTINCT items
+    in each user's inbox (their touched-item stream), the inbox variant
+    of the count plugin -- DistinctCountInboxQuestion.java builds the
+    answer bitmap from the user's inbox index instead of a custom
+    filter, then counts distinct aggregate terms
+    (miru-stream-plugins/.../count/DistinctCountInboxQuestion.java:51-96,
+    DistinctCount.java numberOfDistincts)."""
+    ev = _items(spark, sf_dir)
+    inbox = ev.filter(F.col("event_type") != "view")
+    return inbox.groupBy("user_id").agg(
+        F.countDistinct("item").cast("long").alias("n_distinct_items")
+    )
+
+
+EV_INBOX_DISTINCT_COUNT_SQL = f"""
+WITH {_ITEMS_SQL.strip()}
+SELECT user_id, CAST(count(DISTINCT item) AS BIGINT) AS n_distinct_items
+FROM ev WHERE event_type <> 'view'
+GROUP BY user_id
+"""
+
+
+
 # -- authz: row-level security mask = OR of allowed label bitmaps
 #    (MiruAuthzUtils.getCompositeAuthz:24-33) -- semi-join against the
 #    allowed label set, here labels = user_id % 8 --------------------------
@@ -515,6 +539,7 @@ QUERIES = {
     "ev_strut_score": (ev_strut_score, EV_STRUT_SCORE_SQL),
     "ev_catwalk_train": (ev_catwalk_train, EV_CATWALK_TRAIN_SQL),
     "ev_inbox_unread": (ev_inbox_unread, EV_INBOX_UNREAD_SQL),
+    "ev_inbox_distinct_count": (ev_inbox_distinct_count, EV_INBOX_DISTINCT_COUNT_SQL),
     "ev_authz_filter": (ev_authz_filter, EV_AUTHZ_FILTER_SQL),
     "ev_bloom_probe": (ev_bloom_probe, EV_BLOOM_PROBE_SQL),
     "ev_latest_first": (ev_latest_first, EV_LATEST_FIRST_SQL),
