@@ -265,6 +265,51 @@ GROUP BY user_id
 
 
 
+def ev_inbox_aggregate_counts(spark, sf_dir):
+    """AggregateCounts scoped to inbox streams: the conversation-list
+    page -- latest event and total count per (user, item) over each
+    user's inbox (AggregateCountsInboxQuestion.java builds the answer
+    from the inbox index, then the same gather/aggregate as the custom
+    variant; filter/AggregateCounts.java latest-per-aggregate-term)."""
+    from pyspark.sql import Window
+
+    inbox = _items(spark, sf_dir).filter(F.col("event_type") != "view")
+    w = Window.partitionBy("user_id", "item").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    latest = (
+        inbox.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "item", F.col("event_id").alias("latest_event_id"))
+    )
+    counts = inbox.groupBy("user_id", "item").agg(
+        F.count("*").cast("long").alias("n_events")
+    )
+    return latest.join(counts, ["user_id", "item"]).select(
+        "user_id", "item", "latest_event_id", "n_events"
+    )
+
+
+EV_INBOX_AGG_COUNTS_SQL = f"""
+WITH {_ITEMS_SQL.strip()},
+inbox AS (
+  SELECT * FROM ev WHERE event_type <> 'view'
+), ranked AS (
+  SELECT user_id, item, event_id,
+         row_number() OVER (PARTITION BY user_id, item
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM inbox
+), counts AS (
+  SELECT user_id, item, CAST(count(*) AS BIGINT) AS n_events
+  FROM inbox GROUP BY user_id, item
+)
+SELECT r.user_id, r.item, r.event_id AS latest_event_id, c.n_events
+FROM ranked r JOIN counts c USING (user_id, item)
+WHERE r.rn = 1
+"""
+
+
+
 # -- authz: row-level security mask = OR of allowed label bitmaps
 #    (MiruAuthzUtils.getCompositeAuthz:24-33) -- semi-join against the
 #    allowed label set, here labels = user_id % 8 --------------------------
@@ -540,6 +585,7 @@ QUERIES = {
     "ev_catwalk_train": (ev_catwalk_train, EV_CATWALK_TRAIN_SQL),
     "ev_inbox_unread": (ev_inbox_unread, EV_INBOX_UNREAD_SQL),
     "ev_inbox_distinct_count": (ev_inbox_distinct_count, EV_INBOX_DISTINCT_COUNT_SQL),
+    "ev_inbox_aggregate_counts": (ev_inbox_aggregate_counts, EV_INBOX_AGG_COUNTS_SQL),
     "ev_authz_filter": (ev_authz_filter, EV_AUTHZ_FILTER_SQL),
     "ev_bloom_probe": (ev_bloom_probe, EV_BLOOM_PROBE_SQL),
     "ev_latest_first": (ev_latest_first, EV_LATEST_FIRST_SQL),
