@@ -297,14 +297,15 @@ def _make_kernel(
             z = np.empty(0, dtype=np.int64)
             return z, np.empty(0, dtype=np.float64)
         scores = np.zeros(matches.size, dtype=np.float64)
-        for t in scoring_terms:  # sorted order fixes float summation order
-            ids = term_ids.get(t)
-            if ids is None or ids.size == 0:
-                continue
-            _accumulate_term(
-                scores, matches, ids, term_tfs[t], term_dls[t],
-                idf[t], avgdl,
-            )
+        if strategy != "time":  # TIME discards scores: skip the loop
+            for t in scoring_terms:  # sorted order fixes float summation
+                ids = term_ids.get(t)
+                if ids is None or ids.size == 0:
+                    continue
+                _accumulate_term(
+                    scores, matches, ids, term_tfs[t], term_dls[t],
+                    idf[t], avgdl,
+                )
         return matches, scores
 
     def topk_of(ids: np.ndarray, scores: np.ndarray):
@@ -440,6 +441,7 @@ class SearchEngine:
         # mid-size queries local while wide prefix expansions stay
         # distributed. Tune down for thin drivers, up for fat ones.
         local_max_postings: int = 8_000_000,
+        post_cache_max_entries: int | None = None,
         max_pinned_removals: int = 2_000_000,
         as_of: str | None = None,
     ):
@@ -565,7 +567,16 @@ class SearchEngine:
         self._post_cache: OrderedDict = OrderedDict()
         self._post_cache_entries = 0
         self._post_cache_lock = Lock()  # concurrent serving threads
-        self.post_cache_max_entries = 8 * local_max_postings
+        self._init_lock = Lock()  # lazy _pads/_rgcat/_pool construction
+        # Memory bound: each cached posting costs 3 x 8 B (cids/tfs/dls
+        # int64), so 2 x local_max_postings entries ~= 384 MB at the 8M
+        # default. Scale local_max_postings down on thin drivers and the
+        # cache bound follows; or pass post_cache_max_entries explicitly.
+        self.post_cache_max_entries = int(
+            post_cache_max_entries
+            if post_cache_max_entries is not None
+            else 2 * local_max_postings
+        )
         # Doc-level tombstones (MiruRemovalIndex analog): every query masks
         # its matches against the resolved removed set, so removing one doc
         # is a parquet append, never a partition rebuild. Pinned driver-
@@ -627,8 +638,9 @@ class SearchEngine:
         if self._pool is not None:
             self._pool.shutdown(wait=False)
             self._pool = None
-        self._post_cache.clear()
-        self._post_cache_entries = 0
+        with self._post_cache_lock:
+            self._post_cache.clear()
+            self._post_cache_entries = 0
 
     def expand_prefix(self, prefix: str) -> list[str]:
         """Wildcard expansion: term-dictionary range scan, lexicographic,
@@ -962,9 +974,11 @@ class SearchEngine:
         if self._pads is None:
             import pyarrow.dataset as pads
 
-            self._pads = pads.dataset(
-                self._segment_files(), format="parquet"
-            )
+            with self._init_lock:
+                if self._pads is None:
+                    self._pads = pads.dataset(
+                        self._segment_files(), format="parquet"
+                    )
         return self._pads
 
     # Above this many row groups the footer catalog stops paying for
@@ -979,9 +993,11 @@ class SearchEngine:
         if self._pool is None:
             from concurrent.futures import ThreadPoolExecutor
 
-            self._pool = ThreadPoolExecutor(
-                16, thread_name_prefix="miru-read"
-            )
+            with self._init_lock:
+                if self._pool is None:
+                    self._pool = ThreadPoolExecutor(
+                        16, thread_name_prefix="miru-read"
+                    )
         return self._pool
 
     def _rg_catalog(self):
@@ -992,7 +1008,11 @@ class SearchEngine:
         serving-node analog of the reference's memory-mapped index
         metadata (LabInvertedIndex keys stay hot in page cache), replacing
         a per-query dataset-filter evaluation over every footer."""
-        if self._rgcat is None:
+        if self._rgcat is not None:
+            return self._rgcat
+        with self._init_lock:
+            if self._rgcat is not None:
+                return self._rgcat
             import pyarrow.parquet as pq
 
             files = self._segment_files()
@@ -1377,9 +1397,6 @@ class SearchEngine:
         irrelevant here because the whole (bounded) posting set is scored
         exhaustively. Returns [(url, warc_us, pid, doc_id, score)] sorted
         (score desc, pid, doc_id), length <= k."""
-        import pyarrow.compute as pc
-        import pyarrow.dataset as pads
-
         if k <= 0:
             return []
         dset = self._dataset()
@@ -1769,24 +1786,14 @@ class SearchEngine:
                 wrows = per.orderBy(
                     F.desc("pid"), F.desc("doc_id")
                 ).limit(k).collect() if k > 0 else []
-                rows = []
-                if wrows:
-                    import pandas as pd
-
-                    keys = [(int(r["pid"]), int(r["doc_id"])) for r in wrows]
-                    dm_rows = self.docmap.filter(
-                        F.col("pid").isin(sorted({p for p, _ in keys}))
-                        & F.col("doc_id").isin(sorted({d for _, d in keys}))
-                    ).select("pid", "doc_id", "url", "warc_us").collect()
-                    lk = {
-                        (int(r["pid"]), int(r["doc_id"])):
-                            (r["url"], int(r["warc_us"]))
-                        for r in dm_rows
-                    }
-                    rows = [
-                        (lk[key][0], lk[key][1], key[0], key[1], 0.0)
-                        for key in keys if key in lk
-                    ]
+                # same forward-index point gather the serving path uses
+                rows = self._gather_rows(
+                    self._dataset(),
+                    np.array([int(r["pid"]) for r in wrows], dtype=np.int64),
+                    np.array([int(r["doc_id"]) for r in wrows],
+                             dtype=np.int64),
+                    np.zeros(len(wrows), dtype=np.float64),
+                )
                 wdf = self._local_relation(rows)
             return wdf.select(
                 "url",

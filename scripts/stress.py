@@ -71,7 +71,7 @@ def main() -> None:
     eng = SearchEngine(spark, INDEX_DIR)
     for q in QUERIES:  # warm the postings LRU + row-group catalog
         rows = eng.search_collect(q, k=10)
-        assert len(rows) == 10, q
+        assert rows, f"stress query matches nothing at this scale: {q}"
 
     for threads in LEVELS:
         lat_ms: list[float] = []
