@@ -257,6 +257,11 @@ def _make_kernel(
                 [decode_postings(b) for b in grp["ids_bin"]]
             ) if len(grp) else np.empty(0, dtype=np.int64)
             term_ids[term] = ids
+            if len(grp) and grp["tfs_bin"].iloc[0] is None:
+                # filter-only term: tf/dl blobs were nulled before the
+                # exchange and are never read (non-scoring)
+                term_tfs[term] = term_dls[term] = ids
+                continue
             term_tfs[term] = np.concatenate(
                 [decode_varint(b) for b in grp["tfs_bin"]]
             ) if len(grp) else ids
@@ -845,6 +850,22 @@ class SearchEngine:
             blocks = blocks.filter(F.col("term").isin(fetch_terms))
         elif not has_all_node:
             blocks = blocks.filter(F.lit(False))
+
+        # filter-only terms (field constraints, negations, frange
+        # expansions) never score: their tf/dl blobs are dead weight on
+        # the exchange -- null them out before the shuffle (a composed
+        # lang:de term over a web corpus carries postings for ~a tenth of
+        # all docs; its blobs are ~2/3 of the term's bytes)
+        nonscoring = sorted(set(fetch_terms) - set(scoring_terms))
+        if nonscoring and scoring_terms:
+            keep = F.col("term").isin(sorted(scoring_terms))
+            blocks = blocks.withColumn(
+                "tfs_bin", F.when(keep, F.col("tfs_bin"))
+            ).withColumn("dls_bin", F.when(keep, F.col("dls_bin")))
+        elif nonscoring:
+            blocks = blocks.withColumn(
+                "tfs_bin", F.lit(None).cast("binary")
+            ).withColumn("dls_bin", F.lit(None).cast("binary"))
 
         kcols = list(_POSTING_COLS)
         if idf_map is None:
