@@ -1297,12 +1297,13 @@ class SearchEngine:
             ],
         )
         tbl = tbl.take(order)
+        has_blobs = "tfs_bin" in tbl.column_names
         terms = np.asarray(tbl["term"].to_pylist(), dtype=object)
         pids = tbl["pid"].to_numpy().astype(np.int64)
         ns = tbl["n"].to_numpy().astype(np.int64)
         ids_bins = tbl["ids_bin"].to_pylist()
-        tfs_bins = tbl["tfs_bin"].to_pylist()
-        dls_bins = tbl["dls_bin"].to_pylist()
+        tfs_bins = tbl["tfs_bin"].to_pylist() if has_blobs else None
+        dls_bins = tbl["dls_bin"].to_pylist() if has_blobs else None
         bnd = np.flatnonzero(terms[1:] != terms[:-1]) + 1
         starts = np.concatenate(([0], bnd, [len(terms)]))
         for gi in range(len(starts) - 1):
@@ -1317,10 +1318,13 @@ class SearchEngine:
             rs = np.zeros(e - s, dtype=np.int64)
             np.cumsum(row_n[:-1], out=rs[1:])
             base = acc[rs] - gaps[rs] - (pids[s:e] << 32)
+            cids = acc - np.repeat(base, row_n)
             out[t] = (
-                acc - np.repeat(base, row_n),
-                decode_varint(b"".join(tfs_bins[s:e])),
-                decode_varint(b"".join(dls_bins[s:e])),
+                cids,
+                decode_varint(b"".join(tfs_bins[s:e]))
+                if has_blobs else cids,
+                decode_varint(b"".join(dls_bins[s:e]))
+                if has_blobs else cids,
             )
         return out
 
@@ -1350,10 +1354,25 @@ class SearchEngine:
             missing = [t for t in fetch_terms if t not in self._post_cache]
         if missing and pid_range is None:
             # fetch + decode OUTSIDE the lock (slow IO); racing threads
-            # may decode the same term, last insert wins harmlessly
-            dec = self._decode_posting_table(
-                self._fetch_posting_rows(missing, None, self._POSTING_COLS)
-            )
+            # may decode the same term, last insert wins harmlessly.
+            # Composed field terms (FIELD_SEP) are filter-only by
+            # construction -- skip reading their tf/dl blobs (~2/3 of a
+            # head field term's bytes)
+            from ..fields import FIELD_SEP
+
+            composed = [t for t in missing if FIELD_SEP in t]
+            text = [t for t in missing if FIELD_SEP not in t]
+            dec = {}
+            if text:
+                dec.update(self._decode_posting_table(
+                    self._fetch_posting_rows(text, None, self._POSTING_COLS)
+                ))
+            if composed:
+                dec.update(self._decode_posting_table(
+                    self._fetch_posting_rows(
+                        composed, None, self._POSTING_COLS[:5]
+                    )
+                ))
             with self._post_cache_lock:
                 for t in missing:
                     if t in self._post_cache:
