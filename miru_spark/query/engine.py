@@ -1715,6 +1715,19 @@ class SearchEngine:
             return out
 
         blocks = self.postings.filter(F.col("term").isin(sorted(fetch_all)))
+        # filter-only terms across the whole batch never score: drop
+        # their tf/dl blobs before the exchange (same saving as the
+        # single-query kernel path)
+        scoring_all: set = set()
+        for spec in specs:
+            if spec is not None:
+                scoring_all.update(spec[1])
+        nonscoring_all = fetch_all - scoring_all
+        if nonscoring_all:
+            keep = F.col("term").isin(sorted(scoring_all))
+            blocks = blocks.withColumn(
+                "tfs_bin", F.when(keep, F.col("tfs_bin"))
+            ).withColumn("dls_bin", F.when(keep, F.col("dls_bin")))
         pinned = self._term_df is not None
         if not pinned:
             blocks = blocks.join(
