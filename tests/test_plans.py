@@ -96,3 +96,14 @@ def test_engine_conf_isolated_from_caller_session(spark, engine):
     assert engine.spark.conf.get("spark.sql.shuffle.partitions") == (
         spark.conf.get("spark.sql.shuffle.partitions")
     )
+
+
+def test_filter_only_terms_shed_blobs_in_kernel_plan(engine):
+    # composed field terms never score: the kernel fetch must null their
+    # tf/dl blobs BEFORE the exchange (CASE WHEN term IN (scoring...))
+    df = engine.kernel_frame("w000001 AND lang:de", k=10)
+    plan = _plan(df)
+    assert "CASE WHEN" in plan and "tfs_bin" in plan
+    # pure scoring queries must NOT pay the projection
+    df2 = engine.kernel_frame("w000001 AND w000002", k=10)
+    assert "CASE WHEN" not in _plan(df2)
