@@ -400,7 +400,7 @@ from hypothesis import strategies as st
 _LEAF_TERMS = [
     f"w{i:06d}"
     for i in (0, 1, 2, 3, 4, 5, 7, 9, 11, 14, 33, 100, 200, 294, 512, 731)
-] + ["the", "w00004*"]
+] + ["the", "w00004*", '"w000001"']  # quoted 1-token phrase == term
 _FIELD_LEAVES = [
     "lang:de", "lang:en", "lang:d*", "doclen:[5 TO 40]", "site:[0 TO 200]",
     "lang:(de OR fr)", "site:([0 TO 60] OR [100 TO 160])",
