@@ -60,12 +60,18 @@ def compose_value(field: str, value) -> str:
 _SITE_RE = re.compile(r"^https?://[a-z]*?(\d+)\.")
 
 
-def doc_field_terms(url: str, lang: str | None, doc_len: int) -> list[str]:
+def doc_field_terms(
+    url: str, lang: str | None, doc_len: int, authz=None
+) -> list[str]:
     """Deterministic per-doc metadata field terms indexed alongside the
     text tokens (tf=1 each). Fields: `lang` keyword, `site` numeric (the
     crawl host id embedded in the synthetic url), `doclen` numeric --
     the numeric-`obj`-field shape MiruFullTextNGTest.java:52-73 queries
-    by range."""
+    by range -- plus one `authz` keyword term per access label carried on
+    the doc (the MiruActivity.authz field, miru-api/.../activity/
+    MiruActivity.java:38; indexed per value like MiruAuthzIndex so a
+    query-side authz expression is an OR over label postings,
+    MiruAuthzUtils.getCompositeAuthz:24-33)."""
     out = []
     if lang:
         out.append(compose("lang", str(lang).lower()))
@@ -73,4 +79,11 @@ def doc_field_terms(url: str, lang: str | None, doc_len: int) -> list[str]:
     if m:
         out.append(compose("site", encode_num(int(m.group(1)))))
     out.append(compose("doclen", encode_num(int(doc_len))))
+    if authz:
+        # dedupe (case-folded): a repeated label must not emit a
+        # duplicate docID into the term's posting list
+        out.extend(
+            compose("authz", lbl)
+            for lbl in sorted({str(a).lower() for a in authz})
+        )
     return out

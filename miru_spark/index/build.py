@@ -441,19 +441,20 @@ def _make_indexer(block_span: int):
             texts = tbl.column("text").chunk(0).slice(s, e - s).to_pylist()
             langs = tbl.column("lang").chunk(0).slice(s, e - s).to_pylist()
             urls_g = url_arr.slice(s, e - s).to_pylist()
+            azs = tbl.column("authz").chunk(0).slice(s, e - s).to_pylist()
             terms_col: list = []
             tfs_col: list = []
             dl_col: list = []
-            for text, lang, url in zip(texts, langs, urls_g):
+            for text, lang, url, az in zip(texts, langs, urls_g, azs):
                 toks = analyze(text, lang)
                 # doc_len counts TEXT tokens only -- metadata field terms
                 # are filter-only and must not shift BM25 length norms
                 dl_col.append(len(toks))
                 # sorted Counter items == np.unique order, ~3x cheaper;
-                # composed field terms (lang/site/doclen, tf=1) join the
-                # same posting space (MiruTermComposer analog, fields.py)
+                # composed field terms (lang/site/doclen/authz, tf=1) join
+                # the same posting space (MiruTermComposer analog, fields.py)
                 items = sorted(Counter(toks).items()) if toks else []
-                fts = doc_field_terms(url, lang, len(toks))
+                fts = doc_field_terms(url, lang, len(toks), az)
                 if fts:
                     items = sorted(items + [(t, 1) for t in fts])
                 if items:
@@ -816,9 +817,11 @@ def _build_index_inner(
         # format 2: segments carry 't' time-index rows, so engines can
         # resolve time-range docID bounds kernel-side (no driver job)
         # format 3: composed metadata field terms (fields.py) in the
-        # posting space -- field:value and numeric range queries
+        # posting space -- field:value and numeric range queries;
+        # `authz` is the per-label access field (MiruActivity.authz)
+        # populated when the input carries an authz array column
         "format": 3,
-        "fields": ["lang", "site", "doclen"],
+        "fields": ["lang", "site", "doclen", "authz"],
     }
     if os.path.exists(meta_path):
         with open(meta_path) as f:
@@ -830,6 +833,13 @@ def _build_index_inner(
     with open(meta_path, "w") as f:
         json.dump(meta, f)
 
+    # optional access labels: absent -> typed-null column so the indexer
+    # sees one stable input schema (MiruActivity.authz is likewise
+    # nullable, miru-api/.../activity/MiruActivity.java:38)
+    if "authz" not in webtext.columns:
+        webtext = webtext.withColumn(
+            "authz", F.lit(None).cast("array<string>")
+        )
     pid_df = _with_pid(webtext, partition_seconds)
     n_shuffle = int(
         shuffle_partitions
@@ -915,9 +925,9 @@ def _build_index_inner(
             sub = pid_df.filter(
                 F.col("pid").isin([int(p) for p in batch_pids])
             )
-        sub = sub.select("pid", "url", "warc_us", "lang", "text").repartition(
-            n_shuffle, "pid"
-        )
+        sub = sub.select(
+            "pid", "url", "warc_us", "lang", "text", "authz"
+        ).repartition(n_shuffle, "pid")
         seg = sub.mapInArrow(_make_indexer(block_span), _SEGMENT_SCHEMA)
         _commit_write(seg, paths.segments, tag, [])
 

@@ -247,6 +247,12 @@ def _engine_for(spark: SparkSession, sf_dir: str):
         F.lit(None).cast("binary").alias("html"),
         "text",
         F.lit("und").alias("lang"),
+        # deterministic access labels (MiruActivity.authz analog) so the
+        # authz mask is DuckDB-recomputable: g{doc_id%3} + h{doc_id%5}
+        F.array(
+            F.format_string("g%d", F.col("doc_id") % 3),
+            F.format_string("h%d", F.col("doc_id") % 5),
+        ).alias("authz"),
     )
     index_dir = tempfile.mkdtemp(prefix="ft_engine_idx_")
     build_index(
@@ -373,6 +379,53 @@ LIMIT 10
 """
 
 
+def ft_engine_authz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Authz + constraints through the REAL engine: the parsed query ANDs
+    with a constraints filter and the composite authz mask -- OR over the
+    granted labels' per-value postings -- exactly the reference's fulltext
+    question composition (FullTextCustomQuestion.java:91-107,
+    MiruAuthzUtils.getCompositeAuthz:24-33). The engine corpus carries
+    labels g{doc_id%3}/h{doc_id%5} (see _engine_for), so DuckDB recomputes
+    the mask as modulo predicates over single-term BM25."""
+    return _engine_result(
+        _engine_for(spark, sf_dir).search(
+            "spark", k=10,
+            constraints="doclen:[5 TO 60]",
+            authz=["g1", "h4"],
+        )
+    )
+
+
+FT_ENGINE_AUTHZ_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), dl AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks
+  WHERE term IN ('spark') GROUP BY doc_id, term
+), stats AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n,
+         (SELECT avg(dl) FROM dl) AS avgdl
+), dfreq AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+), scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * tf.tf * {K1 + 1.0}
+              / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl)) ) AS raw_score
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT s.doc_id, round(s.raw_score, 4) AS score
+FROM scores s JOIN dl USING (doc_id)
+WHERE dl.dl BETWEEN 5 AND 60
+  AND (s.doc_id % 3 = 1 OR s.doc_id % 5 = 4)
+ORDER BY round(s.raw_score, 4) DESC, s.doc_id ASC
+LIMIT 10
+"""
+
+
 # The engine corpus (see _engine_for) stamps warc_ts = 2024-01-01 +
 # doc_id seconds, so a [base+100s, base+300s] range is docIDs 100..300.
 _TR_BASE_US = 1704067200_000_000
@@ -466,4 +519,5 @@ QUERIES = {
     "ft_engine_not": (ft_engine_not, FT_ENGINE_NOT_SQL),
     "ft_engine_newest": (ft_engine_newest, FT_ENGINE_NEWEST_SQL),
     "ft_engine_time_range": (ft_engine_time_range, FT_ENGINE_TIME_RANGE_SQL),
+    "ft_engine_authz": (ft_engine_authz, FT_ENGINE_AUTHZ_SQL),
 }

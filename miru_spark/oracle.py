@@ -31,7 +31,7 @@ from collections import Counter, defaultdict
 
 from .analyzer import analyze
 from .fields import FIELD_SEP, doc_field_terms, encode_num
-from .queryparse import collect_terms, parse_query
+from .queryparse import collect_terms, parse_query, with_access
 
 K1 = 1.2
 B = 0.75
@@ -80,7 +80,7 @@ class OracleIndex:
                 # composed metadata field terms: filter-only postings
                 # (tf=1), excluded from dl and the scoring tf counter
                 for ft in doc_field_terms(
-                    r["url"], r.get("lang"), len(tokens)
+                    r["url"], r.get("lang"), len(tokens), r.get("authz")
                 ):
                     self.postings[ft][key] = 1
         self.n_docs = len(self.docs)
@@ -132,11 +132,14 @@ class OracleIndex:
         raise ValueError(f"bad node {node!r}")
 
     # -- search -----------------------------------------------------------
-    def search(self, query: str, k: int = 10, locale: str | None = None):
-        """Return top-k [(pid, doc_id, score, url)]."""
-        tree = parse_query(query, locale)
-        matches = self._eval(tree)
+    def search(self, query: str | None, k: int = 10,
+               locale: str | None = None, constraints=None, authz=None):
+        """Return top-k [(pid, doc_id, score, url)]. `constraints`/`authz`
+        AND into the match set but never score (with_access; the
+        reference's FullTextCustomQuestion.java:91-107 composition)."""
+        tree = ("all",) if query is None else parse_query(query, locale)
         pos_terms, pos_prefixes, _ = collect_terms(tree)
+        matches = self._eval(with_access(tree, constraints, authz, locale))
         scoring_terms = set(pos_terms)
         for p in pos_prefixes:
             scoring_terms.update(self.expand_prefix(p))
@@ -158,14 +161,15 @@ class OracleIndex:
         return scored[:k]
 
     def newest(self, k: int = 10, query: str | None = None,
-               locale: str | None = None):
+               locale: str | None = None, constraints=None, authz=None):
         """TIME strategy oracle: newest-k [(pid, doc_id, url)] among the
         filtered matches (FullText.collectTime:222-251 descending docID
         order; composite (pid, doc_id) descending == warc order since
         docIDs are minted time-ordered per pid)."""
-        keys = (
-            self._eval(parse_query(query, locale))
-            if query is not None else set(self.docs)
-        )
+        if query is None and constraints is None and authz is None:
+            keys = set(self.docs)
+        else:
+            tree = ("all",) if query is None else parse_query(query, locale)
+            keys = self._eval(with_access(tree, constraints, authz, locale))
         out = sorted(keys, key=lambda x: (-x[0], -x[1]))[:k]
         return [(p, d, self.docs[(p, d)]["url"]) for p, d in out]

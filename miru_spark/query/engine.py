@@ -57,7 +57,12 @@ from pyspark.sql.window import Window
 from ..codec import decode_postings, decode_varint
 from ..index.build import _POSTING_COLS, IndexPaths
 from ..oracle import B, K1, MAX_WILDCARD_EXPANSION, bm25_idf
-from ..queryparse import all_referenced_terms, collect_terms, parse_query
+from ..queryparse import (
+    all_referenced_terms,
+    collect_terms,
+    parse_query,
+    with_access,
+)
 
 _RESULT_SCHEMA = "pid long, doc_id long, score double"
 
@@ -744,20 +749,32 @@ class SearchEngine:
     # -- search ------------------------------------------------------------
     def _prep_query(
         self,
-        query: str,
+        query: str | None,
         locale: str | None,
         time_range_us: tuple[int, int] | None,
+        constraints=None,
+        authz=None,
     ) -> dict:
         """Driver-side query planning shared by the distributed and local
         paths: parse, expand prefixes (bisect over the pinned dictionary),
         compute idf, resolve the pid range and time spec. No Spark jobs
-        on the pinned-dictionary path."""
-        tree = parse_query(query, locale)
+        on the pinned-dictionary path.
+
+        `constraints` (query string or parsed tree) and `authz` (granted
+        label list) AND into the match tree but never score -- the
+        reference's fulltext question composes query AND constraints AND
+        composite-authz per partition (FullTextCustomQuestion.java:91-107).
+        `query=None` means match-all (inclusiveFilter base), for
+        constraint/authz-only requests."""
+        tree = ("all",) if query is None else parse_query(query, locale)
+        # scoring terms come from the USER QUERY only (FullText.java
+        # :99-170 termCollector walks the query, not the constraints)
+        pos_terms, pos_prefixes, _ = collect_terms(tree)
+        tree = with_access(tree, constraints, authz, locale)
         terms, prefixes, franges = all_referenced_terms(tree)
         expansions = {p: self.expand_prefix(p) for p in prefixes}
         for fr in franges:  # keyed by the node tuple itself
             expansions[fr] = self.expand_range(fr[1], fr[2], fr[3])
-        pos_terms, pos_prefixes, _ = collect_terms(tree)
         scoring_terms = set(pos_terms)
         for p in pos_prefixes:
             scoring_terms.update(expansions[p])
@@ -822,12 +839,16 @@ class SearchEngine:
         prep: dict | None = None,
         theta0: float = 0.0,
         strategy: str = "tfidf",
+        constraints=None,
+        authz=None,
     ) -> DataFrame:
         """Build the distributed match+score frame for a query: one
         mapInPandas kernel pass over the pruned posting blocks, yielding
         (pid, doc_id, score) per-partition top-k rows. `search` collects
         its global top-k; plan tests assert its physical shape."""
-        p = prep or self._prep_query(query, locale, time_range_us)
+        p = prep or self._prep_query(
+            query, locale, time_range_us, constraints, authz
+        )
         tree = p["tree"]
         expansions = p["expansions"]
         scoring_terms = p["scoring_terms"]
@@ -1552,9 +1573,16 @@ class SearchEngine:
         use_blockmax: bool = True,
         local: bool | None = None,
         prep: dict | None = None,
+        constraints=None,
+        authz=None,
     ) -> DataFrame:
         """Run a query; returns DataFrame(url, warc_ts, pid, doc_id, score)
         ordered by (score desc, pid, doc_id), limit k.
+
+        `constraints` (an extra filter query, same grammar) and `authz`
+        (granted access labels -- a doc must carry at least one) gate the
+        match set without joining the scoring set, on BOTH the serving-
+        node and distributed paths (FullTextCustomQuestion.java:91-107).
 
         Routing (`local=None` auto): queries whose estimated posting
         volume fits `local_max_postings` run on the serving node itself
@@ -1574,7 +1602,9 @@ class SearchEngine:
         gatherValues forward-index point read (FullText.java:253-280) in
         two bounded jobs."""
         if prep is None:
-            prep = self._prep_query(query, locale, time_range_us)
+            prep = self._prep_query(
+                query, locale, time_range_us, constraints, authz
+            )
         if local is None:
             local = self._local_eligible(prep)
         elif local and not self._local_eligible(prep):
@@ -1643,7 +1673,8 @@ class SearchEngine:
         path this is pure serving-node work -- no Spark job at all."""
         local = kw.pop("local", None)
         prep = self._prep_query(
-            query, kw.get("locale"), kw.get("time_range_us")
+            query, kw.get("locale"), kw.get("time_range_us"),
+            kw.pop("constraints", None), kw.pop("authz", None),
         )
         if local is None:
             local = self._local_eligible(prep)
@@ -1666,6 +1697,8 @@ class SearchEngine:
         k: int = 10,
         locale: str | None = None,
         use_blockmax: bool = True,
+        constraints=None,
+        authz=None,
     ) -> dict[str, list]:
         """Batch N queries into ONE Spark job (the qps path -- the
         reference's stress harness fires queries concurrently,
@@ -1683,7 +1716,7 @@ class SearchEngine:
         fetch_all: set = set()
         out: dict[str, list] = {}
         for qid, q in enumerate(queries):
-            prep = self._prep_query(q, locale, None)
+            prep = self._prep_query(q, locale, None, constraints, authz)
             if self._removed_df is not None and self._removed_map is None:
                 # unpinned tombstones need per-query 'x'-row co-partition;
                 # route through the individual kernel path
@@ -1708,7 +1741,9 @@ class SearchEngine:
 
         for q in fallback:
             out[q] = self.search_collect(q, k=k, locale=locale,
-                                         use_blockmax=use_blockmax)
+                                         use_blockmax=use_blockmax,
+                                         constraints=constraints,
+                                         authz=authz)
         if not qterm_rows:
             for q in queries:
                 out.setdefault(q, [])
@@ -1816,18 +1851,22 @@ class SearchEngine:
         query: str | None = None,
         locale: str | None = None,
         time_range_us: tuple[int, int] | None = None,
+        constraints=None,
+        authz=None,
     ) -> DataFrame:
         """TIME strategy: newest-k, score 0 (FullText.collectTime
         :222-251 -- descending docID iterator), minus tombstoned docs.
 
-        With `query`, newest-k among the FILTERED matches (the
-        reference's FullTextQuery.Strategy.TIME runs the same filter
-        tree as TF_IDF and collects descending docIDs instead of
-        scoring). Composite (pid << 32 | doc_id) descending IS global
-        time order: pids are time buckets and docIDs are minted in
-        warc_ts order within each pid."""
-        if query is not None:
-            prep = self._prep_query(query, locale, time_range_us)
+        With `query` (or `constraints`/`authz`), newest-k among the
+        FILTERED matches (the reference's FullTextQuery.Strategy.TIME
+        runs the same filter tree as TF_IDF and collects descending
+        docIDs instead of scoring). Composite (pid << 32 | doc_id)
+        descending IS global time order: pids are time buckets and
+        docIDs are minted in warc_ts order within each pid."""
+        if query is not None or constraints is not None or authz is not None:
+            prep = self._prep_query(
+                query, locale, time_range_us, constraints, authz
+            )
             if self._local_eligible(prep):
                 rows = self._search_local(prep, k, False, strategy="time")
                 wdf = self._local_relation(rows)

@@ -377,3 +377,37 @@ def all_referenced_terms(node) -> tuple[set, set, set]:
 
     walk(node)
     return terms, prefixes, franges
+
+
+def with_access(tree, constraints=None, authz=None, locale: str | None = None):
+    """AND an optional constraints filter and an authz label expression
+    onto a parsed query tree -- the reference's fulltext question composes
+    exactly this way: the parsed query bitmap is ANDed with the request's
+    MiruFilter constraints and the composite authz bitmap per partition
+    (FullTextCustomQuestion.java:91-107; MiruAuthzUtils.getCompositeAuthz
+    :24-33 ORs one bitmap per granted label).
+
+    `constraints` is a query string (parsed here, same grammar) or an
+    already-parsed tree; `authz` is an iterable of granted labels --
+    a doc matches if it carries ANY of them (OR of `authz\\x1flabel`
+    composed-term postings). Both are FILTER-ONLY: callers must collect
+    scoring terms from the original tree before wrapping."""
+    extra = []
+    if constraints is not None:
+        extra.append(
+            constraints if isinstance(constraints, tuple)
+            else parse_query(constraints, locale)
+        )
+    if authz is not None:
+        labels = sorted({str(a).lower() for a in authz})
+        if not labels:
+            # an empty grant set matches nothing (the reference sends
+            # MiruAuthzExpression.NOT_PROVIDED to skip authz entirely;
+            # an explicit empty list is a deny-all)
+            extra.append(("none",))
+        else:
+            nodes = [("term", compose("authz", lbl)) for lbl in labels]
+            extra.append(nodes[0] if len(nodes) == 1 else ("or", nodes))
+    if not extra:
+        return tree
+    return ("and", [tree, *extra])

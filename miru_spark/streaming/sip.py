@@ -37,7 +37,10 @@ from ..index.build import (
 )
 
 WEBTEXT_SCHEMA = (
-    "url string, warc_ts timestamp, html binary, text string, lang string"
+    "url string, warc_ts timestamp, html binary, text string, lang string, "
+    # optional access labels (MiruActivity.authz): parquet inputs without
+    # the column read as null under this explicit schema
+    "authz array<string>"
 )
 
 
