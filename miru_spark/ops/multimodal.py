@@ -158,9 +158,73 @@ FROM d WHERE dur_ms >= 1000
 """
 
 
+def mm_pipeline(spark, sf_dir):
+    """All four multimodal ops normalized into one long-format relation
+    (kind, doc_id, a, b, c, d) so the whole family rides one oracle-gate
+    entry (the driver checks at most 50 registry entries; the per-op
+    functions above remain the public API and are individually tested).
+    Unused slots carry -1, never NULL, so the value hash is dtype-stable
+    on both engines. kinds: meta(a=n_bytes,b=width,c=height,d=n_frames),
+    frame(a=frame_idx), resize(a=out_w,b=out_h), audio(a=win_start_ms,
+    b=win_end_ms)."""
+    neg = F.lit(-1).cast("long")
+
+    def norm(kind, df, *cols):
+        vals = [F.col(c).cast("long") for c in cols]
+        vals += [neg] * (4 - len(vals))
+        return df.select(
+            F.lit(kind).alias("kind"),
+            F.col("doc_id").cast("long").alias("doc_id"),
+            vals[0].alias("a"),
+            vals[1].alias("b"),
+            vals[2].alias("c"),
+            vals[3].alias("d"),
+        )
+
+    meta = mm_decode_meta(spark, sf_dir)
+    return (
+        norm("meta", meta, "n_bytes", "width", "height", "n_frames")
+        .unionByName(
+            norm("frame", mm_frame_sample(spark, sf_dir), "frame_idx")
+        )
+        .unionByName(
+            norm("resize", mm_resize_plan(spark, sf_dir), "out_w", "out_h")
+        )
+        .unionByName(
+            norm(
+                "audio",
+                mm_audio_windows(spark, sf_dir),
+                "win_start_ms",
+                "win_end_ms",
+            )
+        )
+    )
+
+
+MM_PIPELINE_SQL = f"""
+SELECT 'meta' AS kind, doc_id,
+       CAST(n_bytes AS BIGINT) AS a, CAST(width AS BIGINT) AS b,
+       CAST(height AS BIGINT) AS c, CAST(n_frames AS BIGINT) AS d
+FROM ({MM_DECODE_META_SQL})
+UNION ALL
+SELECT 'frame' AS kind, doc_id,
+       CAST(frame_idx AS BIGINT) AS a, -1 AS b, -1 AS c, -1 AS d
+FROM ({MM_FRAME_SAMPLE_SQL})
+UNION ALL
+SELECT 'resize' AS kind, doc_id,
+       CAST(out_w AS BIGINT) AS a, CAST(out_h AS BIGINT) AS b,
+       -1 AS c, -1 AS d
+FROM ({MM_RESIZE_PLAN_SQL})
+UNION ALL
+SELECT 'audio' AS kind, doc_id,
+       CAST(win_start_ms AS BIGINT) AS a, CAST(win_end_ms AS BIGINT) AS b,
+       -1 AS c, -1 AS d
+FROM ({MM_AUDIO_WINDOWS_SQL})
+"""
+
+
 QUERIES = {
-    "mm_decode_meta": (mm_decode_meta, MM_DECODE_META_SQL),
-    "mm_frame_sample": (mm_frame_sample, MM_FRAME_SAMPLE_SQL),
-    "mm_resize_plan": (mm_resize_plan, MM_RESIZE_PLAN_SQL),
-    "mm_audio_windows": (mm_audio_windows, MM_AUDIO_WINDOWS_SQL),
+    # single gate entry covering decode-meta, frame-sampling, resize
+    # planning and audio windowing (see mm_pipeline docstring)
+    "mm_pipeline": (mm_pipeline, MM_PIPELINE_SQL),
 }

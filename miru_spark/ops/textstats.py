@@ -153,9 +153,87 @@ GROUP BY doc_id
 """
 
 
+# -- combined per-doc profile: all four text-analysis ops in ONE corpus
+#    scan + ONE aggregation (the per-op functions above remain the public
+#    API; this wide row is both the efficient production shape -- why scan
+#    a 100 TB corpus four times? -- and the single oracle-gate entry the
+#    driver's 50-entry cap forces the tx family into) ------------------------
+
+def tx_profile(spark, sf_dir):
+    from .dedup import _md5i
+
+    toks = _toks_pos(_docs(spark, sf_dir))
+    hv = _md5i(F.col("term")) % _FP_TERM_MOD
+    agg = toks.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.countDistinct("term").cast("long").alias("n_uniq"),
+        (
+            F.sum(F.col("term").isin(_STOP_LIST).cast("int"))
+            / F.count("*")
+        ).alias("sr_raw"),
+        F.avg(F.length("term")).alias("al_raw"),
+        (F.sum((F.col("pos") + 1) * hv) % _FP_MOD)
+        .cast("long")
+        .alias("fingerprint"),
+    )
+    quality = F.round(
+        F.log(F.lit(1.0) + F.col("n_tokens")) * 0.1
+        + F.col("sr_raw") * 0.5
+        + F.col("al_raw") * 0.05,
+        4,
+    )
+    pred = F.when(F.col("sr_raw") >= 0.08, F.lit("en")).otherwise(
+        F.lit("und")
+    )
+    return agg.join(
+        _docs(spark, sf_dir).select("doc_id", "lang"), "doc_id"
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "n_uniq",
+        F.round("sr_raw", 4).alias("stop_ratio"),
+        F.round("al_raw", 4).alias("avg_token_len"),
+        quality.alias("quality"),
+        "lang",
+        pred.alias("pred_lang"),
+        "fingerprint",
+    )
+
+
+TX_PROFILE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS term,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+), agg AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(count(DISTINCT term) AS BIGINT) AS n_uniq,
+         sum(CASE WHEN term IN ({_STOP_SQL}) THEN 1 ELSE 0 END)
+           / CAST(count(*) AS DOUBLE) AS sr_raw,
+         avg(length(term)) AS al_raw,
+         CAST(sum(pos * (CAST(('0x' || substr(md5(term), 1, 14)) AS BIGINT)
+                          % {_FP_TERM_MOD})) % {_FP_MOD} AS BIGINT)
+           AS fingerprint
+  FROM toks
+  GROUP BY doc_id
+)
+SELECT a.doc_id, a.n_tokens, a.n_uniq,
+       round(a.sr_raw, 4) AS stop_ratio,
+       round(a.al_raw, 4) AS avg_token_len,
+       round(ln(1.0 + a.n_tokens) * 0.1 + a.sr_raw * 0.5 + a.al_raw * 0.05, 4)
+         AS quality,
+       d.lang,
+       CASE WHEN a.sr_raw >= 0.08 THEN 'en' ELSE 'und' END AS pred_lang,
+       a.fingerprint
+FROM agg a JOIN documents d USING (doc_id)
+"""
+
+
 QUERIES = {
-    "tx_token_count": (tx_token_count, TX_TOKEN_COUNT_SQL),
-    "tx_quality": (tx_quality, TX_QUALITY_SQL),
-    "tx_langid": (tx_langid, TX_LANGID_SQL),
-    "tx_fingerprint": (tx_fingerprint, TX_FINGERPRINT_SQL),
+    # single gate entry covering token-count, quality, lang-ID and
+    # fingerprint in one row per doc (driver caps the registry at 50
+    # checked entries; the per-op functions remain individually tested)
+    "tx_profile": (tx_profile, TX_PROFILE_SQL),
 }

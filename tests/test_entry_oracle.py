@@ -95,3 +95,46 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) >= 0
     assert df.columns == ["doc_id", "score"]
+
+
+def test_registry_within_driver_cap():
+    """The driver's CORRECTNESS gate checks at most 50 entries (r02
+    registered 54, checked exactly the first 50 -- the tail silently
+    fell off). Batch families (tx_profile, mm_pipeline) keep us under."""
+    names = list(entrymod.queries())
+    assert len(names) <= 50, (
+        f"{len(names)} registered entries exceed the driver's 50-entry "
+        f"gate; batch or prune: {names[50:]}"
+    )
+    assert set(entrymod.oracle_sql()) <= set(names)
+
+
+# The per-op tx_*/mm_* functions left the driver registry (batched into
+# tx_profile/mm_pipeline) but keep their individual DuckDB parity here.
+def _retired_pairs():
+    from miru_spark.ops import multimodal as mm
+    from miru_spark.ops import textstats as tx
+
+    return {
+        "tx_token_count": (tx.tx_token_count, tx.TX_TOKEN_COUNT_SQL),
+        "tx_quality": (tx.tx_quality, tx.TX_QUALITY_SQL),
+        "tx_langid": (tx.tx_langid, tx.TX_LANGID_SQL),
+        "tx_fingerprint": (tx.tx_fingerprint, tx.TX_FINGERPRINT_SQL),
+        "mm_decode_meta": (mm.mm_decode_meta, mm.MM_DECODE_META_SQL),
+        "mm_frame_sample": (mm.mm_frame_sample, mm.MM_FRAME_SAMPLE_SQL),
+        "mm_resize_plan": (mm.mm_resize_plan, mm.MM_RESIZE_PLAN_SQL),
+        "mm_audio_windows": (mm.mm_audio_windows, mm.MM_AUDIO_WINDOWS_SQL),
+    }
+
+
+@pytest.mark.parametrize("name", sorted(_retired_pairs()))
+def test_retired_per_op_matches_oracle(spark, name):
+    fn, sql = _retired_pairs()[name]
+    sdf = fn(spark, SF_DIR)
+    s_cols, s_vals = _normalize(sdf.columns, [tuple(r) for r in sdf.collect()])
+    res = _duck(SF_DIR).execute(sql)
+    o_cols, o_vals = _normalize(
+        [d[0] for d in res.description], res.fetchall()
+    )
+    assert s_cols == o_cols
+    assert s_vals == o_vals
