@@ -113,6 +113,93 @@ def remove_urls(
     )
 
 
+def repair_docs(
+    spark: SparkSession,
+    index_dir: str,
+    new_versions: DataFrame,
+    version: int | None = None,
+) -> dict:
+    """Content-level repair (the MiruIndexer.set repair path,
+    miru-service/.../stream/MiruIndexer.java:128-161: a strictly-newer
+    version replaces the doc's field values). The immutable-postings
+    analog: tombstone every current (pid, doc_id) of each repaired url,
+    then append the new version as a FRESH doc through the normal
+    resumable build -- one tiny parquet append plus one bounded index
+    batch, never a partition rebuild (`reopen_pids` stays the bulk path).
+
+    `new_versions` is a webtext-shaped DataFrame (url, warc_ts, text,
+    lang, optional html/authz). Its `warc_ts` must be NEW (the repair
+    lands in a not-yet-complete time partition -- in a live pipeline,
+    "now", exactly where the sip cursor is writing). A timestamp falling
+    into a completed partition raises instead of silently dropping the
+    row (the resumable build skips done pids).
+
+    Readers pick the repair up the same way they pick up any commit:
+    engines constructed afterwards see the new version; live engines see
+    the tombstone after refresh_removals() but pin their postings
+    snapshot at construction (the reference analog: a query routes to a
+    replica that has caught up).
+
+    Returns {"tombstoned": n, "appended": n, "pids": [...]}.
+    """
+    import json
+
+    from .build import build_index, read_docmap
+
+    paths = IndexPaths(index_dir)
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    psec = int(meta["partition_seconds"])
+
+    urls = [r["url"] for r in new_versions.select("url").distinct().collect()]
+    if not urls:
+        return {"tombstoned": 0, "appended": 0, "pids": []}
+
+    # guard: every repair row must land in a partition the build can
+    # still append to
+    from .build import _read_done_pids
+
+    done = _read_done_pids(spark, paths)
+    new_pids = sorted(
+        int(r["pid"])
+        for r in new_versions.select(
+            F.floor(F.unix_micros("warc_ts") / (psec * 1_000_000)).alias(
+                "pid"
+            )
+        )
+        .distinct()
+        .collect()
+    )
+    clash = [p for p in new_pids if p in done]
+    if clash:
+        raise ValueError(
+            f"repair rows fall into already-complete pids {clash}; give "
+            f"the new versions a current warc_ts (append-side repair) or "
+            f"use reopen_pids() for a bulk rebuild"
+        )
+
+    old = (
+        read_docmap(spark, paths)
+        .filter(F.col("url").isin(urls))
+        .select("pid", "doc_id")
+        .distinct()
+        .collect()
+    )
+    n_tomb = _append(
+        spark, paths, [(r["pid"], r["doc_id"]) for r in old], True, version
+    )
+    rep = build_index(
+        spark,
+        new_versions,
+        index_dir,
+        partition_seconds=psec,
+        block_span=int(meta["block_span"]),
+        resume=True,
+        finalize=True,
+    )
+    return {"tombstoned": n_tomb, "appended": rep.n_docs, "pids": new_pids}
+
+
 def read_removed(spark: SparkSession, paths: IndexPaths) -> DataFrame | None:
     """Resolve the tombstone log: latest version per (pid, doc_id) wins;
     returns DataFrame(pid, doc_id) of currently-removed docs, or None when
