@@ -39,13 +39,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def _all_ops() -> dict[str, tuple]:
     from miru_spark.ops import dedup, events_ops, fulltext_sql, gather_ops
-    from miru_spark.ops import multimodal, similarity, textstats
+    from miru_spark.ops import multimodal, readstate, similarity, textstats
 
     merged: dict[str, tuple] = {}
     for mod in (
         fulltext_sql,
         events_ops,
         gather_ops,
+        readstate,
         dedup,
         similarity,
         textstats,
