@@ -245,36 +245,35 @@ FROM est WHERE est_raw >= 0.25
 # -- SimHash: sign of tf-weighted bit votes over hashed token codes --------
 
 def dd_simhash(spark, sf_dir):
+    """All SIM_BITS bit votes in ONE pass: per (doc, term, tf) row, each
+    bit j contributes tf * (bit(h, j) * 2 - 1), summed as SIM_BITS
+    parallel aggregate columns in a single map-side-combinable groupBy.
+    No row multiplication anywhere (the r2 version crossJoined a 16-row
+    bit table, shuffling 16x the (doc, term) relation -- at 10^12 rows
+    that is 16x avoidable shuffle volume)."""
     toks = _toks(_docs(spark, sf_dir))
     tf = toks.groupBy("doc_id", "term").agg(
         F.count("*").cast("long").alias("tf")
     )
-    bits = spark.createDataFrame([(j,) for j in range(SIM_BITS)], "j int")
-    joined = (
-        tf.withColumn("h", _md5i(F.col("term")) % _SIM_MOD)
-        .crossJoin(F.broadcast(bits))
-        .withColumn(
-            # (h >> j) & 1 via exact power-of-two division (shiftright
-            # needs a literal shift amount in the DataFrame API)
-            "bit",
-            (F.col("h") / F.pow(F.lit(2.0), F.col("j").cast("double")))
-            .cast("long")
-            % 2,
-        )
-        .withColumn("vote", F.col("tf") * (F.col("bit") * 2 - 1))
-    )
-    votes = joined.groupBy("doc_id", "j").agg(F.sum("vote").alias("v"))
-    return (
-        votes.groupBy("doc_id")
-        .agg(
+    tfh = tf.withColumn("h", _md5i(F.col("term")) % _SIM_MOD)
+    votes = tfh.groupBy("doc_id").agg(
+        *[
             F.sum(
-                F.when(F.col("v") > 0, F.pow(F.lit(2.0), F.col("j"))).otherwise(
-                    0.0
+                F.col("tf")
+                * (
+                    F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2
+                    - 1
                 )
-            )
-            .cast("long")
-            .alias("simhash")
-        )
+            ).alias(f"v{j}")
+            for j in range(SIM_BITS)
+        ]
+    )
+    sim = None
+    for j in range(SIM_BITS):
+        term_j = F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sim = term_j if sim is None else sim + term_j
+    return votes.select(
+        "doc_id", sim.cast("long").alias("simhash")
     )
 
 

@@ -246,13 +246,22 @@ def _peakdet_count(vec, delta: float) -> int:
     return peaks
 
 
-def ev_trending_peaks(spark, sf_dir):
+def ev_trending_peaks(spark, sf_dir, max_candidates: int = 10_000):
     """All three non-slope trending strategies over zero-filled daily
     waveforms per event_type: n_peaks (PEAKS), leader (LEADER), and
     highest_peak (HIGHEST_PEAK). Waveform aggregation is distributed
     (groupBy + collect_list of day buckets -- bucket count is the query's
     segment count, bounded); peak counting runs in an Arrow-batched
-    pandas UDF over one tiny row per entity."""
+    pandas UDF over one tiny row per entity.
+
+    The driver-side R-6 percentile is computed over a candidate set
+    BOUNDED at `max_candidates` entities, top-ranked by leader -- the
+    reference does the same: TrendingInjectable takes the top-N by an
+    initial strategy and percentiles over those candidates
+    (miru-reco-plugins TrendingInjectable/PeakDet delta). So the collect
+    is O(max_candidates), never vocabulary-sized, and output is likewise
+    restricted to the candidates (identical whenever the entity count is
+    under the bound, as with the 5 event_types here)."""
     from pyspark.sql.functions import pandas_udf
 
     ev = _events(spark, sf_dir)
@@ -290,10 +299,18 @@ def ev_trending_peaks(spark, sf_dir):
             ),
         )
     )
-    highs = sorted(
-        int(r["highest_peak"]) for r in wf.select("highest_peak").collect()
+    cand_rows = (
+        wf.select("event_type", "highest_peak", "leader")
+        .orderBy(F.desc("leader"), F.asc("event_type"))
+        .limit(int(max_candidates))
+        .collect()
     )
+    highs = sorted(int(r["highest_peak"]) for r in cand_rows)
     bucket95 = _r6_percentile(highs, 0.95)
+    cdf = spark.createDataFrame(
+        [(r["event_type"],) for r in cand_rows], "event_type string"
+    )
+    wf = wf.join(F.broadcast(cdf), "event_type", "semi")
 
     @pandas_udf("int")
     def peaks_of(wfs: pd.Series, deltas: pd.Series) -> pd.Series:

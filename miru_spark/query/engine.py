@@ -1575,6 +1575,7 @@ class SearchEngine:
         prep: dict | None = None,
         constraints=None,
         authz=None,
+        highlight_from: DataFrame | None = None,
     ) -> DataFrame:
         """Run a query; returns DataFrame(url, warc_ts, pid, doc_id, score)
         ordered by (score desc, pid, doc_id), limit k.
@@ -1583,6 +1584,15 @@ class SearchEngine:
         (granted access labels -- a doc must carry at least one) gate the
         match set without joining the scoring set, on BOTH the serving-
         node and distributed paths (FullTextCustomQuestion.java:91-107).
+
+        `highlight_from` (a relation carrying url + text, normally the
+        source webtext table -- the index stores no content) appends a
+        `summary` column: the best highlighted fragments of each winner's
+        content, exactly the reference's per-result summary
+        (LuceneBackedQueryParser.highlight:56-74 invoked per result doc
+        in FullTextCustomQuestion). Point lookup: only the k winners'
+        urls are fetched (pushed-down isin), highlighting is driver-side
+        string work over k docs.
 
         Routing (`local=None` auto): queries whose estimated posting
         volume fits `local_max_postings` run on the serving node itself
@@ -1619,12 +1629,15 @@ class SearchEngine:
         if local:
             rows = self._search_local(prep, k, use_blockmax)
             wdf = self._local_relation(rows)
-            return wdf.select(
-                "url",
-                F.timestamp_micros("warc_us").alias("warc_ts"),
-                "pid",
-                "doc_id",
-                "score",
+            return self._with_summaries(
+                wdf.select(
+                    "url",
+                    F.timestamp_micros("warc_us").alias("warc_ts"),
+                    "pid",
+                    "doc_id",
+                    "score",
+                ),
+                query, locale, highlight_from,
             )
         theta0 = self._theta_seed(prep, k) if use_blockmax else 0.0
         per_part = self.kernel_frame(
@@ -1639,7 +1652,8 @@ class SearchEngine:
             "score double"
         )
         if not wrows:
-            return self.spark.createDataFrame([], out_schema)
+            empty = self.spark.createDataFrame([], out_schema)
+            return self._with_summaries(empty, query, locale, highlight_from)
         import pandas as pd
 
         wdf = self.spark.createDataFrame(
@@ -1660,13 +1674,71 @@ class SearchEngine:
             .select("pid", "doc_id", "url", "warc_us")
             .join(F.broadcast(wdf), ["pid", "doc_id"], "inner")
         )
-        return winners.select(
-            "url",
-            F.timestamp_micros("warc_us").alias("warc_ts"),
-            "pid",
-            "doc_id",
-            "score",
-        ).orderBy(F.desc("score"), F.asc("pid"), F.asc("doc_id"))
+        return self._with_summaries(
+            winners.select(
+                "url",
+                F.timestamp_micros("warc_us").alias("warc_ts"),
+                "pid",
+                "doc_id",
+                "score",
+            ).orderBy(F.desc("score"), F.asc("pid"), F.asc("doc_id")),
+            query, locale, highlight_from,
+        )
+
+    def _with_summaries(
+        self,
+        out: DataFrame,
+        query: str | None,
+        locale: str | None,
+        highlight_from: DataFrame | None,
+    ) -> DataFrame:
+        """Append the per-result `summary` column (reference: each result
+        doc's content runs through LuceneBackedQueryParser.highlight,
+        :56-74). Materializes the k winners (bounded), point-fetches
+        their content rows by url (pushed-down isin over
+        `highlight_from`), highlights driver-side, and returns an
+        Arrow-backed local relation -- no extra distributed work beyond
+        the k-row content lookup."""
+        if highlight_from is None:
+            return out
+        import pandas as pd
+
+        from .highlight import highlight as _hl
+
+        wrows = out.collect()
+        schema = (
+            "url string, warc_ts timestamp, pid long, doc_id long, "
+            "score double, summary string"
+        )
+        if not wrows:
+            return self.spark.createDataFrame([], schema)
+        urls = sorted({r["url"] for r in wrows if r["url"] is not None})
+        texts = {}
+        if urls:
+            texts = {
+                r["url"]: r["text"]
+                for r in highlight_from.filter(F.col("url").isin(urls))
+                .select("url", "text")
+                .collect()
+            }
+        pdf = pd.DataFrame(
+            [
+                (
+                    r["url"], r["warc_ts"], r["pid"], r["doc_id"],
+                    r["score"],
+                    _hl(query, texts.get(r["url"]) or "", locale)
+                    if query is not None
+                    else None,
+                )
+                for r in wrows
+            ],
+            columns=[
+                "url", "warc_ts", "pid", "doc_id", "score", "summary"
+            ],
+        )
+        return self.spark.createDataFrame(pdf, schema=schema).orderBy(
+            F.desc("score"), F.asc("pid"), F.asc("doc_id")
+        )
 
     def search_collect(self, query: str, k: int = 10, **kw):
         """Collect top-k as [(pid, doc_id, score, url)]. On the local

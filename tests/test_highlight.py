@@ -49,3 +49,38 @@ def test_highlight_prefix_and_locale():
     # negative-only terms never highlight
     out = highlight("fox AND NOT running", CONTENT, "en")
     assert "<b>running</b>" not in out and "<b>foxes</b>" in out
+
+
+def test_search_returns_summaries(spark, tmp_path):
+    """search(highlight_from=...) appends the per-result summary column
+    (the reference returns a highlighted summary per result doc,
+    LuceneBackedQueryParser.highlight:56-74 via FullTextCustomQuestion).
+    Both query paths produce <b>-wrapped matched stems on real results."""
+    from miru_spark.index.build import build_index
+    from miru_spark.query.engine import SearchEngine
+    from miru_spark.webtext import webtext_df
+
+    index_dir = str(tmp_path / "hl_idx")
+    wt = webtext_df(spark, 150, parallelism=4)
+    build_index(spark, wt, index_dir, partition_seconds=3600, block_span=64)
+    eng = SearchEngine(spark, index_dir)
+    for local in (None, False):
+        rows = eng.search(
+            "w000001 AND w000004", k=5, local=local, highlight_from=wt
+        ).collect()
+        assert rows and "summary" in rows[0].asDict()
+        for r in rows:
+            assert "<b>w000001</b>" in r["summary"]
+            assert "<b>w000004</b>" in r["summary"]
+    # rank + scores identical with and without highlighting
+    plain = eng.search("w000001 AND w000004", k=5).collect()
+    lit = eng.search(
+        "w000001 AND w000004", k=5, highlight_from=wt
+    ).collect()
+    assert [(r["pid"], r["doc_id"], r["score"]) for r in plain] == [
+        (r["pid"], r["doc_id"], r["score"]) for r in lit
+    ]
+    # no matches -> empty frame still carries the summary column
+    empty = eng.search("zzznope", k=5, highlight_from=wt)
+    assert "summary" in empty.columns and empty.count() == 0
+    eng.close()

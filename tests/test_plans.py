@@ -107,3 +107,17 @@ def test_filter_only_terms_shed_blobs_in_kernel_plan(engine):
     # pure scoring queries must NOT pay the projection
     df2 = engine.kernel_frame("w000001 AND w000002", k=10)
     assert "CASE WHEN" not in _plan(df2)
+
+
+def test_simhash_plan_single_pass_no_row_multiplication(spark):
+    # dd_simhash computes all bit votes as parallel aggregates of ONE
+    # groupBy -- no crossJoin against a bit table (r2 shuffled 16x the
+    # (doc, term) relation), no Python eval, two hash exchanges total
+    # (tf grouping + vote grouping)
+    from miru_spark.ops.dedup import dd_simhash
+
+    df = dd_simhash(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "BatchEvalPython" not in plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert plan.count("Exchange") == 2
