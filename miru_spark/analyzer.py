@@ -8,11 +8,14 @@ inside Arrow-batched pandas UDFs:
   tokenStream + StandardFilter, collect non-blank terms): split on
   non-alphanumeric boundaries, lowercase.
 - Per-locale analyzers (reference: miru-plugin/.../query/TermAnalyzers.java:43-136)
-  cover ten locales: en (English stopwords + Porter2 stemming, mirroring
-  Lucene's EnglishAnalyzer with the custom stopword set in
-  EnStopwords.java:998-1004), de/fr/es/pt/it (Snowball stop sets + Savoy
-  light stemmers), and nl/ru/sv/da (stopword-only). Everything else falls
-  back to Standard behavior (lowercase tokens, no stop/stem) exactly like
+  cover the full 31-entry reference map: en (English stopwords + Porter2
+  stemming, mirroring Lucene's EnglishAnalyzer with the custom stopword
+  set in EnStopwords.java:998-1004), de/fr/es/pt(+pt_br)/it (Snowball
+  stop sets + Savoy light stemmers), and the remaining 24 locales
+  stopword-only (nl/ru/sv/da/nb/nn/fi/tr/ro/id/cs/ca/gl/eu/lv/bg/gr/ar/
+  fa/hi/hy/ku/th/en_ie -- core published stop lists, no stemmer: the
+  documented scope reduction). Unknown locales fall back to Standard
+  behavior (lowercase tokens, no stop/stem) exactly like
   TermAnalyzers.findAnalyzer's StandardAnalyzer fallback
   (TermAnalyzers.java:117-136). Locale resolution strips `_` suffixes.
 
@@ -34,7 +37,20 @@ ENGLISH_STOPWORDS = frozenset(
     such that the their then there these they this to was will with""".split()
 )
 
-_TOKEN_RE = re.compile(r"[0-9A-Za-z_À-ɏЀ-ӿ]+")
+# Token characters: Latin (+extensions), Cyrillic, Greek, Armenian,
+# Arabic (+supplement), Devanagari, Thai -- the scripts of the wired
+# locale analyzers. StandardTokenizer splits on anything else. Thai is
+# unsegmented; run-of-script chunks stand in for dictionary segmentation
+# (ThaiAnalyzer), a documented limitation.
+_TOKEN_RE = re.compile(
+    r"[0-9A-Za-z_À-ɏЀ-ӿ"
+    r"Ͱ-Ͽἀ-῿"  # Greek + Greek Extended
+    r"԰-֏"               # Armenian
+    r"؀-ۿݐ-ݿ"  # Arabic + supplement
+    r"ऀ-ॿ"               # Devanagari
+    r"฀-๿"               # Thai
+    r"]+"
+)
 
 _VOWELS = frozenset("aeiouy")
 _DOUBLES = ("bb", "dd", "ff", "gg", "mm", "nn", "pp", "rr", "tt")
@@ -673,12 +689,220 @@ DANISH_STOPWORDS = frozenset(
 )
 
 
+# ---------------------------------------------------------------------------
+# Stopword-only locales completing the reference's analyzer map
+# (TermAnalyzers.java:43-75 wires 31 locale entries; the ones below get
+# stop filtering without a stemmer -- the same documented scope reduction
+# as nl/ru/sv/da. Each set is the core of the published Lucene/Snowball
+# stop list for its language, frozen in tests/test_analyzer.py fixtures.)
+# ---------------------------------------------------------------------------
+
+NORWEGIAN_STOPWORDS = frozenset(  # shared by nb + nn (reference wires
+    # NorwegianAnalyzer for both; Snowball list carries nynorsk forms)
+    """og i jeg det at en et den til er som på de med han av ikke ikkje
+    der så var meg seg men ett har om vi min mitt ha hadde hun nå over da
+    ved fra du ut sin dem oss opp man kan hans hvor eller hva skal selv
+    sjøl her alle vil bli ble blei blitt kunne inn når være kom noen noe
+    ville dere deres kun ja etter ned skulle denne for deg si sine sitt
+    mot å meget hvorfor dette disse uten hvordan ingen din ditt blir samme
+    hvilken hvilke sånn inni mellom vår hver hvem hvis både bare enn fordi
+    før mange også slik vært båe begge siden dykk dykkar dei deira deim di
+    då eg ein eit eitt elles honom hjå ho henne hennar hennes korleis kva
+    kvar kven kvifor me medan mi mine mykje no nokon noka noko nokre sia
+    sidan so somme um upp vere vore verte vort vart""".split()
+)
+
+FINNISH_STOPWORDS = frozenset(
+    """olla olen olet on olemme olette ovat ole oli olisi olisit olisin
+    olisimme olisitte olivat olit olin olimme olitte sinä minä hän me te
+    he tämä tuo se nämä nuo ne kuka ketkä mikä mitkä joka jotka että ja
+    jos koska kuin mutta niin sekä sillä tai vaan vai vaikka ei et en
+    emme ette eivät kanssa mukaan myös jo nyt sitten kun itse sinun minun
+    hänen meidän teidän heidän tämän tuon sen näiden noiden niiden ketä
+    mitä jota joita siinä siitä siihen tässä tästä tähän tuossa tuosta
+    tuohon missä mistä mihin jossa josta johon kun niinkuin vielä vain
+    paljon heti kautta kohti läpi luona ilman ennen jälkeen yli alla ylös
+    alas eli sekin mukana""".split()
+)
+
+TURKISH_STOPWORDS = frozenset(
+    """acaba ama ancak aslında az bana bazı belki ben benden beni benim
+    beri bile bin bir biri birkaç birçok birşey biz bizden bize bizi
+    bizim bu buna bunda bundan bunlar bunları bunların bunu bunun burada
+    çok çünkü da daha dahi de defa değil diğer diye dolayı dört edecek
+    eden ederek ediliyor ediyor elli en etti gibi göre halen hangi hatta
+    hem henüz hep hepsi her herhangi herkesin hiç hiçbir için iki ile
+    ilgili ise işte kadar karşın kendi kendisi kez ki kim kimden kime
+    kimi kimse mi mu mü mı nasıl ne neden nerde nerede nereye niye niçin
+    o olan olarak oldu olduğu olmadı olmak olması olsa olsun olup olur
+    oluyor on ona ondan onlar onlardan onları onların onu onun oysa öyle
+    pek rağmen sadece sanki sen senden seni senin siz sizden sizi sizin
+    şey şeyi şeyler şöyle şu şuna şunu tarafından tüm üç üzere var vardı
+    ve veya ya yani yapacak yapılan yapmak yaptı yedi yine yoksa yüz
+    zaten""".split()
+)
+
+ROMANIAN_STOPWORDS = frozenset(
+    """și în a la cu de pe un o este sunt că nu se ce mai dar din sau
+    dacă pentru am fi fost care când cum unde cine al ai ale lui ei lor
+    îi le îl mă te ne vă își să după până peste sub între fără
+    prin despre dintre către asupra deci iar ori nici atunci acolo aici
+    acest această aceste acesta aceasta doar foarte tot toate toți orice
+    fiecare însă ca așa atât după numai avea are au aveau era erau fie
+    vor fiind avut mult multe puțin unui unei unor celor acel acea acei
+    acele își noi voi eu tu el ea mea meu tale tău sa său""".split()
+)
+
+INDONESIAN_STOPWORDS = frozenset(
+    """yang dan di dari ini itu dengan untuk pada tidak ada akan ke juga
+    oleh bisa atau saya kami kita dia sudah telah dalam sebagai adalah
+    karena jika bila maka agar supaya tetapi tapi namun bahwa para lebih
+    sangat hanya masih belum pernah sering lalu kemudian setelah sebelum
+    ketika saat sementara hingga sampai antara tanpa seperti yaitu yakni
+    bukan punya harus dapat mereka kamu anda ia nya pun per bagi tentang
+    terhadap kepada demi serta apa siapa mana bagaimana mengapa kenapa
+    dimana kapan begitu begini sini situ sana""".split()
+)
+
+CZECH_STOPWORDS = frozenset(
+    """a se na je to že s z do o k i ale jako by pro tak po co když nebo
+    už jen při od ten ta bez být byl byla bylo jsou jsem jsi jsme jste
+    ho mu mi ji tě si nám vám jim ní něm něj jí aby ani až což či další
+    ještě jeho její jejich kde kdo která které který kteří mezi může
+    musí nad nás náš naše nic než některý ona oni ono pak podle pokud
+    pouze právě proto protože před přes tam tato tedy tento této tím
+    tohoto tom tomto tomu také tu tuto ve vše všech za zde""".split()
+)
+
+CATALAN_STOPWORDS = frozenset(
+    """de la el i les dels els una un amb per que què es en a no hi ho si
+    més seu seva seus seves com ja o això aquest aquesta aquests aquestes
+    al als del ell ella ells elles em et ens us li lo mon ma mes meu meva
+    nostre nostra on pel pels però perquè qual quals quan quant qui sense
+    ser són sota també tan tant te tot tota tots totes vos vosaltres
+    nosaltres jo tu vostè hem han he has ha havia entre fins cap contra
+    durant mentre doncs""".split()
+)
+
+GALICIAN_STOPWORDS = frozenset(
+    """de a o e que do da en non os as un unha uns unhas para con por se
+    como máis pero ao aos á ás dos das no na nos nas polo pola polos
+    polas este esta estes estas ese esa eses esas aquel aquela el ela
+    eles elas eu ti nós vós vostede me te nos vos lle lles meu miña teu
+    túa seu súa noso nosa voso vosa seus súas xa aínda cando onde quen
+    cal cales mentres porque aínda así entón alí aquí tamén sen sobre
+    entre ata desde contra durante tras era foi son ser estar ten teñen
+    hai""".split()
+)
+
+BASQUE_STOPWORDS = frozenset(
+    """eta da ez bat zen du hau hori dira zuen batean bere edo baina ere
+    egin dela zion bi oso gabe arte dute izan zela ziren dago daude deitu
+    gero hala hemen hor han ni hi gu zu zuek haiek nire zure gure beren
+    baita ezta zer nor non noiz nola zein zenbat bezala arabera aurrean
+    atzean gainean azpian barruan kanpoan ondoren aurretik bitartean
+    honek horrek hark honen horren haren honetan horretan hartan al ba
+    bada badira dagoen dauden izango litzateke""".split()
+)
+
+LATVIAN_STOPWORDS = frozenset(
+    """un ir es tu viņš viņa bet ka ar no uz par kā tas tā šis šī vai ja
+    pie mēs jūs viņi viņas to tam tai tie tās man tev sev mani tevi sevi
+    mūsu jūsu savu sava savs bija būs būt esmu esi esam esat nav ne arī
+    jau vēl tikai pat kad kur kurš kura kuri kuras tad tur šeit tāpēc
+    tomēr gan līdz pēc pirms starp bez pret caur dēļ kopš virs zem pāri
+    ap pa šo šajā tajā visā visi visas viss katrs katra cits cita citi
+    daži dažas""".split()
+)
+
+BULGARIAN_STOPWORDS = frozenset(
+    """и в на с за не се да по от като е са това той тя то те ние вие аз
+    ти ми го му ѝ си ни ви им но или ако когато защото така само още
+    вече може при между през без до след преди над под която които което
+    който какво кой коя кои чий чия чие чии къде кога как защо колко
+    един една едно едни този тази това тези онзи онази онова онези му
+    нея него тях нас вас мен теб себе всички всяка всеки всяко нищо
+    никой нещо някой някоя някое някои там тук бил била било били бъде
+    беше бяха съм сме сте ще щях има имат няма""".split()
+)
+
+GREEK_STOPWORDS = frozenset(
+    """ο η το οι τα του της των και να με σε για δεν που από ως είναι στο
+    στη στην στον στα στις στους θα αν ή αλλά αυτό αυτή αυτός αυτοί αυτές
+    αυτά εγώ εσύ εμείς εσείς τους τις τον την τη τι πως πώς όταν όπου
+    γιατί επειδή ενώ κατά μετά πριν χωρίς μέχρι προς υπό επί περί ανά
+    παρά μέσα έξω πάνω κάτω εδώ εκεί τότε τώρα πολύ πιο κάθε όλα όλοι
+    όλες όλη όλος κανείς καμία κανένα κάτι κάποιος κάποια κάποιο ούτε
+    είτε δηλαδή λοιπόν όμως ακόμα ήταν είχε έχει έχουν είχαν ας μην μη
+    ναι όχι""".split()
+)
+
+ARABIC_STOPWORDS = frozenset(
+    """من في على أن إلى عن مع هذا هذه ذلك تلك التي الذي الذين و يا لا ما
+    هل قد كان كانت يكون تكون هو هي هم هن نحن أنا أنت أنتم أو ثم حتى إذا
+    كل بعد قبل عند غير بين نحو لدى منذ أي إن كما لكن بل لم لن له لها لهم
+    به بها بهم فيه فيها منه منها عليه عليها إليه إليها ولا وما ومن وهو
+    وهي فقد فإن وإن وقد كيف أين متى لماذا ماذا هناك هنا ليس ليست
+    أيضا""".split()
+)
+
+PERSIAN_STOPWORDS = frozenset(
+    """و در به از که این را با است برای آن یک خود تا بر ما اگر هم نیز اما
+    یا هر چه او شد شده بود باشد می های ها شود کند کرد کرده کردن بودن
+    هستند هست نیست بی پس تو من شما ایشان آنها اینها همه هیچ چند چرا چگونه
+    کجا کی وقتی چون زیرا ولی بلکه حتی فقط دیگر باید نباید دارد دارند
+    داشت داشته بین روی زیر بالا پایین پیش بعد قبل كنار درباره بدون مانند
+    طبق علیه توسط آیا بله نه خیر""".split()
+)
+
+HINDI_STOPWORDS = frozenset(
+    """के का की है में और से को पर यह वह एक हैं था कि जो ने भी नहीं तो ही
+    हो गया कर रहा थे होता इस उस ये वे हम तुम आप मैं मेरा तेरा उसका इसका
+    उनका इनका हमारा तुम्हारा अपना कुछ सब कोई किसी किस क्या कौन कब कहाँ
+    कैसे क्यों अब तब यहाँ वहाँ जब फिर बाद पहले साथ बिना तक लिए द्वारा ओर
+    तरह बहुत थोड़ा अधिक कम या एवं तथा लेकिन परन्तु किन्तु अगर यदि मगर
+    चाहिए सकता सकते सकती करना करने किया जाता जाती जाते रही रहे हुआ हुई
+    हुए होती होते होना""".split()
+)
+
+ARMENIAN_STOPWORDS = frozenset(
+    """եւ և է որ այս այն են էր ու մի որը նաեւ նաև իսկ ըստ համար մասին բայց
+    կամ եթե երբ ինչ ով որն ում չի չեն չէր ես դու նա մենք դուք նրանք իմ քո
+    նրա մեր ձեր նրանց ինձ քեզ նրան մեզ ձեզ այդ սա դա ամեն բոլոր ոչ այո
+    ահա դեռ արդեն միայն նույնպես ապա հետո առաջ հետ վրա տակ մեջ մոտ միջեւ
+    միջև առանց մինչեւ մինչև պիտի կա կան եղել լինել""".split()
+)
+
+SORANI_STOPWORDS = frozenset(
+    # Sorani Kurdish (reference wires Lucene's SoraniAnalyzer for "ku")
+    """و بە لە کە ئەم ئەو بۆ دە هەر هیچ ئەگەر بەڵام یان چونکە وەک دوای
+    پێش لەگەڵ بەبێ لەسەر لەژێر لەناو نێوان ئەمە ئەوە من تۆ ئێمە ئێوە
+    ئەوان هەموو هەندێک چەند کام کێ چی کەی کوێ چۆن بۆچی نا نەك هەبوو
+    هەیە نیە بوو دەبێت""".split()
+)
+
+THAI_STOPWORDS = frozenset(
+    # Thai is unsegmented; without dictionary segmentation (Lucene's
+    # ThaiAnalyzer) tokens are run-of-script chunks, so these match only
+    # when space-delimited -- documented limitation
+    """ที่ และ เป็น ใน ของ มี ได้ ว่า ให้ ไม่ จะ กับ แต่ ก็ การ ความ ไป มา นี้ นั้น
+    อยู่ อย่าง ซึ่ง ต้อง ตาม โดย หรือ เมื่อ เพราะ จาก ถึง แล้ว ยัง ทั้ง ต่อ ทำ คือ
+    เขา เรา คุณ ฉัน ผม มัน พวก ทุก บาง อะไร ใคร ไหน ทำไม อย่างไร""".split()
+)
+
+
 def _identity_stem(word: str) -> str:
     return word
 
 
 # locale -> (stopword set, stemmer). Resolution strips `_` suffixes like
-# TermAnalyzers.findAnalyzer (so pt_BR -> pt, de_AT -> de).
+# TermAnalyzers.findAnalyzer (so pt_BR -> pt_br -> explicit entry,
+# de_AT -> de). The full 31-entry reference map (TermAnalyzers.java:43-75)
+# is wired: 6 locales carry stemmers, the rest are stopword-only
+# (documented scope reduction; a mis-specified stemmer is worse than
+# none). en_ie maps to the English stop set exactly like the reference
+# (IrishAnalyzer built over EnStopwords); pt_br shares the pt light
+# stemmer (BrazilianAnalyzer analog); nb/nn share the Norwegian set.
 _LOCALE_ANALYZERS: dict[str, tuple[frozenset, object]] = {
     "en": (ENGLISH_STOPWORDS, porter2_stem),
     "de": (GERMAN_STOPWORDS, german_light_stem),
@@ -690,6 +914,28 @@ _LOCALE_ANALYZERS: dict[str, tuple[frozenset, object]] = {
     "ru": (RUSSIAN_STOPWORDS, _identity_stem),
     "sv": (SWEDISH_STOPWORDS, _identity_stem),
     "da": (DANISH_STOPWORDS, _identity_stem),
+    # completed map (stopword-only)
+    "nb": (NORWEGIAN_STOPWORDS, _identity_stem),
+    "nn": (NORWEGIAN_STOPWORDS, _identity_stem),
+    "fi": (FINNISH_STOPWORDS, _identity_stem),
+    "tr": (TURKISH_STOPWORDS, _identity_stem),
+    "ro": (ROMANIAN_STOPWORDS, _identity_stem),
+    "id": (INDONESIAN_STOPWORDS, _identity_stem),
+    "cs": (CZECH_STOPWORDS, _identity_stem),
+    "ca": (CATALAN_STOPWORDS, _identity_stem),
+    "gl": (GALICIAN_STOPWORDS, _identity_stem),
+    "eu": (BASQUE_STOPWORDS, _identity_stem),
+    "lv": (LATVIAN_STOPWORDS, _identity_stem),
+    "bg": (BULGARIAN_STOPWORDS, _identity_stem),
+    "gr": (GREEK_STOPWORDS, _identity_stem),
+    "ar": (ARABIC_STOPWORDS, _identity_stem),
+    "fa": (PERSIAN_STOPWORDS, _identity_stem),
+    "hi": (HINDI_STOPWORDS, _identity_stem),
+    "hy": (ARMENIAN_STOPWORDS, _identity_stem),
+    "ku": (SORANI_STOPWORDS, _identity_stem),
+    "th": (THAI_STOPWORDS, _identity_stem),
+    "en_ie": (ENGLISH_STOPWORDS, _identity_stem),
+    "pt_br": (PORTUGUESE_STOPWORDS, portuguese_light_stem),
 }
 
 
@@ -713,12 +959,12 @@ def analyze(
 ) -> list[str]:
     """Analyze text with the locale's analyzer.
 
-    Locale suffix stripping per TermAnalyzers.java:117-131 (pt_BR -> pt,
-    de_AT -> de). Ten locales are wired in `_LOCALE_ANALYZERS`: en
-    (Porter2), de/fr/es/pt/it (Savoy light stemmers), nl/ru/sv/da
-    (stopword-only -- documented scope reduction). Everything else falls
-    back to Standard behavior (lowercase tokens, no stop/stem), exactly
-    like TermAnalyzers.findAnalyzer's StandardAnalyzer fallback.
+    Locale suffix stripping per TermAnalyzers.java:117-131 (explicit
+    compound entries like pt_br/en_ie win first, then de_AT -> de). All
+    31 reference locales are wired in `_LOCALE_ANALYZERS` (see module
+    docstring); everything else falls back to Standard behavior
+    (lowercase tokens, no stop/stem), exactly like
+    TermAnalyzers.findAnalyzer's StandardAnalyzer fallback.
     `use_stopwords=False` mirrors findAnalyzer's non-stopword analyzer
     map (TermAnalyzers.java:84-115,118): same stemmer, empty stop set.
     """
@@ -738,7 +984,7 @@ def analyze(
     return [stem(t) for t in tokens if t not in stopwords]
 
 
-@lru_cache(maxsize=8)
+@lru_cache(maxsize=64)
 def analyzer_for(locale: str | None):
     """Return a callable text -> tokens for the locale (cached)."""
     def _fn(text: str, _loc=locale):

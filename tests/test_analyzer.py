@@ -129,8 +129,11 @@ def test_french_analyzer_stops_and_elision():
 
 
 def test_locale_suffix_stripping():
-    # en_ie etc. resolve to en (TermAnalyzers.java:117-131)
-    assert analyze("the foxes", "en_IE") == analyze("the foxes", "en")
+    # unmapped compounds strip to their base (TermAnalyzers.java:117-131);
+    # en_ie itself is an EXPLICIT entry now (IrishAnalyzer over the
+    # English stop set -- stopword-only, no Porter2), so use en_US/en_GB
+    assert analyze("the foxes", "en_US") == analyze("the foxes", "en")
+    assert analyze("die häuser", "de_AT") == analyze("die häuser", "de")
 
 
 def test_stopword_list_is_classic_33():
@@ -240,3 +243,65 @@ def test_use_stopwords_flag():
         "the", "run", "dog",
     ]
     assert analyze("las casas", "es", use_stopwords=False) == ["las", "cas"]
+
+
+# -- Completed 31-locale map (TermAnalyzers.java:43-75; the new 21 are
+#    stopword-only, golden-frozen here) ------------------------------------
+
+GOLDEN_NEW_LOCALES = {
+    # locale: (input, expected tokens)
+    "nb": ("og jeg har en ny bok", ["ny", "bok"]),
+    "nn": ("eg har ikkje ei bok", ["ei", "bok"]),
+    "fi": ("olen lukenut tämä kirja ja lehti", ["lukenut", "kirja", "lehti"]),
+    "tr": ("ve bir kitap okudum ama", ["kitap", "okudum"]),
+    "ro": ("și o carte în casa", ["carte", "casa"]),
+    "id": ("yang buku ini dan itu", ["buku"]),
+    "cs": ("a je to kniha na stole", ["kniha", "stole"]),
+    "ca": ("el llibre i la taula", ["llibre", "taula"]),
+    "gl": ("o libro e a mesa", ["libro", "mesa"]),
+    "eu": ("liburua eta mahaia da", ["liburua", "mahaia"]),
+    "lv": ("un grāmata ir uz galda", ["grāmata", "galda"]),
+    "bg": ("и книгата е на масата", ["книгата", "масата"]),
+    "gr": ("ο σκύλος και η γάτα", ["σκύλος", "γάτα"]),
+    "ar": ("هذا كتاب جديد من المكتبة", ["كتاب", "جديد", "المكتبة"]),
+    "fa": ("این کتاب جدید است و خوب", ["کتاب", "جدید", "خوب"]),
+    "hi": ("यह एक नई किताब है", ["नई", "किताब"]),
+    "hy": ("սա գիրք է եւ լավ", ["գիրք", "լավ"]),
+    "ku": ("ئەم کتێب و باش", ["کتێب", "باش"]),
+    "th": ("หนังสือ และ ดี", ["หนังสือ", "ดี"]),
+    # en_ie: IrishAnalyzer over the ENGLISH stop set in the reference
+    "en_ie": ("the new book", ["new", "book"]),
+    # pt_br: BrazilianAnalyzer analog = pt stop set + pt light stemmer
+    "pt_br": ("as casas bonitas", ["casa", "bonit"]),
+}
+
+
+def test_new_locales_golden():
+    for loc, (text, want) in GOLDEN_NEW_LOCALES.items():
+        assert analyze(text, loc) == want, loc
+    # stopword-only: no stemming anywhere outside the 6 stemmer locales
+    assert analyze("kitaplar", "tr") == ["kitaplar"]
+    assert analyze("βιβλία", "gr") == ["βιβλία"]
+
+
+def test_reference_locale_map_complete():
+    # the reference wires exactly these 31 locale codes
+    # (TermAnalyzers.java:43-75)
+    from miru_spark.analyzer import _LOCALE_ANALYZERS
+
+    ref = {
+        "ar", "bg", "ca", "cs", "en", "en_ie", "es", "eu", "da", "de",
+        "fa", "fi", "fr", "gl", "gr", "hi", "hy", "id", "it", "ku", "lv",
+        "nl", "nb", "nn", "pt", "pt_br", "ro", "ru", "sv", "th", "tr",
+    }
+    assert set(_LOCALE_ANALYZERS) == ref
+
+
+def test_compound_locale_resolution_matches_reference():
+    # explicit compound entries win before suffix stripping
+    # (findAnalyzer: get(code) first, then substring loop)
+    assert analyze("the new book", "en_IE") == ["new", "book"]
+    assert analyze("as casas", "pt_BR") == ["casa"]
+    # unknown compound strips to its base
+    assert analyze("ve bir kitap", "tr_CY") == ["kitap"]
+    assert analyze("и книгата", "bg_BG") == ["книгата"]

@@ -172,3 +172,61 @@ def test_search_many_with_authz(engine, oracle):
         _assert_rank_identical(
             res[q], oracle.search(q, k=10, authz=["g0", "g1"])
         )
+
+
+# -- non-Latin locale e2e (new r3 locales through the WHOLE path:
+#    Arrow indexing, parquet round-trip, posting fetch, both kernels) ------
+
+def test_nonlatin_locale_e2e(spark, tmp_path):
+    import itertools
+
+    from miru_spark.index.build import build_index
+    from miru_spark.oracle import OracleIndex
+    from miru_spark.query.engine import SearchEngine
+    from pyspark.sql import functions as F
+
+    base = 1704067200_000_000
+    texts = {
+        "tr": "ve bir kitap okudum kitap güzel ama uzun",
+        "gr": "ο σκύλος και η γάτα και ο σκύλος τρέχει",
+        "ar": "هذا كتاب جديد من المكتبة الكبيرة كتاب",
+        "bg": "и книгата е на масата книгата е добра",
+        "hi": "यह एक नई किताब है किताब अच्छी है",
+    }
+    rows = []
+    for i, (lang, t) in enumerate(
+        itertools.islice(itertools.cycle(texts.items()), 60)
+    ):
+        rows.append({
+            "url": f"https://x{i}.example/{lang}/{i}",
+            "warc_us": base + i * 7_000_000,
+            "text": t + f" w{i % 7:06d}",
+            "lang": lang,
+        })
+    wt = spark.createDataFrame(
+        [(r["url"], r["warc_us"], None, r["text"], r["lang"])
+         for r in rows],
+        "url string, warc_us long, html binary, text string, lang string",
+    ).select("url", F.timestamp_micros("warc_us").alias("warc_ts"),
+             "html", "text", "lang")
+    idx = str(tmp_path / "nl_idx")
+    build_index(spark, wt, idx, partition_seconds=600, block_span=16)
+    eng = SearchEngine(spark, idx)
+    oi = OracleIndex(rows, partition_seconds=600)
+    for q, loc in [
+        ("kitap", "tr"), ("σκύλος AND γάτα", "gr"), ("كتاب", "ar"),
+        ("книгата", "bg"), ("किताब", "hi"), ("kitap OR كتاب", "tr"),
+    ]:
+        got = eng.search_collect(q, k=10, locale=loc)
+        want = oi.search(q, k=10, locale=loc)
+        assert got and [(p, d) for p, d, _s, _u in got] == [
+            (p, d) for p, d, _s, _u in want
+        ], (q, got, want)
+        for g, w in zip(got, want):
+            assert abs(g[2] - w[2]) < 1e-9
+    # stopwords of the new locales never match (filtered at parse time)
+    import pytest as _pytest
+    from miru_spark.queryparse import QueryParseError
+    with _pytest.raises(QueryParseError):
+        eng.search_collect("ve ama", k=5, locale="tr")  # stopword-only
+    eng.close()
