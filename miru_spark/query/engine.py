@@ -1446,6 +1446,17 @@ class SearchEngine:
             term_cids[t], term_tfs[t], term_dls[t] = c, f, d
         return term_cids, term_tfs, term_dls
 
+    # Engage serving-path block-max only past this many fetched postings
+    # (below it, the exhaustive vectorized pass beats the cell metadata
+    # work) and this many cells (pruning needs cells to skip). Measured
+    # on the homogeneous synthetic corpus (200k docs, span 4096): zero
+    # cells prune -- every block holds a near-max-tf doc of every head
+    # term, so no cell bound falls under theta -- and the metadata pass
+    # costs ~5 ms; hence the high default. Real web corpora have the
+    # score spread block-max exists for; lower the bound there.
+    LOCAL_BLOCKMAX_MIN_POSTINGS = 2_000_000
+    LOCAL_BLOCKMAX_MIN_CELLS = 16
+
     def _search_local(
         self, prep: dict, k: int, use_blockmax: bool,
         strategy: str = "tfidf",
@@ -1454,9 +1465,18 @@ class SearchEngine:
         pruned reads + one vectorized NumPy pass over composite
         (pid << 32 | doc_id) ids -- no per-pid loop, no Spark job. Exact
         and rank-identical to the distributed kernel (same tree evaluator,
-        same sorted-term float64 summation order); `use_blockmax` is
-        irrelevant here because the whole (bounded) posting set is scored
-        exhaustively. Returns [(url, warc_us, pid, doc_id, score)] sorted
+        same sorted-term float64 summation order).
+
+        With `use_blockmax`, wide scoring queries run the SAME exact
+        block-max two-phase pruning as the distributed kernel, in
+        composite-id space: posting cells (pid, doc_id // block_span) are
+        doc-range aligned across terms, so scoring a cell subset is exact
+        for the docs it contains and cells whose summed term upper bound
+        cannot reach the phase-1 theta are skipped entirely (the WAND
+        upgrade of miru's atomized-container skipping, here applied to
+        the serving node's memory-resident postings). Small queries stay
+        exhaustive -- the metadata pass would cost more than it saves.
+        Returns [(url, warc_us, pid, doc_id, score)] sorted
         (score desc, pid, doc_id), length <= k."""
         if k <= 0:
             return []
@@ -1483,24 +1503,64 @@ class SearchEngine:
         else:
             universe = np.empty(0, dtype=np.int64)
 
-        matches = _eval_tree(
-            prep["tree"], term_cids, prep["expansions"], universe
-        )
-        # exact boundary-pid time mask (interior pids are wholly inside)
-        for p, (lo, hi) in bounds.items():
-            if not matches.size:
-                break
-            s = np.searchsorted(matches, p << 32)
-            e = np.searchsorted(matches, (p + 1) << 32)
-            kl = np.searchsorted(matches, (p << 32) + lo)
-            kh = np.searchsorted(matches, (p << 32) + hi)
-            matches = np.concatenate(
-                (matches[:s], matches[kl:kh], matches[e:])
-            )
+        idf = prep["idf_map"] or {}
+        scoring_terms = prep["scoring_terms"]
         rem = self._removed_comp
-        if rem is not None and rem.size and matches.size:
-            pos = np.minimum(np.searchsorted(rem, matches), rem.size - 1)
-            matches = matches[rem[pos] != matches]
+
+        def eval_and_score(cmap, fmap, dmap):
+            """Exact match + score over (a cell-aligned subset of) the
+            fetched postings: filter tree, boundary-pid time mask,
+            tombstone mask, then sorted-term float64 accumulation --
+            per-doc sums are independent of which OTHER docs are in the
+            subset, so subset scores equal full-scan scores exactly."""
+            matches = _eval_tree(
+                prep["tree"], cmap, prep["expansions"], universe
+            )
+            # exact boundary-pid time mask (interior pids wholly inside)
+            for p, (lo, hi) in bounds.items():
+                if not matches.size:
+                    break
+                s = np.searchsorted(matches, p << 32)
+                e = np.searchsorted(matches, (p + 1) << 32)
+                kl = np.searchsorted(matches, (p << 32) + lo)
+                kh = np.searchsorted(matches, (p << 32) + hi)
+                matches = np.concatenate(
+                    (matches[:s], matches[kl:kh], matches[e:])
+                )
+            if rem is not None and rem.size and matches.size:
+                pos = np.minimum(
+                    np.searchsorted(rem, matches), rem.size - 1
+                )
+                matches = matches[rem[pos] != matches]
+            if matches.size == 0 or strategy == "time":
+                return matches, np.zeros(matches.size, dtype=np.float64)
+            scores = np.zeros(matches.size, dtype=np.float64)
+            for t in scoring_terms:
+                cids = cmap.get(t)
+                if cids is None or cids.size == 0:
+                    continue
+                _accumulate_term(
+                    scores, matches, cids, fmap[t], dmap[t],
+                    idf.get(t, 0.0), self.avgdl,
+                )
+            return matches, scores
+
+        n_postings = sum(c.size for c in term_cids.values())
+        if (
+            use_blockmax
+            and strategy != "time"
+            and not prep["has_all_node"]
+            and scoring_terms
+            and n_postings >= self.LOCAL_BLOCKMAX_MIN_POSTINGS
+        ):
+            matches, scores = self._blockmax_local(
+                term_cids, term_tfs, term_dls, eval_and_score,
+                set(scoring_terms), idf, k,
+            )
+        else:
+            matches, scores = eval_and_score(
+                term_cids, term_tfs, term_dls
+            )
         if matches.size == 0:
             return []
 
@@ -1514,17 +1574,6 @@ class SearchEngine:
             return self._gather_rows(dset, w_pids, w_docs,
                                      np.zeros(take.size, dtype=np.float64))
 
-        idf = prep["idf_map"] or {}
-        scores = np.zeros(matches.size, dtype=np.float64)
-        for t in prep["scoring_terms"]:
-            cids = term_cids.get(t)
-            if cids is None or cids.size == 0:
-                continue
-            _accumulate_term(
-                scores, matches, cids, term_tfs[t], term_dls[t],
-                idf.get(t, 0.0), self.avgdl,
-            )
-
         w_pids = (matches >> 32).astype(np.int64)
         w_docs = (matches & 0xFFFFFFFF).astype(np.int64)
         order = np.lexsort((w_docs, w_pids, -scores))
@@ -1535,6 +1584,90 @@ class SearchEngine:
         return self._gather_rows(
             dset, w_pids[order], w_docs[order], scores[order]
         )
+
+    def _blockmax_local(
+        self, cmap, fmap, dmap, scorer, scoring_set, idf, k
+    ):
+        """Exact two-phase block-max over composite-id cells (the
+        serving-node twin of the kernel's pruning, engine.py kernel():
+        same admissibility argument). Phase 1 scores the highest-upper-
+        bound cells until k docs survive the masks -> theta (a lower
+        bound on the true k-th score, since subset scores are exact);
+        phase 2 scores every cell whose bound can reach theta. Docs in
+        skipped cells are bounded strictly below theta and can never
+        enter the top-k. Cells carrying only filter-term postings ride
+        along with bound 0 so zero-score matches stay reachable (same as
+        the kernel's blk_ub rows). Records pruning stats on
+        self._local_blockmax_stats for tests/telemetry."""
+        span = int(self.meta.get("block_span", 1 << 30))
+        term_cells: dict = {}
+        key_parts: list = []
+        ub_parts: list = []
+        for t, c in cmap.items():
+            if c.size == 0:
+                continue
+            cells = ((c >> 32) << 32) | ((c & 0xFFFFFFFF) // span)
+            term_cells[t] = cells
+            bnd = np.flatnonzero(cells[1:] != cells[:-1]) + 1
+            starts = np.concatenate(([0], bnd))
+            keys = cells[starts]
+            idf_t = idf.get(t, 0.0)
+            if t in scoring_set and idf_t > 0.0:
+                mt = np.maximum.reduceat(fmap[t], starts)
+                md = np.minimum.reduceat(dmap[t], starts)
+                ub = idf_t * _bm25_tf_part(
+                    mt.astype(np.float64), md.astype(np.float64),
+                    self.avgdl,
+                )
+            else:
+                ub = np.zeros(keys.size, dtype=np.float64)
+            key_parts.append(keys)
+            ub_parts.append(ub)
+        if not key_parts:
+            return scorer(cmap, fmap, dmap)
+        all_keys = np.concatenate(key_parts)
+        uq, inv = np.unique(all_keys, return_inverse=True)
+        if uq.size < self.LOCAL_BLOCKMAX_MIN_CELLS:
+            return scorer(cmap, fmap, dmap)
+        ub_sum = np.zeros(uq.size, dtype=np.float64)
+        np.add.at(ub_sum, inv, np.concatenate(ub_parts))
+        desc = np.argsort(-ub_sum, kind="stable")
+
+        def slice_to(chosen):  # chosen: sorted unique cell keys
+            cm, fm, dm = {}, {}, {}
+            for t, cells in term_cells.items():
+                pos = np.minimum(
+                    np.searchsorted(chosen, cells), chosen.size - 1
+                )
+                mask = chosen[pos] == cells
+                if not mask.any():
+                    continue
+                cm[t] = cmap[t][mask]
+                # filter-only terms alias tfs/dls to the cids array
+                fm[t] = cm[t] if fmap[t] is cmap[t] else fmap[t][mask]
+                dm[t] = cm[t] if dmap[t] is cmap[t] else dmap[t][mask]
+            return cm, fm, dm
+
+        m = min(4, uq.size)
+        while True:
+            chosen = np.sort(uq[desc[:m]])
+            matches, scores = scorer(*slice_to(chosen))
+            if matches.size >= k or m >= uq.size:
+                break
+            m = min(m * 4, uq.size)
+        scored_n = m
+        if matches.size >= k:
+            theta = -np.partition(-scores, k - 1)[k - 1]
+            cand = uq[ub_sum >= theta]
+            full = np.unique(np.concatenate((cand, uq[desc[:m]])))
+            if full.size > m:
+                matches, scores = scorer(*slice_to(full))
+            scored_n = full.size
+        self._local_blockmax_stats = {
+            "cells_total": int(uq.size),
+            "cells_scored": int(scored_n),
+        }
+        return matches, scores
 
     def _gather_rows(self, dset, w_pids, w_docs, w_scores) -> list:
         """Forward-index point gather (FullText.gatherValues analog):
