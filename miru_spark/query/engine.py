@@ -1447,14 +1447,16 @@ class SearchEngine:
         return term_cids, term_tfs, term_dls
 
     # Engage serving-path block-max only past this many fetched postings
-    # (below it, the exhaustive vectorized pass beats the cell metadata
-    # work) and this many cells (pruning needs cells to skip). Measured
-    # on the homogeneous synthetic corpus (200k docs, span 4096): zero
-    # cells prune -- every block holds a near-max-tf doc of every head
-    # term, so no cell bound falls under theta -- and the metadata pass
-    # costs ~5 ms; hence the high default. Real web corpora have the
-    # score spread block-max exists for; lower the bound there.
-    LOCAL_BLOCKMAX_MIN_POSTINGS = 2_000_000
+    # and this many cells (pruning needs cells to skip). MEASURED OFF BY
+    # DEFAULT: on the homogeneous synthetic corpus zero cells ever prune
+    # -- every block holds a near-max-tf doc of every head term, so no
+    # cell bound falls under theta -- while the metadata + subset-slice
+    # pass costs real time (6M docs, warm serving p50: 405 ms exhaustive
+    # vs ~512 ms with a 2M-posting threshold; head-term ORs up to 2x).
+    # The machinery is exact and tested (tests/test_local_blockmax.py);
+    # on a real web corpus with score spread, lower this bound to engage
+    # it -- that spread is what block-max exists for.
+    LOCAL_BLOCKMAX_MIN_POSTINGS = 1 << 62
     LOCAL_BLOCKMAX_MIN_CELLS = 16
 
     def _search_local(
