@@ -1789,6 +1789,32 @@ class SearchEngine:
         if not wrows:
             empty = self.spark.createDataFrame([], out_schema)
             return self._with_summaries(empty, query, locale, highlight_from)
+        # display-field gather for k winners: a POINT LOOKUP, not a join.
+        # The serving node's row-group-pruned pyarrow read (the same
+        # _gather_rows `newest` uses) answers it job-free; the broadcast
+        # docmap join remains as the distributed fallback for storage
+        # the driver can't read directly (the reference's gatherValues
+        # is likewise a forward-index point read, FullText.java:253-280).
+        try:
+            rows = self._gather_rows(
+                self._dataset(),
+                np.array([int(r["pid"]) for r in wrows], dtype=np.int64),
+                np.array([int(r["doc_id"]) for r in wrows], dtype=np.int64),
+                np.array([float(r["score"]) for r in wrows]),
+            )
+            wdf = self._local_relation(rows)
+            return self._with_summaries(
+                wdf.select(
+                    "url",
+                    F.timestamp_micros("warc_us").alias("warc_ts"),
+                    "pid",
+                    "doc_id",
+                    "score",
+                ),
+                query, locale, highlight_from,
+            )
+        except Exception:
+            pass  # unreadable from the driver: distributed gather below
         import pandas as pd
 
         wdf = self.spark.createDataFrame(

@@ -46,12 +46,18 @@ def test_search_plan_no_row_python_and_pruned(engine):
     kplan = _plan(kdf)
     assert "BatchEvalPython" not in kplan, "row-at-a-time Python in hot path"
     assert "MapInPandas" in kplan  # the Arrow-batched kernel
-    # the gather frame search() returns: broadcast point-lookup join,
-    # still no row-Python
+    # the frame search() returns: the k-winner display gather is a
+    # job-free pyarrow point read materialized as a LocalRelation (the
+    # broadcast docmap join remains only as the fallback for storage the
+    # driver can't read) -- still no row-Python anywhere
     df = engine.search("w000001 AND w000002", k=10, local=False)
     plan = _plan(df)
     assert "BatchEvalPython" not in plan
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert (
+        "LocalTableScan" in plan
+        or "BroadcastHashJoin" in plan
+        or "BroadcastNestedLoopJoin" in plan
+    )
 
 
 def test_build_plan_no_row_python_single_shuffle(spark):
