@@ -40,6 +40,14 @@ def main() -> None:
     ap.add_argument("--locale", default=None)
     ap.add_argument("--json", action="store_true")
     ap.add_argument("--no-blockmax", action="store_true")
+    ap.add_argument(
+        "--authz", action="append", default=None,
+        help="granted access label (repeatable); docs must carry one",
+    )
+    ap.add_argument(
+        "--constraints", default=None,
+        help="extra filter query ANDed into every query (never scores)",
+    )
     args = ap.parse_args()
 
     queries = list(args.query)
@@ -77,6 +85,8 @@ def main() -> None:
             locale=args.locale,
             time_range_us=time_range_us,
             use_blockmax=not args.no_blockmax,
+            constraints=args.constraints,
+            authz=args.authz,
         ).collect()
         ms = (time.time() - t0) * 1000
         if args.json:

@@ -230,3 +230,46 @@ def test_nonlatin_locale_e2e(spark, tmp_path):
     with _pytest.raises(QueryParseError):
         eng.search_collect("ve ama", k=5, locale="tr")  # stopword-only
     eng.close()
+
+
+# -- fuzz: random query trees x random grant sets x random constraints -----
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_TERMS = [f"w{i:06d}" for i in (0, 1, 2, 3, 4, 5, 7, 9, 11, 33, 100)] + [
+    "w00004*"
+]
+_leaf = st.sampled_from(_TERMS)
+_query_st = st.recursive(
+    _leaf,
+    lambda ch: st.one_of(
+        st.tuples(ch, ch).map(lambda ab: f"({ab[0]} AND {ab[1]})"),
+        st.tuples(ch, ch).map(lambda ab: f"({ab[0]} OR {ab[1]})"),
+        st.tuples(ch, ch).map(lambda ab: f"({ab[0]} AND NOT {ab[1]})"),
+    ),
+    max_leaves=4,
+)
+_grants_st = st.sets(
+    st.sampled_from(["g0", "g1", "g2", "g3", "h0", "h1", "h2", "nosuch"]),
+    min_size=1,
+    max_size=4,
+)
+_constraint_st = st.sampled_from(
+    [None, "doclen:[16 TO 200]", "lang:en", "doclen:[16 TO 400] AND lang:e*"]
+)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(query=_query_st, grants=_grants_st, constraint=_constraint_st)
+def test_authz_constraints_fuzz(engine, oracle, query, grants, constraint):
+    """Every (query tree, grant set, constraint) combination stays rank-
+    and score-identical to the oracle -- the access mask composes with
+    arbitrary boolean trees without touching scoring."""
+    g = sorted(grants)
+    got = engine.search_collect(query, k=10, authz=g, constraints=constraint)
+    want = oracle.search(query, k=10, authz=g, constraints=constraint)
+    _assert_rank_identical(got, want)

@@ -142,3 +142,73 @@ def test_streaming_reads_after_inbox_build(spark, tmp_path):
     keys = [(r["user_id"], r["item"], r["op"]) for r in srows]
     assert len(keys) == len(set(keys))
     assert len([k for k in keys if k[2] != "mark_all_read"]) <= 2
+
+
+def test_resolution_equals_wal_replay_randomized(spark):
+    """Latest-op-wins resolution == sequential WAL replay (the reference
+    applies READ/UNREAD/MARK_ALL_READ bit flips in WAL order). 300
+    random scenarios, namespaced into ONE Spark resolution pass.
+
+    Replay total order: (ts, activities < explicit ops < mark_all_read,
+    seq) -- activity at the same instant as a read is covered by it;
+    mark_all_read lands after same-instant per-item flips (the
+    documented tie rule)."""
+    import random
+
+    rng = random.Random(1234)
+    N_SCEN = 300
+    inbox_rows, log_rows = [], []
+    expected: dict[int, set] = {}
+    seq_counter = [0]
+
+    for s in range(N_SCEN):
+        base = s * 100
+        events = []  # (ts, phase, seq, kind, user, item)
+        for _ in range(rng.randint(1, 6)):
+            u, it, ts = rng.randrange(2), rng.randrange(3), rng.randrange(10)
+            events.append((ts, 0, 0, "act", u, it))
+            inbox_rows.append((base + u, it, _t(ts)))
+        for _ in range(rng.randint(0, 6)):
+            u, it, ts = rng.randrange(2), rng.randrange(3), rng.randrange(10)
+            op = rng.choice(["read", "unread"])
+            seq_counter[0] += 1
+            events.append((ts, 1, seq_counter[0], op, u, it))
+            log_rows.append((base + u, it, op, _t(ts), seq_counter[0]))
+        for _ in range(rng.randint(0, 2)):
+            u, ts = rng.randrange(2), rng.randrange(10)
+            events.append((ts, 2, 0, "mark_all_read", u, None))
+            log_rows.append((base + u, None, "mark_all_read", _t(ts), -1))
+
+        # sequential replay
+        state: dict[tuple, bool] = {}
+        inbox_seen: set = set()
+        for ts, _ph, _sq, kind, u, it in sorted(
+            events, key=lambda e: (e[0], e[1], e[2])
+        ):
+            if kind == "act":
+                inbox_seen.add((u, it))
+                state[(u, it)] = True
+            elif kind == "read":
+                state[(u, it)] = False
+            elif kind == "unread":
+                state[(u, it)] = True
+            else:  # mark_all_read: clears every item in the inbox so far
+                for (uu, ii) in inbox_seen:
+                    if uu == u:
+                        state[(uu, ii)] = False
+        expected[s] = {
+            (base + u, it)
+            for (u, it), unread in state.items()
+            if unread and (u, it) in inbox_seen
+        }
+
+    inbox = spark.createDataFrame(inbox_rows, INBOX_SCHEMA)
+    log = spark.createDataFrame(log_rows, READLOG_SCHEMA)
+    got_all = {
+        (r["user_id"], r["item"])
+        for r in unread_items(inbox, log).collect()
+    }
+    for s in range(N_SCEN):
+        base = s * 100
+        got = {(u, i) for (u, i) in got_all if base <= u < base + 100}
+        assert got == expected[s], f"scenario {s}: {got} != {expected[s]}"

@@ -161,3 +161,37 @@ def test_sip_build_then_remove_then_query(spark, tmp_path_factory):
                 assert math.isclose(g[2], w[2], rel_tol=0, abs_tol=1e-9)
     finally:
         eng.close()
+
+
+def test_sip_with_authz_equals_batch(spark, tmp_path):
+    """Streamed ingest of authz-labeled docs == batch build bit-for-bit,
+    and the streamed index enforces grants (WEBTEXT_SCHEMA carries the
+    optional authz array; parquet files written without it read as
+    null)."""
+    root = tmp_path
+    d_in, d_idx, d_ck = (
+        str(root / "in"), str(root / "idx"), str(root / "ck"),
+    )
+    d_full = str(root / "full")
+    n = 600
+    wt = webtext_df(spark, n).withColumn(
+        "authz",
+        F.array(F.format_string("g%d", F.crc32(F.col("url")) % 3)),
+    )
+    wt.write.mode("append").parquet(d_in)
+    sip_build(spark, d_in, d_idx, d_ck, partition_seconds=PSEC,
+              block_span=256)
+    build_index(spark, wt, d_full, partition_seconds=PSEC,
+                block_span=256, resume=False)
+    assert _postings_sorted(spark, d_idx) == _postings_sorted(
+        spark, d_full
+    )
+    e = SearchEngine(spark, d_idx)
+    all_hits = e.search_collect("w000001", k=n)
+    g1 = e.search_collect("w000001", k=n, authz=["g1"])
+    assert 0 < len(g1) < len(all_hits)
+    assert {t[:2] for t in g1} < {t[:2] for t in all_hits}
+    # union over the full grant set == unfiltered
+    union = e.search_collect("w000001", k=n, authz=["g0", "g1", "g2"])
+    assert union == all_hits
+    e.close()
