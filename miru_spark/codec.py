@@ -20,16 +20,29 @@ _MASK7 = _U64(0x7F)
 _CONT = np.uint8(0x80)
 
 
+def _byte_widths(v: np.ndarray) -> np.ndarray:
+    """Bytes needed per value: 1 + number of 7-bit groups above the first.
+    Stops scanning at the first width no value needs (posting gaps and tfs
+    are overwhelmingly 1-2 bytes, so this is ~2 passes, not 9)."""
+    nb = np.ones(v.size, dtype=np.int64)
+    for k in range(1, 10):
+        above = v >= (_U64(1) << _U64(7 * k))
+        if not above.any():
+            break
+        nb += above.astype(np.int64)
+    return nb
+
+
 def encode_varint(values: np.ndarray) -> bytes:
     """LEB128-encode an array of non-negative ints, vectorized."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
     n = v.size
     if n == 0:
         return b""
-    # bytes needed per value: 1 + number of 7-bit groups above the first
-    nb = np.ones(n, dtype=np.int64)
-    for k in range(1, 10):
-        nb += (v >= (_U64(1) << _U64(7 * k))).astype(np.int64)
+    if int(v.max()) < 0x80:
+        # every value fits one byte: the encoding IS the byte array
+        return v.astype(np.uint8).tobytes()
+    nb = _byte_widths(v)
     starts = np.zeros(n, dtype=np.int64)
     np.cumsum(nb[:-1], out=starts[1:])
     total = int(starts[-1] + nb[-1])
@@ -45,22 +58,39 @@ def encode_varint(values: np.ndarray) -> bytes:
 
 
 def decode_varint(buf: bytes | memoryview) -> np.ndarray:
-    """Decode LEB128 bytes to an int64 array, vectorized."""
+    """Decode LEB128 bytes to an int64 array, vectorized.
+
+    Work is proportional to the VALUE count (one masked gather per extra
+    byte of width), not the byte count -- the all-single-byte case (most
+    posting-gap and tf blobs) is a single astype."""
     raw = np.frombuffer(buf, dtype=np.uint8)
     if raw.size == 0:
         return np.empty(0, dtype=np.int64)
-    is_end = (raw & _CONT) == 0
-    ends = np.flatnonzero(is_end)
+    is_cont = (raw & _CONT) != 0
+    if not is_cont.any():
+        return raw.astype(np.int64)
+    ends = np.flatnonzero(~is_cont)
     starts = np.empty_like(ends)
     starts[0] = 0
     starts[1:] = ends[:-1] + 1
-    # group id for every byte
-    gid = np.zeros(raw.size, dtype=np.int64)
-    gid[starts[1:]] = 1
-    np.cumsum(gid, out=gid)
-    shift = (np.arange(raw.size, dtype=np.int64) - starts[gid]).astype(np.uint64)
-    contrib = (raw.astype(np.uint64) & _MASK7) << (shift * _SEVEN)
-    vals = np.add.reduceat(contrib, starts)
+    nb = ends - starts + 1
+    maxb = int(nb.max())
+    # values of width <=4 fit 28 bits: accumulate in uint32 (half the
+    # memory traffic of uint64; posting gaps/tfs/dls are all <=4 bytes)
+    dt = np.uint32 if maxb <= 4 else np.uint64
+    mask7 = dt(0x7F)
+    if raw.size == ends.size * maxb:
+        # uniform width (e.g. doc-length blobs are all 2-byte): strided
+        # column views of a reshape, zero index gathers
+        r = raw.reshape(-1, maxb)
+        vals = (r[:, 0].astype(dt)) & mask7
+        for b in range(1, maxb):
+            vals |= (r[:, b].astype(dt) & mask7) << dt(7 * b)
+        return vals.astype(np.int64)
+    vals = (raw[starts].astype(dt)) & mask7
+    for b in range(1, maxb):
+        m = nb > b
+        vals[m] |= (raw[starts[m] + b].astype(dt) & mask7) << dt(7 * b)
     return vals.astype(np.int64)
 
 
@@ -76,9 +106,17 @@ def encode_varint_grouped(
     n = v.size
     if n == 0:
         return [b"" for _ in range(len(group_starts))]
-    nb = np.ones(n, dtype=np.int64)
-    for k in range(1, 10):
-        nb += (v >= (_U64(1) << _U64(7 * k))).astype(np.int64)
+    if int(v.max()) < 0x80:
+        # all single-byte: byte offsets == value offsets
+        buf = v.astype(np.uint8).tobytes()
+        return [
+            buf[s:e]
+            for s, e in zip(
+                np.asarray(group_starts).tolist(),
+                np.asarray(group_ends).tolist(),
+            )
+        ]
+    nb = _byte_widths(v)
     offsets = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(nb, out=offsets[1:])
     out = np.zeros(int(offsets[-1]), dtype=np.uint8)

@@ -32,7 +32,7 @@ MiruIndexPrimaryFields.compose, MiruIndexPrimaryFields.java:37-96 -- per
 Storage is one `segments/` dir of batch-committed Parquet (zstd) holding a
 union of row types -- `row_type='d'` forward/doc rows, `row_type='p'`
 posting-block rows -- laid out by the worker itself (doc rows in
-(pid, doc_id) order, then posting rows sorted (pid, term, blk)) so parquet
+(pid, doc_id) order, then posting rows sorted (term, pid, blk)) so parquet
 row-group min/max stats prune both the term dictionary and the docmap.
 On a cluster this layout maps 1:1 onto Iceberg tables (partition transform
 on pid, snapshot-per-batch commit); the sandbox has no Iceberg runtime
@@ -49,8 +49,11 @@ Scale notes (100 TB / 1000 executors):
   buffer-sized -- the worker holds its partition's Arrow-compact text
   while minting docIDs, the same bound a JVM sort of that partition
   would need (e.g. hourly pids at crawl scale).
-- Posting rows are written sorted by (pid, term, blk) so Parquet row-group
-  min/max stats on `term` give tight predicate pushdown at query time.
+- Posting rows are written sorted by (term, pid, blk) -- TERM-major, so a
+  query term touches ~1 row group per file and Parquet min/max stats on
+  `term` prune sharply. (pid-major sorting made every row group span the
+  whole vocabulary: a 2-term query read 3,263 of 4,058 row groups / 1.2 GB
+  at 6M docs; term-major reads ~2% of that.)
 - No global sort, no global sequence, no driver-side loop over data.
 """
 
@@ -348,8 +351,8 @@ def _make_indexer(block_span: int):
        miru-plugin/.../MiruTimeIndex.java:55)
     2. per (pid, blk = doc_id // block_span) doc-range group: tokenize,
        emit forward doc rows, invert + encode posting-block rows
-    3. emit all posting-block rows sorted (pid, term, blk) so the parquet
-       writer lays them down term-ordered with no JVM-side sort.
+    3. emit all posting-block rows sorted (term, pid, blk) so the parquet
+       writer lays them down term-major with no JVM-side sort.
 
     Worker memory is the task's shuffle partition (Arrow-compact text) --
     the same bound a JVM-side sort of that partition would need; sizing
@@ -508,20 +511,24 @@ def _make_indexer(block_span: int):
         stat_terms: dict = {}
         if block_batches:
             btbl = pa.Table.from_batches(block_batches).combine_chunks()
+            # TERM-major layout: a query term then touches ~1 row group
+            # per file and the footer catalog's term min/max prunes
+            # sharply (pid-major made every row group span the whole
+            # vocabulary -- near-zero pruning)
             border = pc.sort_indices(
-                btbl.select(["pid", "term", "blk"]),
+                btbl.select(["term", "pid", "blk"]),
                 sort_keys=[
-                    ("pid", "ascending"),
                     ("term", "ascending"),
+                    ("pid", "ascending"),
                     ("blk", "ascending"),
                 ],
             )
             btbl = btbl.take(border).combine_chunks()
             yield from btbl.to_batches(max_chunksize=65536)
 
-            # per-pid stats off the sorted block rows (this worker owns
-            # every block of its pids, so these are exact): bytes = sum of
-            # encoded posting binaries, terms = count of (pid, term) runs
+            # per-pid stats off the block rows (this worker owns every
+            # block of its pids, so these are exact): bytes = sum of
+            # encoded posting binaries, terms = count of (term, pid) runs
             bn = btbl.num_rows
             bpid = btbl.column("pid").to_numpy()
             sizes = (
@@ -538,14 +545,18 @@ def _make_indexer(block_span: int):
             newterm[1:] = pc.not_equal(
                 term_arr.slice(1), term_arr.slice(0, bn - 1)
             ).to_numpy(zero_copy_only=False)
-            brs = np.flatnonzero(bnewpid)
-            bre = np.append(brs[1:], bn)
-            term_run = (bnewpid | newterm).astype(np.int64)
-            csum = np.concatenate(([0], np.cumsum(term_run)))
-            bytes_csum = np.concatenate(([0], np.cumsum(sizes)))
-            for s_, e_, p_ in zip(brs, bre, bpid[brs]):
-                stat_terms[int(p_)] = int(csum[e_] - csum[s_])
-                stat_bytes[int(p_)] = int(bytes_csum[e_] - bytes_csum[s_])
+            # rows sorted (term, pid, blk): each (term, pid) pair is one
+            # contiguous run starting where term OR pid changes
+            run_start = bnewpid | newterm
+            uniq, inv = np.unique(bpid, return_inverse=True)
+            run_counts = np.bincount(inv[run_start], minlength=len(uniq))
+            byte_sums = np.zeros(len(uniq), dtype=np.int64)
+            np.add.at(byte_sums, inv, sizes)
+            for p_, tc_, bs_ in zip(
+                uniq.tolist(), run_counts.tolist(), byte_sums.tolist()
+            ):
+                stat_terms[int(p_)] = int(tc_)
+                stat_bytes[int(p_)] = int(bs_)
 
         spids = sorted(doc_counts)
         yield _stats_rows_batch(
@@ -640,8 +651,8 @@ def read_postings(
     spark: SparkSession, paths: IndexPaths, as_of: str | None = None
 ) -> DataFrame:
     """Posting-blocks view: one row per (pid, term, blk). Rows are stored
-    sorted by (pid, term, blk), so term predicates prune at parquet
-    row-group granularity."""
+    sorted by (term, pid, blk) -- term-major -- so term predicates prune
+    at parquet row-group granularity."""
     tags = _tags_as_of(spark, paths, as_of) if as_of is not None else None
     return (
         _read_parquet_dir(spark, paths.segments, tags)

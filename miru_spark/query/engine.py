@@ -1037,8 +1037,12 @@ class SearchEngine:
 
             with self._init_lock:
                 if self._pool is None:
+                    # zstd row-group decompression releases the GIL, so
+                    # width = cores (a query's fetch spans ~64 build-task
+                    # files; 16 wide left half the box idle on cold reads)
                     self._pool = ThreadPoolExecutor(
-                        16, thread_name_prefix="miru-read"
+                        min(32, os.cpu_count() or 8),
+                        thread_name_prefix="miru-read",
                     )
         return self._pool
 
