@@ -14,7 +14,9 @@ executors of a real cluster, where each node brings its own memory
 controllers. Within the 2->8 range the box scales honestly and the
 measurement is meaningful. Override with SCALING_LEVELS="8,32".
 
-Writes BENCH/scaling.json and BENCH/BASELINE.md.
+Writes BENCH/scaling.json and BENCH/scaling_run.md (a raw-numbers
+snapshot; BENCH/BASELINE.md is hand-maintained — fold new numbers into
+it, don't overwrite it).
 """
 
 from __future__ import annotations
@@ -166,7 +168,7 @@ gather join as sequential Spark jobs), not data volume; the throughput
 criterion applies to the build stage. `search_many` batches N queries
 into ONE job for the qps path (see bench.py `query_qps_batched`).
 """
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    with open(os.path.join(REPO, "BENCH", "scaling_run.md"), "w") as f:
         f.write(md)
     print(json.dumps(result))
 
