@@ -984,6 +984,38 @@ def analyze(
     return [stem(t) for t in tokens if t not in stopwords]
 
 
+def analyze_positions(
+    text: str, locale: str | None = None, use_stopwords: bool = True
+) -> tuple[list[str], list[int]]:
+    """Like `analyze`, but also return each kept token's position in the
+    ORIGINAL token stream (pre-stop-removal) -- Lucene's position
+    increments under StopFilter, which PhraseQuery matching needs so
+    stopword gaps inside a phrase stay gaps. The reference rejects
+    PhraseQuery outright (LuceneBackedQueryParser.java:108-110, no
+    positions in its index); this powers the opt-in positional index
+    this engine adds beyond it."""
+    tokens = standard_tokenize(text)
+    base = (locale or "").lower()
+    while base and base not in _LOCALE_ANALYZERS:
+        if "_" in base:
+            base = base.rsplit("_", 1)[0]
+        else:
+            break
+    spec = _LOCALE_ANALYZERS.get(base)
+    if spec is None:
+        return tokens, list(range(len(tokens)))
+    stopwords, stem = spec
+    if not use_stopwords:
+        stopwords = frozenset()
+    out_t: list[str] = []
+    out_p: list[int] = []
+    for i, t in enumerate(tokens):
+        if t not in stopwords:
+            out_t.append(stem(t))
+            out_p.append(i)
+    return out_t, out_p
+
+
 @lru_cache(maxsize=64)
 def analyzer_for(locale: str | None):
     """Return a callable text -> tokens for the locale (cached)."""

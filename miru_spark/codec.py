@@ -172,3 +172,21 @@ def decode_postings(buf: bytes | memoryview) -> np.ndarray:
     if gaps.size == 0:
         return gaps
     return np.cumsum(gaps)
+
+
+def decode_grouped_deltas(
+    buf: bytes | memoryview, counts: np.ndarray
+) -> np.ndarray:
+    """Decode a varint blob of per-group delta-gapped values where the
+    FIRST value of every group is absolute (the position-blob layout:
+    one group per (doc, term) posting, `counts` = that posting's tf).
+    Vectorized: one cumsum + a per-group-base rebase, no group loop."""
+    gaps = decode_varint(buf)
+    if gaps.size == 0:
+        return gaps
+    counts = np.ascontiguousarray(counts, dtype=np.int64)
+    starts = np.zeros(counts.size, dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    acc = np.cumsum(gaps)
+    base = acc[starts] - gaps[starts]
+    return acc - np.repeat(base, counts)

@@ -69,7 +69,7 @@ import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..analyzer import analyze
+from ..analyzer import analyze, analyze_positions
 from ..codec import encode_postings_grouped, encode_varint, encode_varint_grouped
 from ..fields import doc_field_terms
 
@@ -98,6 +98,14 @@ _SEGMENT_PA_SCHEMA = pa.schema(
         ("ids_bin", pa.binary()),
         ("tfs_bin", pa.binary()),
         ("dls_bin", pa.binary()),
+        # positional builds only (build_index(positions=True)): per-term-
+        # block varint blob of token positions, per-doc delta-gapped (first
+        # position of each doc absolute), doc order == ids_bin order, per-
+        # doc counts == the tfs_bin values. All-null otherwise. Powers
+        # phrase queries -- a capability the reference REJECTS
+        # (LuceneBackedQueryParser.java:108-110, "Unsupported query type")
+        # because its index stores no positions.
+        ("pos_bin", pa.binary()),
         # stats rows (one per pid, written by the worker that owns the
         # pid): lineage metrics come from these tiny rows instead of a
         # re-scan of every posting binary (the reference's per-partition
@@ -112,8 +120,8 @@ _SEGMENT_SCHEMA = (
     "row_type string, pid long, doc_id long, url string, warc_us long, "
     "doc_len int, term string, blk long, n int, first_doc long, "
     "last_doc long, max_tf int, min_dl int, ctf long, ids_bin binary, "
-    "tfs_bin binary, dls_bin binary, s_docs long, s_bytes long, "
-    "s_terms long"
+    "tfs_bin binary, dls_bin binary, pos_bin binary, s_docs long, "
+    "s_bytes long, s_terms long"
 )
 
 _DOC_COLS = ["pid", "doc_id", "url", "warc_us", "doc_len"]
@@ -189,6 +197,7 @@ def _doc_rows_batch(pid_arr, doc_ids, urls, warc_us, doc_lens) -> pa.RecordBatch
             _nulls(k, pa.binary()),
             _nulls(k, pa.binary()),
             _nulls(k, pa.binary()),
+            _nulls(k, pa.binary()),
             _nulls(k, pa.int64()),
             _nulls(k, pa.int64()),
             _nulls(k, pa.int64()),
@@ -220,6 +229,7 @@ def _time_rows_batch(pids, blks, ns, firsts, lasts, blobs) -> pa.RecordBatch:
             pa.array(blobs, type=pa.binary()),
             _nulls(k, pa.binary()),
             _nulls(k, pa.binary()),
+            _nulls(k, pa.binary()),
             _nulls(k, pa.int64()),
             _nulls(k, pa.int64()),
             _nulls(k, pa.int64()),
@@ -249,6 +259,7 @@ def _stats_rows_batch(pids, docs, nbytes, nterms) -> pa.RecordBatch:
             _nulls(k, pa.binary()),
             _nulls(k, pa.binary()),
             _nulls(k, pa.binary()),
+            _nulls(k, pa.binary()),
             pa.array(np.asarray(docs, dtype=np.int64)),
             pa.array(np.asarray(nbytes, dtype=np.int64)),
             pa.array(np.asarray(nterms, dtype=np.int64)),
@@ -264,11 +275,17 @@ def _block_rows_batch(
     dls: np.ndarray,
     terms_list: list,
     tfs_list: list,
+    pos_list: list | None = None,
 ) -> pa.RecordBatch | None:
     """Invert ONE (pid, blk) doc-range group: flatten per-doc sorted term
     lists, sort (term, doc_id) in Arrow C++, encode per-term posting runs
     with NumPy reduceat (MiruIndexPrimaryFields.compose analog -- per term:
-    sorted docID list + tf counts, MiruIndexPrimaryFields.java:37-96)."""
+    sorted docID list + tf counts, MiruIndexPrimaryFields.java:37-96).
+
+    `pos_list` (positional builds): one flat int64 array per doc holding
+    the token positions of every (term, occurrence), concatenated in the
+    SAME sorted-term order as `terms_list[i]` (so its per-(doc, term)
+    segment lengths are exactly `tfs_list[i]`)."""
     import pyarrow.compute as pc
 
     terms_col = pa.array(terms_list, type=pa.list_(pa.string()))
@@ -276,20 +293,34 @@ def _block_rows_batch(
     total = int(lens.sum())
     if total == 0:
         return None
-    flat = pa.table(
-        {
-            "term": terms_col.flatten(),
-            "doc_id": pa.array(np.repeat(doc_ids, lens)),
-            "tf": pa.array(
-                np.concatenate(tfs_list).astype(np.int64)
-                if tfs_list
-                else np.empty(0, dtype=np.int64)
-            ),
-            "dl": pa.array(np.repeat(dls, lens)),
-        }
+    tf_flat = (
+        np.concatenate(tfs_list).astype(np.int64)
+        if tfs_list
+        else np.empty(0, dtype=np.int64)
     )
+    cols = {
+        "term": terms_col.flatten(),
+        "doc_id": pa.array(np.repeat(doc_ids, lens)),
+        "tf": pa.array(tf_flat),
+        "dl": pa.array(np.repeat(dls, lens)),
+    }
+    if pos_list is not None:
+        # one list<int64> per (doc, term) row: offsets = cumsum of tf
+        pos_vals = (
+            np.concatenate(pos_list).astype(np.int64)
+            if pos_list
+            else np.empty(0, dtype=np.int64)
+        )
+        offs = np.zeros(total + 1, dtype=np.int64)
+        np.cumsum(tf_flat, out=offs[1:])
+        cols["pos"] = pa.ListArray.from_arrays(
+            pa.array(offs, type=pa.int64()).cast(pa.int32()),
+            pa.array(pos_vals),
+        )
+    flat = pa.table(cols)
     order = pc.sort_indices(
-        flat, sort_keys=[("term", "ascending"), ("doc_id", "ascending")]
+        flat.select(["term", "doc_id"]),
+        sort_keys=[("term", "ascending"), ("doc_id", "ascending")],
     )
     flat = flat.take(order).combine_chunks()
     n = flat.num_rows
@@ -308,6 +339,27 @@ def _block_rows_batch(
     ends[:-1] = starts[1:]
     ends[-1] = n
     k = len(starts)
+    if pos_list is not None:
+        # flatten positions in sorted row order; delta-gap with a reset
+        # (absolute value) at each (doc, term) row start; one blob per
+        # term run, sliced at position-space run boundaries
+        parr = flat.column("pos").chunk(0)
+        pvals = parr.flatten().to_numpy().astype(np.int64, copy=True)
+        row_off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(tfs64, out=row_off[1:])
+        if pvals.size:
+            gaps = pvals.copy()
+            gaps[1:] -= pvals[:-1]
+            rs = row_off[:-1]
+            gaps[rs] = pvals[rs]
+            pos_blobs = encode_varint_grouped(
+                gaps, row_off[starts], row_off[ends]
+            )
+        else:
+            pos_blobs = [b""] * k
+        pos_col = pa.array(pos_blobs, type=pa.binary())
+    else:
+        pos_col = _nulls(k, pa.binary())
     return pa.RecordBatch.from_arrays(
         [
             pa.array(["p"] * k),
@@ -333,6 +385,7 @@ def _block_rows_batch(
             pa.array(
                 encode_varint_grouped(dls64, starts, ends), type=pa.binary()
             ),
+            pos_col,
             _nulls(k, pa.int64()),
             _nulls(k, pa.int64()),
             _nulls(k, pa.int64()),
@@ -341,7 +394,7 @@ def _block_rows_batch(
     )
 
 
-def _make_indexer(block_span: int):
+def _make_indexer(block_span: int, positions: bool = False):
     """mapInArrow worker over raw doc rows (pid, url, warc_us, lang, text)
     hash-co-located by pid (a plain exchange -- no JVM sort anywhere):
 
@@ -448,7 +501,41 @@ def _make_indexer(block_span: int):
             terms_col: list = []
             tfs_col: list = []
             dl_col: list = []
+            pos_col: list | None = [] if positions else None
             for text, lang, url, az in zip(texts, langs, urls_g, azs):
+                if positions:
+                    # positional build: group each token's stream
+                    # positions (pre-stop-removal indices, Lucene
+                    # position-increment semantics) under its term
+                    toks, poss = analyze_positions(text, lang)
+                    grouped: dict = {}
+                    for t, p in zip(toks, poss):
+                        grouped.setdefault(t, []).append(p)
+                    dl_col.append(len(toks))
+                    fts = doc_field_terms(url, lang, len(toks), az)
+                    for t in fts:
+                        # composed field terms are filter-only: tf=1 and
+                        # a placeholder position keeps the invariant
+                        # len(positions) == tf for uniform decode
+                        grouped[t] = [0]
+                    items = sorted(grouped.items())
+                    terms_col.append([t for t, _ in items])
+                    tfs_col.append(
+                        np.fromiter(
+                            (len(ps) for _, ps in items),
+                            dtype=np.int64,
+                            count=len(items),
+                        )
+                    )
+                    pos_col.append(
+                        np.fromiter(
+                            (p for _, ps in items for p in ps),
+                            dtype=np.int64,
+                        )
+                        if items
+                        else np.empty(0, dtype=np.int64)
+                    )
+                    continue
                 toks = analyze(text, lang)
                 # doc_len counts TEXT tokens only -- metadata field terms
                 # are filter-only and must not shift BM25 length norms
@@ -486,6 +573,7 @@ def _make_indexer(block_span: int):
                 np.asarray(dl_col, dtype=np.int64),
                 terms_col,
                 tfs_col,
+                pos_col,
             )
             if out is not None:
                 block_batches.append(out)
@@ -648,16 +736,22 @@ def read_docmap(
 
 
 def read_postings(
-    spark: SparkSession, paths: IndexPaths, as_of: str | None = None
+    spark: SparkSession,
+    paths: IndexPaths,
+    as_of: str | None = None,
+    positions: bool = False,
 ) -> DataFrame:
     """Posting-blocks view: one row per (pid, term, blk). Rows are stored
     sorted by (term, pid, blk) -- term-major -- so term predicates prune
-    at parquet row-group granularity."""
+    at parquet row-group granularity. `positions=True` additionally
+    carries the per-occurrence position blobs (positional indexes only;
+    all-null otherwise) -- phrase queries fetch through this view."""
     tags = _tags_as_of(spark, paths, as_of) if as_of is not None else None
+    cols = _POSTING_COLS + ["pos_bin"] if positions else _POSTING_COLS
     return (
         _read_parquet_dir(spark, paths.segments, tags)
         .filter(F.col("row_type") == "p")
-        .select(*_POSTING_COLS)
+        .select(*cols)
     )
 
 
@@ -768,9 +862,17 @@ def build_index(
     resume: bool = True,
     finalize: bool = True,
     shuffle_partitions: int | None = None,
+    positions: bool | None = None,
     _fail_after_batches: int | None = None,
 ) -> BuildReport:
     """Build (or resume) the inverted index for a webtext DataFrame.
+
+    `positions=True` additionally stores per-occurrence token positions
+    (pos_bin blobs), enabling phrase queries -- a capability beyond the
+    reference, which rejects PhraseQuery (LuceneBackedQueryParser.java:
+    108-110). Costs roughly the corpus token count in extra varint bytes.
+    None (default) inherits the existing index's setting on resume, else
+    False.
 
     `_fail_after_batches` is a test hook simulating a mid-build crash.
     """
@@ -788,7 +890,7 @@ def build_index(
         return _build_index_inner(
             spark, webtext, index_dir, partition_seconds, block_span,
             batch_partitions, resume, finalize, shuffle_partitions,
-            _fail_after_batches, t0,
+            positions, _fail_after_batches, t0,
         )
     finally:
         if _prior_aqe is not None:
@@ -808,6 +910,7 @@ def _build_index_inner(
     resume: bool,
     finalize: bool,
     shuffle_partitions: int | None,
+    positions: bool | None,
     _fail_after_batches: int | None,
     t0: float,
 ) -> BuildReport:
@@ -821,6 +924,13 @@ def _build_index_inner(
         shutil.rmtree(paths.lineage)
 
     meta_path = os.path.join(index_dir, "meta.json")
+    if positions is None:
+        # inherit from an existing index (sip/resume appends must keep
+        # one consistent posting format); fresh builds default off
+        positions = False
+        if resume and os.path.exists(meta_path):
+            with open(meta_path) as f:
+                positions = bool(json.load(f).get("positions", False))
     meta = {
         "partition_seconds": int(partition_seconds),
         "block_span": int(block_span),
@@ -833,10 +943,14 @@ def _build_index_inner(
         # populated when the input carries an authz array column
         "format": 3,
         "fields": ["lang", "site", "doclen", "authz"],
+        "positions": bool(positions),
     }
     if os.path.exists(meta_path):
         with open(meta_path) as f:
             old = json.load(f)
+        # indexes written before the positions capability lack the key;
+        # they are positions=False by construction
+        old.setdefault("positions", False)
         if resume and old != meta:
             raise ValueError(
                 f"index meta mismatch: existing {old} vs requested {meta}"
@@ -939,7 +1053,9 @@ def _build_index_inner(
         sub = sub.select(
             "pid", "url", "warc_us", "lang", "text", "authz"
         ).repartition(n_shuffle, "pid")
-        seg = sub.mapInArrow(_make_indexer(block_span), _SEGMENT_SCHEMA)
+        seg = sub.mapInArrow(
+            _make_indexer(block_span, positions), _SEGMENT_SCHEMA
+        )
         _commit_write(seg, paths.segments, tag, [])
 
         # lineage metrics: collect the worker-written per-pid stats rows

@@ -29,7 +29,7 @@ from __future__ import annotations
 import math
 from collections import Counter, defaultdict
 
-from .analyzer import analyze
+from .analyzer import analyze_positions
 from .fields import FIELD_SEP, doc_field_terms, encode_num
 from .queryparse import collect_terms, parse_query, with_access
 
@@ -60,13 +60,16 @@ class OracleIndex:
             by_pid[r["warc_us"] // psec_us].append(r)
         self.docs: dict[tuple[int, int], dict] = {}
         self.postings: dict[str, dict[tuple[int, int], int]] = defaultdict(dict)
+        # per-term token positions (pre-stop-removal stream indices,
+        # Lucene position-increment semantics) -- phrase-match truth
+        self.positions: dict[str, dict[tuple[int, int], list]] = defaultdict(dict)
         self.pid_doc_counts: dict[int, int] = {}
         total_len = 0
         for pid, rlist in by_pid.items():
             rlist.sort(key=lambda r: (r["warc_us"], r["url"]))
             self.pid_doc_counts[pid] = len(rlist)
             for doc_id, r in enumerate(rlist):
-                tokens = analyze(r["text"], r.get("lang"))
+                tokens, tok_pos = analyze_positions(r["text"], r.get("lang"))
                 key = (pid, doc_id)
                 self.docs[key] = {
                     "url": r["url"],
@@ -77,6 +80,8 @@ class OracleIndex:
                 total_len += len(tokens)
                 for t, c in Counter(tokens).items():
                     self.postings[t][key] = c
+                for t, p in zip(tokens, tok_pos):
+                    self.positions[t].setdefault(key, []).append(p)
                 # composed metadata field terms: filter-only postings
                 # (tf=1), excluded from dl and the scoring tf counter
                 for ft in doc_field_terms(
@@ -96,6 +101,25 @@ class OracleIndex:
         tag = node[0]
         if tag == "term":
             return set(self.postings.get(node[1], ()))
+        if tag == "phrase":
+            members = node[1]
+            cand: set | None = None
+            for t, _p in members:
+                s = set(self.postings.get(t, ()))
+                cand = s if cand is None else cand & s
+                if not cand:
+                    return set()
+            base = members[0][1]
+            out = set()
+            for key in cand:
+                for b in self.positions[members[0][0]][key]:
+                    if all(
+                        (b + p - base) in self.positions[t].get(key, ())
+                        for t, p in members[1:]
+                    ):
+                        out.add(key)
+                        break
+            return out
         if tag == "prefix":
             s: set = set()
             for t in self.expand_prefix(node[1]):
@@ -133,13 +157,19 @@ class OracleIndex:
 
     # -- search -----------------------------------------------------------
     def search(self, query: str | None, k: int = 10,
-               locale: str | None = None, constraints=None, authz=None):
+               locale: str | None = None, constraints=None, authz=None,
+               allow_phrases: bool = False):
         """Return top-k [(pid, doc_id, score, url)]. `constraints`/`authz`
         AND into the match set but never score (with_access; the
         reference's FullTextCustomQuestion.java:91-107 composition)."""
-        tree = ("all",) if query is None else parse_query(query, locale)
+        tree = (
+            ("all",) if query is None
+            else parse_query(query, locale, allow_phrases)
+        )
         pos_terms, pos_prefixes, _ = collect_terms(tree)
-        matches = self._eval(with_access(tree, constraints, authz, locale))
+        matches = self._eval(
+            with_access(tree, constraints, authz, locale, allow_phrases)
+        )
         scoring_terms = set(pos_terms)
         for p in pos_prefixes:
             scoring_terms.update(self.expand_prefix(p))

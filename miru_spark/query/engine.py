@@ -54,11 +54,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..codec import decode_postings, decode_varint
+from ..codec import decode_grouped_deltas, decode_postings, decode_varint
 from ..index.build import _POSTING_COLS, IndexPaths
 from ..oracle import B, K1, MAX_WILDCARD_EXPANSION, bm25_idf
 from ..queryparse import (
     all_referenced_terms,
+    collect_phrases,
     collect_terms,
     parse_query,
     with_access,
@@ -70,7 +71,8 @@ _AUX_TYPES = {
     "pid": "long", "term": "string", "blk": "long", "n": "int",
     "first_doc": "long", "last_doc": "long", "max_tf": "int",
     "min_dl": "int", "ctf": "long", "ids_bin": "binary",
-    "tfs_bin": "binary", "dls_bin": "binary", "df": "long",
+    "tfs_bin": "binary", "dls_bin": "binary", "pos_bin": "binary",
+    "df": "long",
 }
 
 
@@ -123,12 +125,71 @@ def _accumulate_term(scores, matches, ids, tfs, dls, idf_t, avgdl):
         scores[pos_c[present]] += idf_t * _bm25_tf_part(tf, dl, avgdl)
 
 
-def _eval_tree(node, term_ids: dict, expansions: dict, universe: np.ndarray):
+def _eval_phrase(members, term_pos: dict) -> np.ndarray:
+    """Positional phrase match -> sorted unique docID array. `members` is
+    the phrase node's ((term, position), ...); `term_pos` maps each member
+    term to a self-contained (ids, tfs, pos) triple where `pos` is the
+    flat per-occurrence token-position array segmented by `tfs` (the
+    decoded pos_bin layout). A doc matches when some base offset b places
+    every member's occurrence at b + (p_i - p_0) -- Lucene PhraseQuery
+    (slop 0) semantics with stopword position gaps preserved. Fully
+    vectorized: candidate docs = intersection of member postings, then
+    per-member (doc_rank << 32 | adjusted_position) key sets intersect."""
+    empty = np.empty(0, dtype=np.int64)
+    docs = None
+    for t, _p in members:
+        e = term_pos.get(t)
+        if e is None or e[0].size == 0:
+            return empty
+        docs = (
+            e[0] if docs is None
+            else np.intersect1d(docs, e[0], assume_unique=True)
+        )
+        if docs.size == 0:
+            return empty
+    base_p = members[0][1]
+    keys = None
+    for t, p in members:
+        ids, tfs, pos = term_pos[t]
+        offs = np.zeros(ids.size + 1, dtype=np.int64)
+        np.cumsum(tfs, out=offs[1:])
+        idx = np.searchsorted(ids, docs)  # exact: docs is a subset of ids
+        seg = tfs[idx].astype(np.int64)
+        tot = int(seg.sum())
+        if tot == 0:
+            return empty
+        shift = np.zeros(docs.size, dtype=np.int64)
+        np.cumsum(seg[:-1], out=shift[1:])
+        flat = np.repeat(offs[idx] - shift, seg) + np.arange(tot)
+        rank = np.repeat(np.arange(docs.size, dtype=np.int64), seg)
+        adj = pos[flat] - (p - base_p)
+        ok = adj >= 0
+        # sorted + unique by construction: rank nondecreasing, positions
+        # strictly increasing within each doc segment
+        k_i = (rank[ok] << 32) | adj[ok]
+        keys = (
+            k_i if keys is None
+            else np.intersect1d(keys, k_i, assume_unique=True)
+        )
+        if keys.size == 0:
+            return empty
+    return docs[np.unique(keys >> 32)]
+
+
+def _eval_tree(
+    node,
+    term_ids: dict,
+    expansions: dict,
+    universe: np.ndarray,
+    term_pos: dict | None = None,
+):
     """Evaluate filter tree -> sorted unique docID array."""
     tag = node[0]
     empty = np.empty(0, dtype=np.int64)
     if tag == "term":
         return term_ids.get(node[1], empty)
+    if tag == "phrase":
+        return _eval_phrase(node[1], term_pos or {})
     if tag == "prefix":
         parts = [term_ids[t] for t in expansions.get(node[1], ()) if t in term_ids]
         if not parts:
@@ -143,7 +204,10 @@ def _eval_tree(node, term_ids: dict, expansions: dict, universe: np.ndarray):
         return np.unique(np.concatenate(parts))
     if tag == "and":
         sets = sorted(
-            (_eval_tree(c, term_ids, expansions, universe) for c in node[1]),
+            (
+                _eval_tree(c, term_ids, expansions, universe, term_pos)
+                for c in node[1]
+            ),
             key=len,
         )
         out = sets[0]
@@ -153,14 +217,17 @@ def _eval_tree(node, term_ids: dict, expansions: dict, universe: np.ndarray):
             out = np.intersect1d(out, s, assume_unique=True)
         return out
     if tag == "or":
-        parts = [_eval_tree(c, term_ids, expansions, universe) for c in node[1]]
+        parts = [
+            _eval_tree(c, term_ids, expansions, universe, term_pos)
+            for c in node[1]
+        ]
         parts = [p for p in parts if p.size]
         if not parts:
             return empty
         return np.unique(np.concatenate(parts))
     if tag == "not":
-        p = _eval_tree(node[1], term_ids, expansions, universe)
-        q = _eval_tree(node[2], term_ids, expansions, universe)
+        p = _eval_tree(node[1], term_ids, expansions, universe, term_pos)
+        q = _eval_tree(node[2], term_ids, expansions, universe, term_pos)
         return np.setdiff1d(p, q, assume_unique=True)
     if tag == "all":
         return universe
@@ -257,6 +324,8 @@ def _make_kernel(
 
     def decode_terms(rows: "pd.DataFrame"):
         term_ids, term_tfs, term_dls = {}, {}, {}
+        term_pos: dict = {}
+        has_pos = "pos_bin" in rows.columns
         for term, grp in rows.groupby("term", sort=True):
             ids = np.concatenate(
                 [decode_postings(b) for b in grp["ids_bin"]]
@@ -273,7 +342,17 @@ def _make_kernel(
             term_dls[term] = np.concatenate(
                 [decode_varint(b) for b in grp["dls_bin"]]
             ) if len(grp) else ids
-        return term_ids, term_tfs, term_dls
+            if has_pos and len(grp) and grp["pos_bin"].iloc[0] is not None:
+                # phrase member: per-occurrence positions ride along
+                # (nulled before the exchange for every other term)
+                term_pos[term] = (
+                    ids,
+                    term_tfs[term],
+                    decode_grouped_deltas(
+                        b"".join(grp["pos_bin"]), term_tfs[term]
+                    ),
+                )
+        return term_ids, term_tfs, term_dls, term_pos
 
     def score_subset(
         pid: int, rows: "pd.DataFrame", idf: dict, bounds, rem=None
@@ -282,7 +361,7 @@ def _make_kernel(
         Returns (doc_ids, scores) sorted by doc_id. `rem` is the pid's
         sorted removed-docID array (tombstone mask, the query-side
         andNot(removalIndex) of MiruIndexer.remove)."""
-        term_ids, term_tfs, term_dls = decode_terms(rows)
+        term_ids, term_tfs, term_dls, term_pos = decode_terms(rows)
         n_docs_pid = int(pid_counts.get(pid, 0))
         if has_all:
             if bounds is not None:
@@ -294,7 +373,7 @@ def _make_kernel(
                 universe = np.arange(n_docs_pid, dtype=np.int64)
         else:
             universe = np.empty(0, dtype=np.int64)
-        matches = _eval_tree(tree, term_ids, expansions, universe)
+        matches = _eval_tree(tree, term_ids, expansions, universe, term_pos)
         if bounds is not None and matches.size:
             lo, hi = bounds
             matches = matches[(matches >= lo) & (matches < hi)]
@@ -507,6 +586,7 @@ class SearchEngine:
         # read from the finalized full-index tables.
         self.as_of = as_of
         self.postings = read_postings(spark, self.paths, as_of=as_of)
+        self._postings_pos = None  # lazy pos_bin-bearing view (phrases)
         self.docmap = read_docmap(spark, self.paths, as_of=as_of)
         self.timeindex = read_timeindex(spark, self.paths, as_of=as_of)
         if as_of is None:
@@ -652,6 +732,18 @@ class SearchEngine:
             self._post_cache.clear()
             self._post_cache_entries = 0
 
+    def _postings_with_pos(self) -> DataFrame:
+        """Posting-blocks view that carries pos_bin -- built lazily, only
+        phrase queries read through it (position blobs are the largest
+        per-term payload; every other query path never touches them)."""
+        if self._postings_pos is None:
+            from ..index.build import read_postings
+
+            self._postings_pos = read_postings(
+                self.spark, self.paths, as_of=self.as_of, positions=True
+            )
+        return self._postings_pos
+
     def expand_prefix(self, prefix: str) -> list[str]:
         """Wildcard expansion: term-dictionary range scan, lexicographic,
         capped (MiruAggregateUtil.java:1154-1167 maxWildcardExpansion)."""
@@ -766,11 +858,17 @@ class SearchEngine:
         composite-authz per partition (FullTextCustomQuestion.java:91-107).
         `query=None` means match-all (inclusiveFilter base), for
         constraint/authz-only requests."""
-        tree = ("all",) if query is None else parse_query(query, locale)
+        allow_phrases = bool(self.meta.get("positions", False))
+        tree = (
+            ("all",) if query is None
+            else parse_query(query, locale, allow_phrases)
+        )
         # scoring terms come from the USER QUERY only (FullText.java
         # :99-170 termCollector walks the query, not the constraints)
         pos_terms, pos_prefixes, _ = collect_terms(tree)
-        tree = with_access(tree, constraints, authz, locale)
+        tree = with_access(tree, constraints, authz, locale, allow_phrases)
+        phrases = collect_phrases(tree)
+        phrase_terms = sorted({t for ph in phrases for t, _p in ph[1]})
         terms, prefixes, franges = all_referenced_terms(tree)
         expansions = {p: self.expand_prefix(p) for p in prefixes}
         for fr in franges:  # keyed by the node tuple itself
@@ -827,6 +925,7 @@ class SearchEngine:
             "time_spec": time_spec,
             "boundary_pids": boundary_pids,
             "idf_map": idf_map,
+            "phrase_terms": phrase_terms,
         }
 
     def kernel_frame(
@@ -860,7 +959,10 @@ class SearchEngine:
         boundary_pids = p["boundary_pids"]
         idf_map = p["idf_map"]
 
-        blocks = self.postings
+        phrase_terms = p.get("phrase_terms") or []
+        blocks = (
+            self._postings_with_pos() if phrase_terms else self.postings
+        )
         if p["pid_range"] is not None:
             pid_lo, pid_hi = p["pid_range"]
             blocks = blocks.filter(
@@ -876,10 +978,13 @@ class SearchEngine:
         # expansions) never score: their tf/dl blobs are dead weight on
         # the exchange -- null them out before the shuffle (a composed
         # lang:de term over a web corpus carries postings for ~a tenth of
-        # all docs; its blobs are ~2/3 of the term's bytes)
-        nonscoring = sorted(set(fetch_terms) - set(scoring_terms))
-        if nonscoring and scoring_terms:
-            keep = F.col("term").isin(sorted(scoring_terms))
+        # all docs; its blobs are ~2/3 of the term's bytes). Phrase
+        # members always keep their tf blobs even when filter-only (a
+        # phrase inside `constraints`): position decode segments by tf.
+        keep_blobs = set(scoring_terms) | set(phrase_terms)
+        nonscoring = sorted(set(fetch_terms) - keep_blobs)
+        if nonscoring and keep_blobs:
+            keep = F.col("term").isin(sorted(keep_blobs))
             blocks = blocks.withColumn(
                 "tfs_bin", F.when(keep, F.col("tfs_bin"))
             ).withColumn("dls_bin", F.when(keep, F.col("dls_bin")))
@@ -889,6 +994,17 @@ class SearchEngine:
             ).withColumn("dls_bin", F.lit(None).cast("binary"))
 
         kcols = list(_POSTING_COLS)
+        if phrase_terms:
+            # position blobs ride the exchange ONLY for phrase member
+            # terms; every other fetched term's pos_bin is nulled here,
+            # same bytes-on-the-wire discipline as the tf/dl nulling
+            kcols.append("pos_bin")
+            blocks = blocks.withColumn(
+                "pos_bin",
+                F.when(
+                    F.col("term").isin(phrase_terms), F.col("pos_bin")
+                ),
+            )
         if idf_map is None:
             # vocabulary too large to pin: global df rides along via a
             # broadcast join so idf is computed in the kernel
@@ -968,6 +1084,9 @@ class SearchEngine:
             not boundary_pids
             and not (has_all_node and relevant_pids)
             and not unpinned_removals
+            # phrase queries read the uncached pos-bearing view, which
+            # was never pre-co-located by cache()
+            and not phrase_terms
         )
         if getattr(self, "_pid_colocated", False) and plain:
             src = blocks
@@ -1304,10 +1423,12 @@ class SearchEngine:
     _POSTING_COLS = ["pid", "term", "blk", "n", "ids_bin", "tfs_bin",
                      "dls_bin"]
 
-    def _decode_posting_table(self, tbl) -> dict:
+    def _decode_posting_table(self, tbl, positions: bool = False) -> dict:
         """Decode a fetched posting-rows table into
         {term: (cids, tfs, dls)} with absolute composite
-        (pid << 32 | doc_id) ids, ascending."""
+        (pid << 32 | doc_id) ids, ascending. With `positions` the third
+        slot decodes pos_bin instead of dls_bin -- {term: (cids, tfs,
+        pos)}, the self-contained triple _eval_phrase consumes."""
         import pyarrow.compute as pc
 
         out: dict = {}
@@ -1328,7 +1449,10 @@ class SearchEngine:
         ns = tbl["n"].to_numpy().astype(np.int64)
         ids_bins = tbl["ids_bin"].to_pylist()
         tfs_bins = tbl["tfs_bin"].to_pylist() if has_blobs else None
-        dls_bins = tbl["dls_bin"].to_pylist() if has_blobs else None
+        if positions:
+            third_bins = tbl["pos_bin"].to_pylist()
+        else:
+            third_bins = tbl["dls_bin"].to_pylist() if has_blobs else None
         bnd = np.flatnonzero(terms[1:] != terms[:-1]) + 1
         starts = np.concatenate(([0], bnd, [len(terms)]))
         for gi in range(len(starts) - 1):
@@ -1344,13 +1468,20 @@ class SearchEngine:
             np.cumsum(row_n[:-1], out=rs[1:])
             base = acc[rs] - gaps[rs] - (pids[s:e] << 32)
             cids = acc - np.repeat(base, row_n)
-            out[t] = (
-                cids,
+            tfs = (
                 decode_varint(b"".join(tfs_bins[s:e]))
-                if has_blobs else cids,
-                decode_varint(b"".join(dls_bins[s:e]))
-                if has_blobs else cids,
+                if has_blobs else cids
             )
+            if positions:
+                third = decode_grouped_deltas(
+                    b"".join(third_bins[s:e]), tfs
+                )
+            else:
+                third = (
+                    decode_varint(b"".join(third_bins[s:e]))
+                    if has_blobs else cids
+                )
+            out[t] = (cids, tfs, third)
         return out
 
     _EMPTY_POSTINGS = (
@@ -1492,6 +1623,21 @@ class SearchEngine:
             prep["fetch_terms"], prep["pid_range"]
         )
 
+        term_pos: dict = {}
+        if prep.get("phrase_terms"):
+            # phrase members re-fetch WITH pos blobs, bypassing the LRU
+            # (position arrays are the largest per-term payload; keeping
+            # them out of the cache keeps its budget meaningful)
+            term_pos = self._decode_posting_table(
+                self._fetch_posting_rows(
+                    prep["phrase_terms"],
+                    prep["pid_range"],
+                    ["pid", "term", "blk", "n", "ids_bin", "tfs_bin",
+                     "pos_bin"],
+                ),
+                positions=True,
+            )
+
         bounds = self._local_bounds(prep, dset)
 
         if prep["has_all_node"]:
@@ -1520,7 +1666,7 @@ class SearchEngine:
             per-doc sums are independent of which OTHER docs are in the
             subset, so subset scores equal full-scan scores exactly."""
             matches = _eval_tree(
-                prep["tree"], cmap, prep["expansions"], universe
+                prep["tree"], cmap, prep["expansions"], universe, term_pos
             )
             # exact boundary-pid time mask (interior pids wholly inside)
             for p, (lo, hi) in bounds.items():
@@ -1556,6 +1702,9 @@ class SearchEngine:
             use_blockmax
             and strategy != "time"
             and not prep["has_all_node"]
+            # _blockmax_local's slice_to cannot slice the self-contained
+            # phrase position triples; phrase queries stay exhaustive
+            and not term_pos
             and scoring_terms
             and n_postings >= self.LOCAL_BLOCKMAX_MIN_POSTINGS
         ):
@@ -1966,7 +2115,10 @@ class SearchEngine:
                 out[q] = [(p, d, s, u) for (u, _w, p, d, s) in rows]
                 specs.append(None)
                 continue
-            if prep["has_all_node"]:
+            if prep["has_all_node"] or prep.get("phrase_terms"):
+                # match-all needs marker rows, phrases need pos blobs --
+                # neither rides the shared batched exchange; both answer
+                # through the individual kernel path
                 fallback[q] = None
                 specs.append(None)
                 continue

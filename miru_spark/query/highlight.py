@@ -35,7 +35,10 @@ def highlight(
     if not query or not content:
         return None
     try:
-        tree = parse_query(query, locale)
+        # phrases always parse here: highlighting is pure string work
+        # over result docs (members highlight like plain terms), so it
+        # needs no positional index
+        tree = parse_query(query, locale, allow_phrases=True)
     except QueryParseError:
         # the reference catches ParseException and returns null
         # (LuceneBackedQueryParser.highlight:68-71); a stopword-only

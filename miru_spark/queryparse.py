@@ -10,6 +10,19 @@ filter ops the reference implements).
 Tree nodes (plain tuples, picklable for broadcast into UDFs):
     ("term", t)            -- analyzed term (or a composed field term,
                               `field\\x1fvalue` -- filter-only, never scored)
+    ("phrase", ((t, p), ...)) -- positional phrase (only when the parser is
+                              invoked with allow_phrases=True, i.e. the
+                              index was built with positions=True; the
+                              reference rejects PhraseQuery because its
+                              index stores no positions,
+                              LuceneBackedQueryParser.java:108-110). Each
+                              member carries its position in the analyzed
+                              stream, so stopword gaps stay gaps ("kick
+                              the ball" under `en` = kick@0, ball@2).
+                              Matches docs where every member occurs at
+                              its relative offset; members score like
+                              ordinary positive terms (phrase = AND +
+                              adjacency filter)
     ("prefix", p)          -- wildcard `p*` (MiruAggregateUtil.java:1154-1167)
     ("frange", f, lo, hi)  -- numeric range `f:[lo TO hi]` / `f:lo-hi` over
                               an order-preserving-encoded numeric field
@@ -39,7 +52,7 @@ from __future__ import annotations
 
 import re
 
-from .analyzer import analyze
+from .analyzer import analyze, analyze_positions
 from .fields import FIELD_SEP, NUMERIC_FIELDS, compose, compose_value
 
 _TOKEN_SPEC = re.compile(
@@ -96,10 +109,16 @@ def _lex(q: str) -> list[tuple[str, str]]:
 
 
 class _Parser:
-    def __init__(self, tokens: list[tuple[str, str]], locale: str | None):
+    def __init__(
+        self,
+        tokens: list[tuple[str, str]],
+        locale: str | None,
+        allow_phrases: bool = False,
+    ):
         self.toks = tokens
         self.i = 0
         self.locale = locale
+        self.allow_phrases = allow_phrases
         self._fields: list[str] = []  # enclosing field-group context
 
     def peek(self):
@@ -251,20 +270,28 @@ class _Parser:
             if self._fields:
                 # a quoted value inside a field group is one raw value
                 return self._field_atom(self._fields[-1], val[1:-1])
-            # Lucene-classic phrase syntax. The index stores no positions
-            # (like the reference's), so: 1 analyzed token collapses to a
-            # TermQuery (QueryParser does this before makeFilter ever sees
-            # it); 0 tokens (all stopwords) drops the clause; >=2 tokens is
-            # a PhraseQuery, which the reference rejects with "Unsupported
-            # query type" (LuceneBackedQueryParser.java:108-110).
-            analyzed = analyze(val[1:-1], self.locale)
+            # Lucene-classic phrase syntax: 1 analyzed token collapses to
+            # a TermQuery (QueryParser does this before makeFilter ever
+            # sees it); 0 tokens (all stopwords) drops the clause. >=2
+            # tokens is a PhraseQuery: supported as a positional phrase
+            # node when the index carries positions (allow_phrases=True,
+            # an opt-in capability BEYOND the reference); otherwise
+            # rejected with "Unsupported query type" exactly like the
+            # reference (LuceneBackedQueryParser.java:108-110).
+            analyzed, positions = analyze_positions(val[1:-1], self.locale)
             if not analyzed:
                 return ("dropped",)
             if len(analyzed) == 1:
                 return ("term", analyzed[0])
+            if self.allow_phrases:
+                return (
+                    "phrase",
+                    tuple(zip(analyzed, positions)),
+                )
             raise QueryParseError(
                 f"Unsupported query type: phrase {val} (index stores no "
-                f"term positions, same as the reference)"
+                f"term positions, same as the reference; build with "
+                f"positions=True to enable phrases)"
             )
         if kind == "word":
             if self._fields:
@@ -298,12 +325,17 @@ class _Parser:
         raise QueryParseError(f"unexpected token {kind}:{val}")
 
 
-def parse_query(q: str, locale: str | None = None):
-    """Parse a Lucene-classic-subset query string to a filter tree."""
+def parse_query(
+    q: str, locale: str | None = None, allow_phrases: bool = False
+):
+    """Parse a Lucene-classic-subset query string to a filter tree.
+    `allow_phrases` admits multi-term quoted phrases as positional
+    phrase nodes (requires a positions=True index); the default matches
+    the reference, which rejects PhraseQuery."""
     tokens = _lex(q)
     if not tokens:
         return ("none",)
-    p = _Parser(tokens, locale)
+    p = _Parser(tokens, locale, allow_phrases)
     node = p.parse_expr()
     if p.peek()[0] is not None:
         raise QueryParseError("trailing tokens")
@@ -331,6 +363,11 @@ def collect_terms(node) -> tuple[set, set, set]:
             if FIELD_SEP in n[1]:
                 return  # composed field terms filter, never score
             (neg_t if negated else pos_t).add(n[1])
+        elif tag == "phrase":
+            # members score like ordinary positive terms (phrase = AND
+            # of members + adjacency filter)
+            for t, _p in n[1]:
+                (neg_t if negated else pos_t).add(t)
         elif tag == "frange":
             return  # filter-only
         elif tag == "prefix":
@@ -364,6 +401,9 @@ def all_referenced_terms(node) -> tuple[set, set, set]:
         tag = n[0]
         if tag == "term":
             terms.add(n[1])
+        elif tag == "phrase":
+            for t, _p in n[1]:
+                terms.add(t)
         elif tag == "prefix":
             prefixes.add(n[1])
         elif tag == "frange":
@@ -379,7 +419,33 @@ def all_referenced_terms(node) -> tuple[set, set, set]:
     return terms, prefixes, franges
 
 
-def with_access(tree, constraints=None, authz=None, locale: str | None = None):
+def collect_phrases(node) -> list:
+    """Every ("phrase", members) node in the tree, in walk order --
+    the engine fetches position blobs for exactly these members' terms."""
+    out: list = []
+
+    def walk(n):
+        tag = n[0]
+        if tag == "phrase":
+            out.append(n)
+        elif tag in ("and", "or"):
+            for c in n[1]:
+                walk(c)
+        elif tag == "not":
+            walk(n[1])
+            walk(n[2])
+
+    walk(node)
+    return out
+
+
+def with_access(
+    tree,
+    constraints=None,
+    authz=None,
+    locale: str | None = None,
+    allow_phrases: bool = False,
+):
     """AND an optional constraints filter and an authz label expression
     onto a parsed query tree -- the reference's fulltext question composes
     exactly this way: the parsed query bitmap is ANDed with the request's
@@ -396,7 +462,7 @@ def with_access(tree, constraints=None, authz=None, locale: str | None = None):
     if constraints is not None:
         extra.append(
             constraints if isinstance(constraints, tuple)
-            else parse_query(constraints, locale)
+            else parse_query(constraints, locale, allow_phrases)
         )
     if authz is not None:
         labels = sorted({str(a).lower() for a in authz})
