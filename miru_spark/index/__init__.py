@@ -5,6 +5,10 @@ from .build import (  # noqa: F401
     read_lineage,
     snapshots,
 )
+from .compact import (  # noqa: F401
+    compact_index,
+    compact_removals,
+)
 from .removals import (  # noqa: F401
     read_removed,
     remove_docs,
