@@ -11,7 +11,8 @@ and term runs fragmented across commit units.
 merge story (miru rebuilds/merges LAB indexes per partition;
 MiruPartitionState rebuilding, miru-service/.../MiruPartitionState.java)
 and the Iceberg `rewrite_data_files` + `expire_snapshots` analog: it
-reads every committed commit unit, re-sorts the union GLOBALLY
+reads the selected commit units (all of them by default; only the
+sub-threshold ones in a tiered pass), re-sorts the union GLOBALLY
 term-major -- one range-partitioned sort-merge shuffle, the only
 term-keyed exchange anywhere in this engine, run at maintenance time,
 never on the build or query path -- and commits the result as ONE new
@@ -92,23 +93,60 @@ def compact_index(
     index_dir: str,
     target_partitions: int | None = None,
     target_file_bytes: int = 128 * 1024 * 1024,
+    max_unit_bytes: int | None = None,
     removals: bool = True,
 ) -> dict:
-    """Merge every committed segment commit unit into ONE, globally
-    sorted (row_type, term, pid, blk, doc_id) so a query term's postings
-    are a contiguous row-group run across the whole index, then vacuum
-    the replaced units and (optionally) compact the tombstone log.
-    Returns {"tag", "merged_tags", "files_before", "files_after",
-    "removals": {...}}. No-op (beyond removals) when the index already
-    has at most one commit unit."""
+    """Merge committed segment commit units into ONE, globally sorted
+    (row_type, term, pid, blk, doc_id) so a query term's postings are a
+    contiguous row-group run across the whole index, then vacuum the
+    replaced units and (optionally) compact the tombstone log.
+
+    `max_unit_bytes=None` (default) is a FULL compaction: every unit
+    merges. Setting it runs a TIERED pass -- only units smaller than the
+    threshold merge, larger ones stay untouched -- the Lucene merge-
+    policy / Iceberg min-input-files shape: at 100 TB a maintenance pass
+    must fold the day's small sip units into one without rewriting the
+    multi-TB base, so rewrite cost tracks ingest volume, not index size.
+    Repeated tiered passes converge geometrically (merged output grows
+    past the threshold and drops out of the next pass's input).
+
+    Returns {"tag", "merged_tags", "kept_tags", "files_before",
+    "files_after", "removals": {...}}. No-op (beyond removals) when
+    fewer than two units qualify."""
     paths = IndexPaths(index_dir)
     # recover/clean any earlier partial maintenance first (idempotent)
     _cleanup_orphans(spark, paths)
-    tags = sorted(_valid_tags(spark, paths))
-    rep: dict = {"tag": None, "merged_tags": len(tags)}
+    all_tags = sorted(_valid_tags(spark, paths))
+
+    def unit_stats(t: str) -> tuple[int, int]:
+        d = os.path.join(paths.segments, f"b_{t}")
+        files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        return len(files), sum(
+            os.path.getsize(os.path.join(d, f)) for f in files
+        )
+
+    sizes = {t: unit_stats(t) for t in all_tags}
+    if max_unit_bytes is None:
+        tags = all_tags
+    else:
+        tags = [t for t in all_tags if sizes[t][1] < max_unit_bytes]
+    rep: dict = {
+        "tag": None,
+        "merged_tags": len(tags),
+        "kept_tags": len(all_tags) - len(tags),
+    }
     if len(tags) > 1:
+        # the new tag's epoch must exceed EVERY existing unit's (merged
+        # or kept, committed or orphaned) -- same rule as build_index
         epoch = 0
-        for t in tags:
+        existing = set(all_tags)
+        if os.path.isdir(paths.segments):
+            existing |= {
+                d[2:]
+                for d in os.listdir(paths.segments)
+                if d.startswith("b_")
+            }
+        for t in existing:
             head = t.split("_", 1)[0]
             if head.isdigit():
                 epoch = max(epoch, int(head) + 1)
@@ -116,14 +154,8 @@ def compact_index(
         rep["tag"] = new_tag
 
         seg = _read_parquet_dir(spark, paths.segments, tags)
-        files_before = 0
-        bytes_before = 0
-        for t in tags:
-            d = os.path.join(paths.segments, f"b_{t}")
-            for f in os.listdir(d):
-                if f.endswith(".parquet"):
-                    files_before += 1
-                    bytes_before += os.path.getsize(os.path.join(d, f))
+        files_before = sum(sizes[t][0] for t in tags)
+        bytes_before = sum(sizes[t][1] for t in tags)
         rep["files_before"] = files_before
         if target_partitions is not None:
             n_out = int(target_partitions)

@@ -1366,6 +1366,139 @@ class SearchEngine:
             and self._estimated_postings(prep) <= self.local_max_postings
         )
 
+    def explain(
+        self,
+        query: str | None,
+        k: int = 10,
+        locale: str | None = None,
+        time_range_us: tuple[int, int] | None = None,
+        constraints=None,
+        authz=None,
+    ) -> dict:
+        """Driver-side query plan report -- what `search` WOULD do, with
+        zero Spark jobs and zero posting reads. The operator's pre-flight
+        check before launching a query against a 100 TB index: which
+        terms it touches and how many postings they carry, which pids
+        survive time pruning, which route answers it (serving node vs
+        distributed kernel) and why, what gets pruned or shed on the way.
+        Keys are stable; values are JSON-able."""
+        prep = self._prep_query(
+            query, locale, time_range_us, constraints, authz
+        )
+        est = self._estimated_postings(prep)
+
+        reasons = []
+        if self._term_df is None:
+            reasons.append(
+                "term dictionary not pinned (vocabulary above the "
+                "driver budget); per-term stats and the serving path "
+                "are unavailable"
+            )
+        if prep["time_bounds"] is not None:
+            reasons.append(
+                "format-1 index resolves time bounds with a Spark job"
+            )
+        if self._removed_df is not None and self._removed_map is None:
+            reasons.append(
+                "tombstone log too large to pin driver-side; masking "
+                "happens in the kernel"
+            )
+        if self._term_df is not None and est > self.local_max_postings:
+            reasons.append(
+                f"estimated postings {est:,} exceed the serving budget "
+                f"local_max_postings={self.local_max_postings:,}"
+            )
+        local = not reasons
+
+        term_df = self._term_df or {}
+        per_term = {
+            t: int(term_df.get(t, 0)) for t in prep["fetch_terms"]
+        }
+        top_terms = dict(
+            sorted(per_term.items(), key=lambda kv: -kv[1])[:10]
+        )
+        scoring = set(prep["scoring_terms"])
+        phrase_members = set(prep.get("phrase_terms") or [])
+        shed = sorted(
+            set(prep["fetch_terms"]) - scoring - phrase_members
+        )
+
+        # would the distributed kernel get a theta seed? (mirror of
+        # _theta_seed's cheap guards -- the seed itself is real work)
+        seed_ok = (
+            self._term_df is not None
+            and not prep["has_all_node"]
+            and k > 0
+            and prep["time_bounds"] is None
+            and (self._removed_df is None or self._removed_map is not None)
+            and bool(prep["relevant_pids"])
+            and est // max(1, len(prep["relevant_pids"]))
+            <= self.local_max_postings
+        )
+
+        return {
+            "query": query,
+            "tree": repr(prep["tree"]),
+            "locale": locale or "en",
+            "route": "serving-node" if local else "distributed-kernel",
+            "spark_jobs": 0 if local else 2,
+            "spark_jobs_note": (
+                "in-process pyarrow + NumPy over the pinned row-group "
+                "catalog" if local else
+                "job 1: posting fetch + kernel + TakeOrdered; job 2: "
+                "point-lookup display gather (driver-side pyarrow when "
+                "storage is reachable, then 1 job)"
+            ),
+            "distributed_reasons": reasons,
+            "n_fetch_terms": len(prep["fetch_terms"]),
+            "n_scoring_terms": len(prep["scoring_terms"]),
+            "prefix_expansions": {
+                (p[1] if isinstance(p, tuple) else str(p)): len(exp)
+                for p, exp in prep["expansions"].items()
+            },
+            "term_df_top": top_terms,
+            "estimated_postings": int(est),
+            "local_max_postings": int(self.local_max_postings),
+            "match_all": bool(prep["has_all_node"]),
+            "phrase_terms": sorted(phrase_members),
+            "shed_blob_terms": len(shed),
+            "shed_blob_note": (
+                "filter-only terms ride the exchange without tf/dl "
+                "blobs" if shed else ""
+            ),
+            "n_pids_total": len(self.pid_counts),
+            "n_pids_relevant": len(prep["relevant_pids"]),
+            "pid_range": prep["pid_range"],
+            "time_pruning": (
+                "none" if time_range_us is None
+                else "kernel-side 't' rows (format 2)"
+                if prep["time_spec"] is not None
+                else "driver bounds job (format 1)"
+            ),
+            "blockmax": (
+                (
+                    "off by default (lower LOCAL_BLOCKMAX_MIN_POSTINGS "
+                    "to engage on score-spread corpora)"
+                    if self.LOCAL_BLOCKMAX_MIN_POSTINGS >= (1 << 60)
+                    else "engages at >= "
+                    f"{self.LOCAL_BLOCKMAX_MIN_POSTINGS:,} postings "
+                    f"(this query: {est:,})"
+                )
+                if local
+                else (
+                    "exact block-max kernel"
+                    + (
+                        ", theta-seeded from the densest pid"
+                        if seed_ok else ", unseeded"
+                    )
+                )
+            ),
+            "tombstones": (
+                0 if self._removed_map is None
+                else int(sum(len(v) for v in self._removed_map.values()))
+            ),
+        }
+
     def _local_bounds(self, prep: dict, dset) -> dict:
         """Exact per-boundary-pid [lo, hi) docID interval from the 't'
         time-index rows (LabTimeIndex.getClosestId analog), read via

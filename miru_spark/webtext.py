@@ -84,8 +84,18 @@ def generate_rows(indices, seed: int = SEED) -> list[dict]:
     return [generate_row(int(i), seed) for i in indices]
 
 
-def webtext_df(spark, n: int, seed: int = SEED, parallelism: int | None = None):
-    """Distributed deterministic webtext DataFrame of n rows."""
+def webtext_df(
+    spark,
+    n: int,
+    seed: int = SEED,
+    parallelism: int | None = None,
+    start: int = 0,
+):
+    """Distributed deterministic webtext DataFrame of rows [start, start+n).
+
+    `start` slices the same deterministic corpus: webtext_df(s, N) equals
+    the concat of webtext_df(s, b, start=i*b) batches -- crawl micro-batch
+    simulation for sip/compaction tests."""
     import pyarrow as pa
     from pyspark.sql import functions as F
 
@@ -110,7 +120,12 @@ def webtext_df(spark, n: int, seed: int = SEED, parallelism: int | None = None):
                 ),
             )
 
-    rng_df = spark.range(0, n, 1, parallelism or spark.sparkContext.defaultParallelism)
+    rng_df = spark.range(
+        start,
+        start + n,
+        1,
+        parallelism or spark.sparkContext.defaultParallelism,
+    )
     df = rng_df.mapInArrow(gen, out_schema)
     return (
         df.withColumn("warc_ts", F.timestamp_micros("warc_us"))

@@ -159,6 +159,58 @@ def test_compact_then_append_still_works(spark, tmp_path_factory):
     assert eng2.search_collect("w000001 AND w000004", k=10) == got
 
 
+def test_tiered_compaction_skips_large_units(spark, tmp_path_factory):
+    """max_unit_bytes folds only the small sip units; the big base unit
+    is never rewritten (rewrite cost tracks ingest, not index size)."""
+    import os as _os
+
+    index_dir = str(tmp_path_factory.mktemp("cidx_tier"))
+    batches = _batches()
+    # base: two batches merged into one large unit
+    for batch in batches[:2]:
+        build_index(
+            spark, _wt(spark, batch), index_dir,
+            partition_seconds=PARTITION_SECONDS, block_span=BLOCK_SPAN,
+        )
+    compact_index(spark, index_dir)
+    base_tag = _seg_dirs(index_dir)[0]
+    base_bytes = sum(
+        _os.path.getsize(_os.path.join(index_dir, "segments", base_tag, f))
+        for f in _os.listdir(_os.path.join(index_dir, "segments", base_tag))
+        if f.endswith(".parquet")
+    )
+    # plus two small sip-sized units (time-disjoint: appends cover
+    # CLOSED windows; same-pid rows would be late arrivals)
+    third = batches[2]
+    for j, half in enumerate((third[:40], third[40:])):
+        rows = [dict(r, warc_us=r["warc_us"] + j * DAY_US) for r in half]
+        build_index(
+            spark, _wt(spark, rows), index_dir,
+            partition_seconds=PARTITION_SECONDS, block_span=BLOCK_SPAN,
+        )
+    assert len(_seg_dirs(index_dir)) == 3
+    eng = SearchEngine(spark, index_dir)
+    before = {q: eng.search_collect(q, k=10) for q in QUERIES}
+    eng.close()
+
+    rep = compact_index(spark, index_dir, max_unit_bytes=base_bytes)
+    assert rep["merged_tags"] == 2 and rep["kept_tags"] == 1
+    dirs = _seg_dirs(index_dir)
+    assert len(dirs) == 2 and base_tag in dirs  # base untouched
+    assert f"b_{rep['tag']}" in dirs
+    eng2 = SearchEngine(spark, index_dir)
+    for q in QUERIES:
+        assert eng2.search_collect(q, k=10) == before[q]
+    # below-threshold pass with a single qualifying unit: no-op
+    rep2 = compact_index(spark, index_dir, max_unit_bytes=base_bytes)
+    assert rep2["tag"] is None and len(_seg_dirs(index_dir)) == 2
+    # a later FULL pass still collapses everything to one
+    rep3 = compact_index(spark, index_dir)
+    assert rep3["merged_tags"] == 2 and len(_seg_dirs(index_dir)) == 1
+    eng3 = SearchEngine(spark, index_dir)
+    assert eng3.search_collect(QUERIES[0], k=10) == before[QUERIES[0]]
+
+
 def test_compact_removals_resolution_identical(spark, tmp_path_factory):
     index_dir = str(tmp_path_factory.mktemp("cidx_rm"))
     _build_multi(spark, index_dir)
