@@ -159,6 +159,22 @@ def main() -> None:
             extras["query_qps_servingnode"] = round(
                 len(ctimes) / sum(ctimes), 2
             )
+            # index-backed analytics (count / waveform / distincts):
+            # match-set aggregation without scoring, serving path
+            t0 = time.time()
+            n_match = eng.count("w000017 AND w000031")
+            extras["analytics_count_ms"] = round((time.time() - t0) * 1e3, 1)
+            t0 = time.time()
+            wf = eng.waveform("w000017", bucket_seconds=86400)
+            extras["analytics_waveform_ms"] = round(
+                (time.time() - t0) * 1e3, 1
+            )
+            t0 = time.time()
+            fc = eng.distincts("lang", "w000017")
+            extras["analytics_distincts_ms"] = round(
+                (time.time() - t0) * 1e3, 1
+            )
+            extras["analytics_sizes"] = [n_match, len(wf), len(fc)]
 
         # batched qps: all queries in ONE Spark job (stress-harness shape)
         t0 = time.time()

@@ -283,9 +283,21 @@ def _make_kernel(
     theta0: float = 0.0,
     counter: dict | None = None,
     strategy: str = "tfidf",
+    agg: str | None = None,
+    bucket_us: int = 0,
+    facet_terms: list | None = None,
 ):
     """Build the per-partition applyInPandas kernel (closure ships to
     executors with the task -- all members are small).
+
+    `agg` switches the kernel from top-k retrieval to match-set
+    aggregation (no scoring, no heap): "count" emits one
+    (pid, 0, match_count) row per pid; "waveform" emits one
+    (pid, bucket_index, count) row per epoch-aligned `bucket_us` bucket,
+    timestamps resolved from the pid's own 't' time-index rows inside
+    the same task -- the analytics-plugin waveform (Analytics.java
+    :164-183 ANDs the constrained filter with per-bucket time bitmaps;
+    here matched docIDs index the pid's time array and histogram).
 
     idf arrives one of two ways: `idf_map` computed driver-side from the
     pinned term dictionary (the normal, zero-extra-job path), or -- when
@@ -355,13 +367,17 @@ def _make_kernel(
         return term_ids, term_tfs, term_dls, term_pos
 
     def score_subset(
-        pid: int, rows: "pd.DataFrame", idf: dict, bounds, rem=None
+        pid: int, rows: "pd.DataFrame", idf: dict, bounds, rem=None,
+        ids_out: dict | None = None,
     ):
         """Exact match+score over a doc-range-aligned blk subset.
         Returns (doc_ids, scores) sorted by doc_id. `rem` is the pid's
         sorted removed-docID array (tombstone mask, the query-side
-        andNot(removalIndex) of MiruIndexer.remove)."""
+        andNot(removalIndex) of MiruIndexer.remove). `ids_out` (distincts
+        mode) receives the decoded per-term docID arrays."""
         term_ids, term_tfs, term_dls, term_pos = decode_terms(rows)
+        if ids_out is not None:
+            ids_out.update(term_ids)
         n_docs_pid = int(pid_counts.get(pid, 0))
         if has_all:
             if bounds is not None:
@@ -435,6 +451,62 @@ def _make_kernel(
                 for t, d in zip(pdf["term"], pdf["df"])
                 if t is not None and not pd.isna(d)
             }
+
+        if agg is not None:
+            ids_out: dict | None = {} if agg == "distincts" else None
+            ids, _ = score_subset(
+                pid, pdf, idf, bounds, rem, ids_out=ids_out
+            )
+            if agg == "distincts":
+                # |match AND facet-term postings| per facet value --
+                # the distincts gatherer (DistinctsQuery filter +
+                # gatherDistinctsForField) as per-pid intersection
+                # counts; only (value_idx, count) rows leave the task
+                out_idx, out_cnt = [], []
+                for i, t in enumerate(facet_terms or []):
+                    c = ids_out.get(t)
+                    if c is None or not c.size or not ids.size:
+                        continue
+                    pos = np.minimum(
+                        np.searchsorted(ids, c), ids.size - 1
+                    )
+                    n = int((ids[pos] == c).sum())
+                    if n:
+                        out_idx.append(i)
+                        out_cnt.append(float(n))
+                return pd.DataFrame(
+                    {
+                        "pid": pid,
+                        "doc_id": np.array(out_idx, dtype=np.int64),
+                        "score": np.array(out_cnt, dtype=np.float64),
+                    }
+                )
+            if agg == "waveform":
+                if trows is None or not len(trows) or ids.size == 0:
+                    return pd.DataFrame(
+                        columns=["pid", "doc_id", "score"]
+                    )
+                tr = trows.sort_values("first_doc")
+                warc = np.concatenate(
+                    [np.cumsum(decode_varint(b)) for b in tr["ids_bin"]]
+                )
+                b_idx, cnt = np.unique(
+                    warc[ids] // bucket_us, return_counts=True
+                )
+                return pd.DataFrame(
+                    {
+                        "pid": pid,
+                        "doc_id": b_idx.astype(np.int64),
+                        "score": cnt.astype(np.float64),
+                    }
+                )
+            return pd.DataFrame(
+                {
+                    "pid": [pid],
+                    "doc_id": [0],
+                    "score": [float(ids.size)],
+                }
+            )
 
         if not use_blockmax or has_all or k <= 0 or strategy == "time":
             ids, scores = score_subset(pid, pdf, idf, bounds, rem)
@@ -940,18 +1012,33 @@ class SearchEngine:
         strategy: str = "tfidf",
         constraints=None,
         authz=None,
+        agg: str | None = None,
+        bucket_us: int = 0,
+        facet_terms: list | None = None,
     ) -> DataFrame:
         """Build the distributed match+score frame for a query: one
         mapInPandas kernel pass over the pruned posting blocks, yielding
         (pid, doc_id, score) per-partition top-k rows. `search` collects
-        its global top-k; plan tests assert its physical shape."""
+        its global top-k; plan tests assert its physical shape.
+
+        `agg="count"|"waveform"|"distincts"` switches to match-set
+        aggregation (see _make_kernel): no term scores, so EVERY term
+        sheds its tf/dl blobs before the exchange; "waveform" ships every
+        relevant pid's 't' rows so bucketing happens in-task;
+        "distincts" fetches `facet_terms` postings alongside the query's
+        and emits only (value_idx, count) rows per task."""
         p = prep or self._prep_query(
             query, locale, time_range_us, constraints, authz
         )
         tree = p["tree"]
         expansions = p["expansions"]
-        scoring_terms = p["scoring_terms"]
+        scoring_terms = [] if agg is not None else p["scoring_terms"]
+        if agg is not None:
+            use_blockmax = False
+            theta0 = 0.0
         fetch_terms = p["fetch_terms"]
+        if agg == "distincts" and facet_terms:
+            fetch_terms = sorted(set(fetch_terms) | set(facet_terms))
         has_all_node = p["has_all_node"]
         relevant_pids = p["relevant_pids"]
         time_bounds = p["time_bounds"]
@@ -1005,6 +1092,8 @@ class SearchEngine:
                     F.col("term").isin(phrase_terms), F.col("pos_bin")
                 ),
             )
+        if idf_map is None and agg is not None:
+            idf_map = {}  # aggregation modes never score
         if idf_map is None:
             # vocabulary too large to pin: global df rides along via a
             # broadcast join so idf is computed in the kernel
@@ -1015,7 +1104,18 @@ class SearchEngine:
             blocks = blocks.join(F.broadcast(tstats), "term", "left")
 
         blocks = _pad_cols(blocks, kcols, "p")
-        if boundary_pids:
+        if agg == "waveform":
+            # every relevant pid's time rows ride to its kernel task so
+            # matched docIDs bucket in-task (boundary pids reuse the same
+            # rows for their exact [lo, hi) interval)
+            ti = self.timeindex
+            if p["pid_range"] is not None:
+                pid_lo, pid_hi = p["pid_range"]
+                ti = ti.filter(
+                    (F.col("pid") >= pid_lo) & (F.col("pid") <= pid_hi)
+                )
+            blocks = blocks.unionByName(_pad_cols(ti, kcols, "t"))
+        elif boundary_pids:
             blocks = blocks.unionByName(
                 _pad_cols(
                     self.timeindex.filter(F.col("pid").isin(boundary_pids)),
@@ -1067,6 +1167,9 @@ class SearchEngine:
             removed_map=self._removed_map,
             theta0=theta0,
             strategy=strategy,
+            agg=agg,
+            bucket_us=bucket_us,
+            facet_terms=facet_terms,
         )
         # hash-co-locate each pid's fetched blocks on one task, then ONE
         # pandas call per task loops the pids it owns -- same semantics as
@@ -1082,6 +1185,7 @@ class SearchEngine:
         # repartition bounded by the pids touched
         plain = (
             not boundary_pids
+            and agg != "waveform"  # waveform unions time-index rows
             and not (has_all_node and relevant_pids)
             and not unpinned_removals
             # phrase queries read the uncached pos-bearing view, which
@@ -1498,6 +1602,272 @@ class SearchEngine:
                 else int(sum(len(v) for v in self._removed_map.values()))
             ),
         }
+
+    def _local_match_ids(self, prep: dict) -> np.ndarray:
+        """Exact composite (pid << 32 | doc_id) match set of a query on
+        the serving node -- the match half of `_search_local` without
+        the scoring half: tree evaluation, boundary-pid time mask,
+        tombstone mask. Feeds `count` and `waveform`."""
+        dset = self._dataset()
+        term_cids, _tfs, _dls = self._postings_maps(
+            prep["fetch_terms"], prep["pid_range"]
+        )
+        term_pos: dict = {}
+        if prep.get("phrase_terms"):
+            term_pos = self._decode_posting_table(
+                self._fetch_posting_rows(
+                    prep["phrase_terms"],
+                    prep["pid_range"],
+                    ["pid", "term", "blk", "n", "ids_bin", "tfs_bin",
+                     "pos_bin"],
+                ),
+                positions=True,
+            )
+        bounds = self._local_bounds(prep, dset)
+        if prep["has_all_node"]:
+            spans = []
+            for p in prep["relevant_pids"]:
+                n = int(self.pid_counts.get(p, 0))
+                lo, hi = bounds.get(int(p), (0, n))
+                lo, hi = max(lo, 0), min(hi, n)
+                if hi > lo:
+                    spans.append((int(p) << 32) + np.arange(lo, hi))
+            universe = (
+                np.concatenate(spans) if spans
+                else np.empty(0, dtype=np.int64)
+            )
+        else:
+            universe = np.empty(0, dtype=np.int64)
+        matches = _eval_tree(
+            prep["tree"], term_cids, prep["expansions"], universe, term_pos
+        )
+        for p, (lo, hi) in bounds.items():
+            if not matches.size:
+                break
+            s = np.searchsorted(matches, p << 32)
+            e = np.searchsorted(matches, (p + 1) << 32)
+            kl = np.searchsorted(matches, (p << 32) + lo)
+            kh = np.searchsorted(matches, (p << 32) + hi)
+            matches = np.concatenate(
+                (matches[:s], matches[kl:kh], matches[e:])
+            )
+        rem = self._removed_comp
+        if rem is not None and rem.size and matches.size:
+            pos = np.minimum(np.searchsorted(rem, matches), rem.size - 1)
+            matches = matches[rem[pos] != matches]
+        return matches
+
+    def _pid_times(self, pids) -> dict:
+        """Per-pid docID -> warc_us arrays decoded from the 't' time-
+        index rows via pyarrow (no Spark job). docIDs are dense and
+        time-ordered per pid, so array position IS the docID."""
+        import pyarrow.dataset as pads
+
+        trows = self._dataset().to_table(
+            filter=(pads.field("row_type") == "t")
+            & pads.field("pid").isin([int(p) for p in pids]),
+            columns=["pid", "first_doc", "ids_bin"],
+        )
+        arr_pids = trows["pid"].to_numpy()
+        firsts = trows["first_doc"].to_numpy()
+        bins = trows["ids_bin"].to_pylist()
+        out = {}
+        for p in np.unique(arr_pids):
+            sel = np.flatnonzero(arr_pids == p)
+            sel = sel[np.argsort(firsts[sel], kind="stable")]
+            out[int(p)] = np.concatenate(
+                [np.cumsum(decode_varint(bins[i])) for i in sel]
+            )
+        return out
+
+    def count(
+        self,
+        query: str | None,
+        locale: str | None = None,
+        time_range_us: tuple[int, int] | None = None,
+        constraints=None,
+        authz=None,
+        local: bool | None = None,
+    ) -> int:
+        """Exact number of docs matching a query (+constraints/authz/
+        time range) -- retrieval without ranking: no scores, no heap,
+        and on the distributed path every term sheds its tf/dl blobs
+        before the exchange (count reads docID blobs only). Same
+        auto-routing as `search`: serving node when the estimated
+        posting volume fits, else ONE Spark job."""
+        prep = self._prep_query(
+            query, locale, time_range_us, constraints, authz
+        )
+        if local is None:
+            local = self._local_eligible(prep)
+        elif local and not self._local_eligible(prep):
+            raise ValueError(
+                "local=True forced but this query is not eligible for "
+                "the serving-node path; use local=None for auto-routing"
+            )
+        if local:
+            return int(self._local_match_ids(prep).size)
+        row = (
+            self.kernel_frame(
+                query, k=0, locale=locale, time_range_us=time_range_us,
+                prep=prep, agg="count",
+            )
+            .agg(F.sum("score").alias("c"))
+            .collect()[0]
+        )
+        return int(row["c"] or 0)
+
+    def waveform(
+        self,
+        query: str | None,
+        bucket_seconds: int = 86400,
+        locale: str | None = None,
+        time_range_us: tuple[int, int] | None = None,
+        constraints=None,
+        authz=None,
+        local: bool | None = None,
+    ) -> list[tuple[int, int]]:
+        """Analytics waveform over the INDEX: per-time-bucket counts of
+        docs matching a query (+constraints/authz), straight from the
+        inverted index + time index -- the reference's analytics plugin
+        (Analytics.java:164-183 ANDs the constrained filter bitmap with
+        per-bucket time-range bitmaps; AnalyticsQuery divides the time
+        range into divideTimeRangeIntoNSegments buckets). Returns
+        [(bucket_start_us, count)] for non-empty epoch-aligned buckets,
+        ascending. Serving path: zero Spark jobs (matched composite ids
+        index the pinned-readable time arrays). Distributed path: ONE
+        job; each pid's kernel task buckets its own matches against its
+        own 't' rows, so only (bucket, count) rows leave the task."""
+        if int(self.meta.get("format", 1)) < 2:
+            raise ValueError(
+                "waveform requires a format>=2 index (per-block 't' "
+                "time rows)"
+            )
+        bucket_us = int(bucket_seconds) * 1_000_000
+        prep = self._prep_query(
+            query, locale, time_range_us, constraints, authz
+        )
+        if local is None:
+            local = self._local_eligible(prep)
+        elif local and not self._local_eligible(prep):
+            raise ValueError(
+                "local=True forced but this query is not eligible for "
+                "the serving-node path; use local=None for auto-routing"
+            )
+        if local:
+            matches = self._local_match_ids(prep)
+            if matches.size == 0:
+                return []
+            pids = (matches >> 32).astype(np.int64)
+            docs = (matches & 0xFFFFFFFF).astype(np.int64)
+            times = self._pid_times(np.unique(pids))
+            ts = np.empty(matches.size, dtype=np.int64)
+            for p in np.unique(pids):
+                m = pids == p
+                ts[m] = times[int(p)][docs[m]]
+            b, c = np.unique(ts // bucket_us, return_counts=True)
+            return [
+                (int(x) * bucket_us, int(n)) for x, n in zip(b, c)
+            ]
+        rows = (
+            self.kernel_frame(
+                query, k=0, locale=locale, time_range_us=time_range_us,
+                prep=prep, agg="waveform", bucket_us=bucket_us,
+            )
+            .groupBy("doc_id")
+            .agg(F.sum("score").alias("c"))
+            .orderBy("doc_id")
+            .collect()
+        )
+        return [
+            (int(r["doc_id"]) * bucket_us, int(r["c"])) for r in rows
+        ]
+
+    def distincts(
+        self,
+        field: str,
+        query: str | None = None,
+        locale: str | None = None,
+        time_range_us: tuple[int, int] | None = None,
+        constraints=None,
+        authz=None,
+        local: bool | None = None,
+    ) -> list[tuple]:
+        """Distinct values of a metadata field among the docs matching a
+        query (+constraints/authz/time range), WITH counts -- the
+        reference's distincts gatherer (miru-reco-plugins/.../distincts/
+        DistinctsQuery.java: a MiruFilter constraint + gather of the
+        field's distinct terms; counts are the facet upgrade). Field
+        values come from a term-dictionary prefix scan over the composed
+        `field\\x1f` terms (capped like wildcard expansion), so only
+        values that EXIST in the index are probed. Returns
+        [(value, count)] sorted by count desc then value asc; numeric
+        fields decode back to ints.
+
+        Serving path: zero Spark jobs -- one match pass, then one sorted
+        intersection per value. Distributed path: ONE job; facet-term
+        postings ride the same kernel exchange as the query's (all tf/dl
+        blobs shed) and each pid task emits only (value_idx, count)."""
+        from ..fields import FIELD_SEP, NUMERIC_FIELDS, decode_num
+
+        facet_terms = self.expand_prefix(f"{field}{FIELD_SEP}")
+        if not facet_terms:
+            return []
+
+        def _decode(term: str):
+            v = term.split(FIELD_SEP, 1)[1]
+            return decode_num(v) if field in NUMERIC_FIELDS else v
+
+        prep = self._prep_query(
+            query, locale, time_range_us, constraints, authz
+        )
+        if local is None:
+            # facet postings ride the match pass: budget them too
+            est_facets = sum(
+                (self._term_df or {}).get(t, 0) for t in facet_terms
+            )
+            local = (
+                self._local_eligible(prep)
+                and self._estimated_postings(prep) + est_facets
+                <= self.local_max_postings
+            )
+        elif local and not self._local_eligible(prep):
+            raise ValueError(
+                "local=True forced but this query is not eligible for "
+                "the serving-node path; use local=None for auto-routing"
+            )
+        if local:
+            matches = self._local_match_ids(prep)
+            out = []
+            if matches.size:
+                fmap, _tfs, _dls = self._postings_maps(
+                    facet_terms, prep["pid_range"]
+                )
+                for t in facet_terms:
+                    c = fmap.get(t)
+                    if c is None or not c.size:
+                        continue
+                    pos = np.minimum(
+                        np.searchsorted(matches, c), matches.size - 1
+                    )
+                    n = int((matches[pos] == c).sum())
+                    if n:
+                        out.append((_decode(t), n))
+            return sorted(out, key=lambda vc: (-vc[1], str(vc[0])))
+        rows = (
+            self.kernel_frame(
+                query, k=0, locale=locale, time_range_us=time_range_us,
+                prep=prep, agg="distincts", facet_terms=facet_terms,
+            )
+            .groupBy("doc_id")
+            .agg(F.sum("score").alias("c"))
+            .collect()
+        )
+        out = [
+            (_decode(facet_terms[int(r["doc_id"])]), int(r["c"]))
+            for r in rows
+        ]
+        return sorted(out, key=lambda vc: (-vc[1], str(vc[0])))
 
     def _local_bounds(self, prep: dict, dset) -> dict:
         """Exact per-boundary-pid [lo, hi) docID interval from the 't'
