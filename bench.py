@@ -174,7 +174,19 @@ def main() -> None:
             extras["analytics_distincts_ms"] = round(
                 (time.time() - t0) * 1e3, 1
             )
-            extras["analytics_sizes"] = [n_match, len(wf), len(fc)]
+            t0 = time.time()
+            mx = eng.metrics("site", "w000017", 86400, "avg")
+            extras["analytics_metrics_ms"] = round(
+                (time.time() - t0) * 1e3, 1
+            )
+            t0 = time.time()
+            tr = eng.trending("lang", "w000017", bucket_seconds=86400)
+            extras["analytics_trending_ms"] = round(
+                (time.time() - t0) * 1e3, 1
+            )
+            extras["analytics_sizes"] = [
+                n_match, len(wf), len(fc), len(mx), len(tr)
+            ]
 
         # batched qps: all queries in ONE Spark job (stress-harness shape)
         t0 = time.time()

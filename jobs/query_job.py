@@ -5,10 +5,14 @@ Usage:
     spark-submit --py-files miru_spark.zip jobs/query_job.py \
         --index-dir /path/to/index --query "spark AND join" [-k 10] \
         [--time-range 2024-01-01T00:00:00,2024-01-02T00:00:00] \
-        [--queries-file queries.txt] [--json]
+        [--queries-file queries.txt] [--json] \
+        [--mode search|count|waveform|distincts|explain] \
+        [--bucket-seconds 86400] [--field lang]
 
 One line of output per query: rank, pid, doc_id, score, url (or a JSON
-object per query with --json, including latency_ms).
+object per query with --json, including latency_ms). Non-search modes
+always print one JSON object per query; with no --query they run
+match-all (count the corpus, its waveform, a whole-field facet).
 """
 
 from __future__ import annotations
@@ -48,14 +52,53 @@ def main() -> None:
         "--constraints", default=None,
         help="extra filter query ANDed into every query (never scores)",
     )
+    ap.add_argument(
+        "--mode", choices=["search", "count", "waveform", "distincts",
+                           "metrics", "trending", "aggregate",
+                           "explain"],
+        default="search",
+        help="search = ranked top-k (default); count = exact match "
+        "count; waveform = per-time-bucket match counts; distincts = "
+        "faceted field-value counts; metrics = per-bucket sum/avg of a "
+        "numeric field; trending = strategy-ranked field values; "
+        "aggregate = stream page (newest doc per value + counts); "
+        "explain = plan report, no query",
+    )
+    ap.add_argument(
+        "--bucket-seconds", type=int, default=86400,
+        help="waveform/metrics bucket width (default 1 day)",
+    )
+    ap.add_argument(
+        "--field", default=None,
+        help="distincts/metrics: the facet / numeric field",
+    )
+    ap.add_argument(
+        "--kind", choices=["sum", "avg"], default="sum",
+        help="metrics aggregation (default sum)",
+    )
+    ap.add_argument(
+        "--strategy",
+        choices=["linear_regression", "peaks", "highest_peak", "leader"],
+        default="linear_regression", help="trending ranking strategy",
+    )
+    ap.add_argument(
+        "--start", type=int, default=0,
+        help="aggregate: page offset (startFromDistinctN)",
+    )
     args = ap.parse_args()
 
     queries = list(args.query)
     if args.queries_file:
         with open(args.queries_file) as f:
             queries += [ln.strip() for ln in f if ln.strip()]
+    _FIELD_MODES = ("distincts", "metrics", "trending", "aggregate")
     if not queries:
-        ap.error("no queries given")
+        if args.mode in ("count", "waveform") + _FIELD_MODES:
+            queries = [None]  # match-all
+        else:
+            ap.error("no queries given")
+    if args.mode in _FIELD_MODES and not args.field:
+        ap.error(f"--mode {args.mode} requires --field")
 
     time_range_us = None
     if args.time_range:
@@ -77,6 +120,53 @@ def main() -> None:
     eng = SearchEngine(spark, args.index_dir)
     if len(queries) > 1:
         eng.cache()
+    if args.mode != "search":
+        for q in queries:
+            t0 = time.time()
+            kw = dict(
+                locale=args.locale,
+                time_range_us=time_range_us,
+                constraints=args.constraints,
+                authz=args.authz,
+            )
+            if args.mode == "count":
+                res = eng.count(q, **kw)
+            elif args.mode == "waveform":
+                res = eng.waveform(q, args.bucket_seconds, **kw)
+            elif args.mode == "distincts":
+                res = eng.distincts(args.field, q, **kw)
+            elif args.mode == "metrics":
+                res = eng.metrics(
+                    args.field, q, args.bucket_seconds, args.kind, **kw
+                )
+            elif args.mode == "trending":
+                res = eng.trending(
+                    args.field, q, args.bucket_seconds, args.strategy,
+                    top_n=args.k, **kw
+                )
+            elif args.mode == "aggregate":
+                res = eng.aggregate_counts(
+                    args.field, q, args.start, args.k, **kw
+                )
+            else:
+                res = eng.explain(
+                    q, k=args.k, locale=args.locale,
+                    time_range_us=time_range_us,
+                    constraints=args.constraints, authz=args.authz,
+                )
+            ms = (time.time() - t0) * 1000
+            print(
+                json.dumps(
+                    {
+                        "mode": args.mode,
+                        "query": q,
+                        "latency_ms": round(ms, 1),
+                        "result": res,
+                    }
+                )
+            )
+        return
+
     for q in queries:
         t0 = time.time()
         rows = eng.search(

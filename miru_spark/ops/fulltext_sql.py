@@ -296,6 +296,34 @@ FT_ENGINE_BM25_SQL = FT_BM25_AND_SQL
 FT_ENGINE_BM25_OR_SQL = FT_BM25_OR_SQL
 
 
+def ft_engine_waveform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytics waveform through the REAL engine: per-600s-bucket
+    counts of docs matching 'spark AND join', computed from the inverted
+    index + 't' time rows (Analytics.java:164-183 semantics -- the
+    constrained filter AND per-bucket time bitmaps). The engine index
+    stamps doc_id seconds onto a fixed epoch (see _engine_for), so DuckDB
+    recomputes the buckets straight from doc_id."""
+    eng = _engine_for(spark, sf_dir)
+    wf = eng.waveform("spark AND join", bucket_seconds=600)
+    return spark.createDataFrame(
+        [(int(b), int(c)) for b, c in wf], "bucket_us long, cnt long"
+    ).orderBy("bucket_us")
+
+
+FT_ENGINE_WAVEFORM_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+), m AS (
+  SELECT doc_id FROM toks
+  WHERE list_contains(ts, 'spark') AND list_contains(ts, 'join')
+)
+SELECT ((1704067200000000 + doc_id * 1000000) // 600000000) * 600000000
+         AS bucket_us,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM m GROUP BY bucket_us ORDER BY bucket_us
+"""
+
+
 def ft_numeric_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Numeric-range filter through the REAL engine: `doclen:[5 TO 40]`
     expands to an order-preserving encoded term-dictionary range scan
@@ -511,7 +539,12 @@ QUERIES = {
     "ft_bm25_and_topk": (ft_bm25_and_topk, FT_BM25_AND_SQL),
     "ft_bm25_or_topk": (ft_bm25_or_topk, FT_BM25_OR_SQL),
     "ft_conjunctive": (ft_conjunctive, FT_CONJUNCTIVE_SQL),
-    "ft_disjunctive": (ft_disjunctive, FT_DISJUNCTIVE_SQL),
+    # ft_disjunctive retired from the driver registry (50-entry cap):
+    # its semantics are driver-gated by ft_engine_bm25_or (the REAL
+    # engine's OR path); the SQL re-expression stays pytest-gated in
+    # tests/test_entry_oracle.py. Its slot now gates the engine's
+    # analytics waveform.
+    "ft_engine_waveform": (ft_engine_waveform, FT_ENGINE_WAVEFORM_SQL),
     "ft_prefix_expand": (ft_prefix_expand, FT_PREFIX_EXPAND_SQL),
     "ft_engine_bm25": (ft_engine_bm25, FT_ENGINE_BM25_SQL),
     "ft_engine_bm25_or": (ft_engine_bm25_or, FT_ENGINE_BM25_OR_SQL),

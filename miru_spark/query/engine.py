@@ -286,6 +286,7 @@ def _make_kernel(
     agg: str | None = None,
     bucket_us: int = 0,
     facet_terms: list | None = None,
+    facet_values: list | None = None,
 ):
     """Build the per-partition applyInPandas kernel (closure ships to
     executors with the task -- all members are small).
@@ -453,10 +454,81 @@ def _make_kernel(
             }
 
         if agg is not None:
-            ids_out: dict | None = {} if agg == "distincts" else None
+            ids_out: dict | None = (
+                {} if agg in ("distincts", "metrics", "aggregate")
+                else None
+            )
             ids, _ = score_subset(
                 pid, pdf, idf, bounds, rem, ids_out=ids_out
             )
+            if agg == "aggregate":
+                # stream-page gather: per facet value, this pid's newest
+                # matching doc (max docID -- docIDs are time-ordered) and
+                # its match count (AggregateCounts.java distinct-latest
+                # + count); one row per present value leaves the task
+                o_idx, o_doc, o_cnt = [], [], []
+                for i, t in enumerate(facet_terms or []):
+                    c = ids_out.get(t)
+                    if c is None or not c.size or not ids.size:
+                        continue
+                    pos = np.minimum(
+                        np.searchsorted(ids, c), ids.size - 1
+                    )
+                    inter = c[ids[pos] == c]
+                    if inter.size:
+                        o_idx.append(float(i))
+                        o_doc.append(int(inter[-1]))
+                        o_cnt.append(int(inter.size))
+                return pd.DataFrame(
+                    {
+                        "pid": pid,
+                        "doc_id": np.array(o_doc, dtype=np.int64),
+                        "score": np.array(o_idx, dtype=np.float64),
+                        "cnt": np.array(o_cnt, dtype=np.int64),
+                    }
+                )
+            if agg == "metrics":
+                # per-bucket SUM of a numeric field over the match set
+                # (Metrics.metricingSum, Metrics.java:82-98: sum over
+                # bit-slice bitmaps of multiplier x boundedCardinality;
+                # here the decomposition is per value-term: sum over
+                # composed numeric terms of value x |match AND postings|)
+                if trows is None or not len(trows) or ids.size == 0:
+                    return pd.DataFrame(
+                        columns=["pid", "doc_id", "score"]
+                    )
+                tr = trows.sort_values("first_doc")
+                warc = np.concatenate(
+                    [np.cumsum(decode_varint(b)) for b in tr["ids_bin"]]
+                )
+                acc: dict = {}
+                for t, v in zip(facet_terms or [], facet_values or []):
+                    c = ids_out.get(t)
+                    if c is None or not c.size:
+                        continue
+                    pos = np.minimum(
+                        np.searchsorted(ids, c), ids.size - 1
+                    )
+                    inter = c[ids[pos] == c]
+                    if not inter.size:
+                        continue
+                    ub, cnt = np.unique(
+                        warc[inter] // bucket_us, return_counts=True
+                    )
+                    for b, n in zip(ub, cnt):
+                        acc[int(b)] = acc.get(int(b), 0.0) + v * int(n)
+                return pd.DataFrame(
+                    {
+                        "pid": pid,
+                        "doc_id": np.array(
+                            sorted(acc), dtype=np.int64
+                        ),
+                        "score": np.array(
+                            [acc[b] for b in sorted(acc)],
+                            dtype=np.float64,
+                        ),
+                    }
+                )
             if agg == "distincts":
                 # |match AND facet-term postings| per facet value --
                 # the distincts gatherer (DistinctsQuery filter +
@@ -729,6 +801,11 @@ class SearchEngine:
         self._post_cache: OrderedDict = OrderedDict()
         self._post_cache_entries = 0
         self._post_cache_lock = Lock()  # concurrent serving threads
+        # decoded per-pid time arrays (waveform/analytics): one int64 per
+        # doc, capped at 2 x local_max_postings entries like the postings
+        # LRU -- repeated waveforms skip the varint re-decode
+        self._times_cache: dict = {}
+        self._times_cache_entries = 0
         self._init_lock = Lock()  # lazy _pads/_rgcat/_pool construction
         # Memory bound: each cached posting costs 3 x 8 B (cids/tfs/dls
         # int64), so 2 x local_max_postings entries ~= 384 MB at the 8M
@@ -803,6 +880,8 @@ class SearchEngine:
         with self._post_cache_lock:
             self._post_cache.clear()
             self._post_cache_entries = 0
+        self._times_cache.clear()
+        self._times_cache_entries = 0
 
     def _postings_with_pos(self) -> DataFrame:
         """Posting-blocks view that carries pos_bin -- built lazily, only
@@ -1015,6 +1094,7 @@ class SearchEngine:
         agg: str | None = None,
         bucket_us: int = 0,
         facet_terms: list | None = None,
+        facet_values: list | None = None,
     ) -> DataFrame:
         """Build the distributed match+score frame for a query: one
         mapInPandas kernel pass over the pruned posting blocks, yielding
@@ -1037,7 +1117,7 @@ class SearchEngine:
             use_blockmax = False
             theta0 = 0.0
         fetch_terms = p["fetch_terms"]
-        if agg == "distincts" and facet_terms:
+        if agg in ("distincts", "metrics", "aggregate") and facet_terms:
             fetch_terms = sorted(set(fetch_terms) | set(facet_terms))
         has_all_node = p["has_all_node"]
         relevant_pids = p["relevant_pids"]
@@ -1104,7 +1184,7 @@ class SearchEngine:
             blocks = blocks.join(F.broadcast(tstats), "term", "left")
 
         blocks = _pad_cols(blocks, kcols, "p")
-        if agg == "waveform":
+        if agg in ("waveform", "metrics"):
             # every relevant pid's time rows ride to its kernel task so
             # matched docIDs bucket in-task (boundary pids reuse the same
             # rows for their exact [lo, hi) interval)
@@ -1170,6 +1250,7 @@ class SearchEngine:
             agg=agg,
             bucket_us=bucket_us,
             facet_terms=facet_terms,
+            facet_values=facet_values,
         )
         # hash-co-locate each pid's fetched blocks on one task, then ONE
         # pandas call per task loops the pids it owns -- same semantics as
@@ -1185,7 +1266,8 @@ class SearchEngine:
         # repartition bounded by the pids touched
         plain = (
             not boundary_pids
-            and agg != "waveform"  # waveform unions time-index rows
+            # waveform/metrics union time-index rows
+            and agg not in ("waveform", "metrics")
             and not (has_all_node and relevant_pids)
             and not unpinned_removals
             # phrase queries read the uncached pos-bearing view, which
@@ -1203,7 +1285,10 @@ class SearchEngine:
                 ),
             )
             src = blocks.repartition(nparts, "pid")
-        return src.mapInPandas(_per_pid_dispatch(kernel), _RESULT_SCHEMA)
+        out_schema = _RESULT_SCHEMA + (
+            ", cnt long" if agg == "aggregate" else ""
+        )
+        return src.mapInPandas(_per_pid_dispatch(kernel), out_schema)
 
     # -- serving-node local path -------------------------------------------
     def _segment_files(self) -> list[str]:
@@ -1660,25 +1745,56 @@ class SearchEngine:
     def _pid_times(self, pids) -> dict:
         """Per-pid docID -> warc_us arrays decoded from the 't' time-
         index rows via pyarrow (no Spark job). docIDs are dense and
-        time-ordered per pid, so array position IS the docID."""
+        time-ordered per pid, so array position IS the docID. Decoded
+        arrays are cached (same budget discipline as the postings LRU);
+        only uncached pids touch storage."""
         import pyarrow.dataset as pads
 
+        with self._post_cache_lock:  # shared with the postings LRU
+            out = {
+                int(p): self._times_cache[int(p)]
+                for p in pids
+                if int(p) in self._times_cache
+            }
+        missing = [int(p) for p in pids if int(p) not in out]
+        if not missing:
+            return out
         trows = self._dataset().to_table(
             filter=(pads.field("row_type") == "t")
-            & pads.field("pid").isin([int(p) for p in pids]),
+            & pads.field("pid").isin(missing),
             columns=["pid", "first_doc", "ids_bin"],
         )
         arr_pids = trows["pid"].to_numpy()
         firsts = trows["first_doc"].to_numpy()
         bins = trows["ids_bin"].to_pylist()
-        out = {}
+        budget = 2 * self.local_max_postings
         for p in np.unique(arr_pids):
             sel = np.flatnonzero(arr_pids == p)
             sel = sel[np.argsort(firsts[sel], kind="stable")]
-            out[int(p)] = np.concatenate(
+            arr = np.concatenate(
                 [np.cumsum(decode_varint(bins[i])) for i in sel]
             )
+            out[int(p)] = arr
+            with self._post_cache_lock:
+                if self._times_cache_entries + arr.size <= budget:
+                    self._times_cache[int(p)] = arr
+                    self._times_cache_entries += arr.size
         return out
+
+    def _times_of(self, matches: np.ndarray, times: dict) -> np.ndarray:
+        """warc_us per matched composite id. Matches are sorted, so pid
+        runs are contiguous -- one sliced fancy-index per pid, never a
+        full-array mask per pid (at 3k pids x millions of matches the
+        mask loop is the bottleneck, not the decode)."""
+        pids = (matches >> 32).astype(np.int64)
+        docs = (matches & 0xFFFFFFFF).astype(np.int64)
+        ts = np.empty(matches.size, dtype=np.int64)
+        change = np.flatnonzero(np.diff(pids)) + 1
+        starts = np.concatenate(([0], change))
+        ends = np.concatenate((change, [pids.size]))
+        for s, e in zip(starts.tolist(), ends.tolist()):
+            ts[s:e] = times[int(pids[s])][docs[s:e]]
+        return ts
 
     def count(
         self,
@@ -1758,13 +1874,8 @@ class SearchEngine:
             matches = self._local_match_ids(prep)
             if matches.size == 0:
                 return []
-            pids = (matches >> 32).astype(np.int64)
-            docs = (matches & 0xFFFFFFFF).astype(np.int64)
-            times = self._pid_times(np.unique(pids))
-            ts = np.empty(matches.size, dtype=np.int64)
-            for p in np.unique(pids):
-                m = pids == p
-                ts[m] = times[int(p)][docs[m]]
+            times = self._pid_times(np.unique(matches >> 32))
+            ts = self._times_of(matches, times)
             b, c = np.unique(ts // bucket_us, return_counts=True)
             return [
                 (int(x) * bucket_us, int(n)) for x, n in zip(b, c)
@@ -1781,6 +1892,440 @@ class SearchEngine:
         )
         return [
             (int(r["doc_id"]) * bucket_us, int(r["c"])) for r in rows
+        ]
+
+    def waveform_many(
+        self,
+        queries: dict,
+        bucket_seconds: int = 86400,
+        locale: str | None = None,
+        time_range_us: tuple[int, int] | None = None,
+        constraints=None,
+        authz=None,
+    ) -> dict:
+        """N keyed waveforms in one call -- the reference's AnalyticsQuery
+        carries a MAP of keyed filters and answers every waveform in one
+        pass (AnalyticsQuery.java:16-18 analyticsFilters;
+        Analytics.analyze consumes them together). Serving-eligible
+        queries share the decoded-postings LRU (each term decodes once
+        across the batch) and ONE time-index read for the union of their
+        matched pids; oversized queries fall back to their own
+        distributed waveform job. Returns {key: [(bucket_start_us,
+        count)]} -- each value identical to waveform(q) alone."""
+        if int(self.meta.get("format", 1)) < 2:
+            raise ValueError(
+                "waveform requires a format>=2 index (per-block 't' "
+                "time rows)"
+            )
+        bucket_us = int(bucket_seconds) * 1_000_000
+        local_matches: dict = {}
+        out: dict = {}
+        for key, q in queries.items():
+            prep = self._prep_query(
+                q, locale, time_range_us, constraints, authz
+            )
+            if self._local_eligible(prep):
+                local_matches[key] = self._local_match_ids(prep)
+            else:
+                out[key] = self.waveform(
+                    q, bucket_seconds, locale, time_range_us,
+                    constraints, authz, local=False,
+                )
+        need_pids = np.unique(
+            np.concatenate(
+                [m >> 32 for m in local_matches.values() if m.size]
+                or [np.empty(0, dtype=np.int64)]
+            )
+        )
+        times = self._pid_times(need_pids) if need_pids.size else {}
+        for key, matches in local_matches.items():
+            if matches.size == 0:
+                out[key] = []
+                continue
+            ts = self._times_of(matches, times)
+            b, c = np.unique(ts // bucket_us, return_counts=True)
+            out[key] = [
+                (int(x) * bucket_us, int(n)) for x, n in zip(b, c)
+            ]
+        return out
+
+    def aggregate_counts(
+        self,
+        field: str,
+        query: str | None = None,
+        start: int = 0,
+        count: int = 10,
+        locale: str | None = None,
+        time_range_us: tuple[int, int] | None = None,
+        constraints=None,
+        authz=None,
+        local: bool | None = None,
+    ) -> list[dict]:
+        """Stream page over the INDEX -- the reference's AggregateCounts
+        plugin (miru-stream-plugins/.../filter/AggregateCounts.java;
+        constraint shape AggregateCountsQueryConstraint.java:12-18:
+        constraintsFilter + aggregateCountAroundField +
+        startFromDistinctN + desiredNumberOfDistincts): the distinct
+        values of `field` among the matching docs, each represented by
+        its NEWEST matching doc, ordered newest-first, paged
+        [start, start+count), with each value's total match count.
+        Returns [{"value", "count", "pid", "doc_id", "url",
+        "warc_us"}]. docIDs are minted time-ordered per pid and pids are
+        time-ordered, so "newest" is the max composite (pid, doc_id) --
+        the same descending-id iteration the reference's gather uses.
+
+        Serving path: zero Spark jobs. Distributed: ONE job; each pid
+        task emits one (value, newest-doc, count) row per present value,
+        merged driver-side; the page's display fields are a point
+        gather."""
+        from ..fields import FIELD_SEP, NUMERIC_FIELDS, decode_num
+
+        facet_terms = self.expand_prefix(f"{field}{FIELD_SEP}")
+        if not facet_terms:
+            return []
+
+        def _decode(term: str):
+            v = term.split(FIELD_SEP, 1)[1]
+            return decode_num(v) if field in NUMERIC_FIELDS else v
+
+        prep = self._prep_query(
+            query, locale, time_range_us, constraints, authz
+        )
+        if local is None:
+            est_facets = sum(
+                (self._term_df or {}).get(t, 0) for t in facet_terms
+            )
+            local = (
+                self._local_eligible(prep)
+                and self._estimated_postings(prep) + est_facets
+                <= self.local_max_postings
+            )
+        elif local and not self._local_eligible(prep):
+            raise ValueError(
+                "local=True forced but this query is not eligible for "
+                "the serving-node path; use local=None for auto-routing"
+            )
+        per_value: dict = {}  # value -> (latest_comp, count)
+        if local:
+            matches = self._local_match_ids(prep)
+            if matches.size:
+                fmap, _tfs, _dls = self._postings_maps(
+                    facet_terms, prep["pid_range"]
+                )
+                for t in facet_terms:
+                    c = fmap.get(t)
+                    if c is None or not c.size:
+                        continue
+                    pos = np.minimum(
+                        np.searchsorted(matches, c), matches.size - 1
+                    )
+                    inter = c[matches[pos] == c]
+                    if inter.size:
+                        per_value[_decode(t)] = (
+                            int(inter[-1]), int(inter.size)
+                        )
+        else:
+            rows = self.kernel_frame(
+                query, k=0, locale=locale, time_range_us=time_range_us,
+                prep=prep, agg="aggregate", facet_terms=facet_terms,
+            ).collect()
+            for r in rows:
+                v = _decode(facet_terms[int(r["score"])])
+                comp = (int(r["pid"]) << 32) + int(r["doc_id"])
+                prev = per_value.get(v)
+                if prev is None:
+                    per_value[v] = (comp, int(r["cnt"]))
+                else:
+                    per_value[v] = (
+                        max(prev[0], comp), prev[1] + int(r["cnt"])
+                    )
+        # newest-first page over the distinct values
+        ordered = sorted(
+            per_value.items(), key=lambda vc: (-vc[1][0], str(vc[0]))
+        )[int(start): int(start) + int(count)]
+        if not ordered:
+            return []
+        pids = np.array([c >> 32 for _v, (c, _n) in ordered], np.int64)
+        docs = np.array(
+            [c & 0xFFFFFFFF for _v, (c, _n) in ordered], np.int64
+        )
+        gathered = self._gather_rows(
+            self._dataset(), pids, docs, np.zeros(pids.size)
+        )
+        info = {(p, d): (u, w) for u, w, p, d, _s in gathered}
+        out = []
+        for v, (comp, n) in ordered:
+            p, d = comp >> 32, comp & 0xFFFFFFFF
+            u, w = info.get((p, d), (None, 0))
+            out.append(
+                {
+                    "value": v,
+                    "count": n,
+                    "pid": int(p),
+                    "doc_id": int(d),
+                    "url": u,
+                    "warc_us": int(w),
+                }
+            )
+        return out
+
+    def trending(
+        self,
+        field: str,
+        query: str | None = None,
+        bucket_seconds: int = 86400,
+        strategy: str = "linear_regression",
+        top_n: int = 10,
+        max_candidates: int = 100,
+        locale: str | None = None,
+        time_range_us: tuple[int, int] | None = None,
+        constraints=None,
+        authz=None,
+    ) -> list[tuple]:
+        """Trending over the INDEX -- the reference's trending plugin
+        (TrendingInjectable.java:83-170): gather the distinct values of
+        `field` among the filter matches, compute each value's analytics
+        waveform, rank by strategy:
+
+        - "linear_regression": least-squares slope of the zero-filled
+          waveform (WaveformRegression.slope)
+        - "peaks": Billauer peakdet count with the reference's delta
+          (highest_peak/6 + candidate-set R-6 95th percentile/100,
+          PeakDet.java via TrendingInjectable)
+        - "highest_peak": max bucket; "leader": waveform sum
+
+        Candidates are bounded at `max_candidates` by leader (= match
+        count), exactly the events-op bound and the reference's top-N
+        candidate restriction. Returns [(value, score)] sorted score
+        desc then value asc, length <= top_n."""
+        from ..fields import NUMERIC_FIELDS
+        from ..ops.events_ops import _peakdet_count, _r6_percentile
+
+        strategies = (
+            "linear_regression", "peaks", "highest_peak", "leader",
+        )
+        if strategy not in strategies:
+            raise ValueError(f"strategy must be one of {strategies}")
+        cands = self.distincts(
+            field, query, locale, time_range_us, constraints, authz
+        )[: int(max_candidates)]
+        if not cands:
+            return []
+        if query is not None and constraints is not None:
+            base = f"({query}) AND ({constraints})"
+        else:
+            base = query if query is not None else constraints
+
+        def vq(v):
+            if field in NUMERIC_FIELDS:
+                return f"{field}:[{v} TO {v}]"
+            return f"{field}:{v}"
+
+        wfs = self.waveform_many(
+            {str(v): vq(v) for v, _c in cands},
+            bucket_seconds, locale, time_range_us,
+            constraints=base, authz=authz,
+        )
+        buckets = sorted({b for wf in wfs.values() for b, _c in wf})
+        if not buckets:
+            return []
+        bucket_us = int(bucket_seconds) * 1_000_000
+        lo = buckets[0]
+        n = (buckets[-1] - lo) // bucket_us + 1
+        arrays = {}
+        for v, _c in cands:
+            arr = np.zeros(int(n), dtype=np.float64)
+            for b, c in wfs[str(v)]:
+                arr[(b - lo) // bucket_us] = c
+            arrays[v] = arr
+        if strategy == "leader":
+            scored = [(v, float(a.sum())) for v, a in arrays.items()]
+        elif strategy == "highest_peak":
+            scored = [(v, float(a.max())) for v, a in arrays.items()]
+        elif strategy == "linear_regression":
+            x = np.arange(int(n), dtype=np.float64)
+            if n < 2:
+                scored = [(v, 0.0) for v in arrays]
+            else:
+                xc = x - x.mean()
+                den = float((xc * xc).sum())
+                scored = [
+                    (v, float((xc * (a - a.mean())).sum() / den))
+                    for v, a in arrays.items()
+                ]
+        else:  # peaks
+            highs = sorted(float(a.max()) for a in arrays.values())
+            bucket95 = _r6_percentile(highs, 0.95)
+            scored = [
+                (
+                    v,
+                    float(
+                        _peakdet_count(
+                            a, float(a.max()) / 6.0 + bucket95 / 100.0
+                        )
+                    ),
+                )
+                for v, a in arrays.items()
+            ]
+        scored.sort(key=lambda vs: (-vs[1], str(vs[0])))
+        return scored[: int(top_n)]
+
+    def uniques(
+        self,
+        field: str,
+        query: str | None = None,
+        prefix: str | None = None,
+        locale: str | None = None,
+        time_range_us: tuple[int, int] | None = None,
+        constraints=None,
+        authz=None,
+        local: bool | None = None,
+    ) -> int:
+        """Number of distinct values of a field among the matching docs
+        -- the uniques plugin (miru-reco-plugins/.../uniques/
+        UniquesQuery.java:15-21: timeRange + gatherUniquesForField +
+        constraintsFilter + optional value prefixes). `prefix` restricts
+        the counted values, matching the query's prefixes list. Built on
+        the same distincts pass; same routing."""
+        vals = self.distincts(
+            field, query, locale, time_range_us, constraints, authz,
+            local,
+        )
+        if prefix is not None:
+            vals = [
+                (v, c) for v, c in vals if str(v).startswith(prefix)
+            ]
+        return len(vals)
+
+    def metrics(
+        self,
+        field: str,
+        query: str | None = None,
+        bucket_seconds: int = 86400,
+        kind: str = "sum",
+        locale: str | None = None,
+        time_range_us: tuple[int, int] | None = None,
+        constraints=None,
+        authz=None,
+        local: bool | None = None,
+    ) -> list[tuple]:
+        """Per-time-bucket SUM or AVG of a numeric field over the docs
+        matching a query -- the reference's metrics plugin
+        (miru-analytics-plugins/.../metrics/Metrics.java:82-98
+        metricingSum: the value is bit-sliced across bitmaps and the
+        waveform is the multiplier-weighted sum of per-bucket
+        cardinalities; metricingAvg:34-51 divides by the raw answer's
+        per-bucket cardinality; min/max are unimplemented TODOs there
+        and likewise omitted here). This engine stores numeric fields as
+        order-preserving composed value terms, so the same decomposition
+        runs per value-term: sum_b = SUM over v of v x |match AND
+        postings(field:v) AND bucket_b|, exact, never sampled.
+
+        Returns [(bucket_start_us, value)] ascending; value is an int
+        for kind="sum", a float (sum / matched-doc count, the reference's
+        rawCardinality division) for kind="avg". Buckets with zero
+        matched docs are absent. Serving path zero jobs; distributed ONE
+        job for sum (per-task (bucket, partial-sum) rows only), plus the
+        waveform job for avg's denominator."""
+        from ..fields import FIELD_SEP, NUMERIC_FIELDS, decode_num
+
+        if kind not in ("sum", "avg"):
+            raise ValueError("kind must be 'sum' or 'avg'")
+        if field not in NUMERIC_FIELDS:
+            raise ValueError(
+                f"metrics requires a numeric field, got {field!r} "
+                f"(numeric: {sorted(NUMERIC_FIELDS)})"
+            )
+        if int(self.meta.get("format", 1)) < 2:
+            raise ValueError(
+                "metrics requires a format>=2 index (per-block 't' "
+                "time rows)"
+            )
+        bucket_us = int(bucket_seconds) * 1_000_000
+        facet_terms = self.expand_prefix(f"{field}{FIELD_SEP}")
+        facet_values = [
+            float(decode_num(t.split(FIELD_SEP, 1)[1])) for t in facet_terms
+        ]
+        prep = self._prep_query(
+            query, locale, time_range_us, constraints, authz
+        )
+        if local is None:
+            est_facets = sum(
+                (self._term_df or {}).get(t, 0) for t in facet_terms
+            )
+            local = (
+                self._local_eligible(prep)
+                and self._estimated_postings(prep) + est_facets
+                <= self.local_max_postings
+            )
+        elif local and not self._local_eligible(prep):
+            raise ValueError(
+                "local=True forced but this query is not eligible for "
+                "the serving-node path; use local=None for auto-routing"
+            )
+        if local:
+            matches = self._local_match_ids(prep)
+            if matches.size == 0:
+                return []
+            pids_all = np.unique(matches >> 32)
+            times = self._pid_times(pids_all)
+
+            def _bucket_of(comp: np.ndarray) -> np.ndarray:
+                return self._times_of(comp, times) // bucket_us
+
+            sums: dict = {}
+            fmap, _tfs, _dls = self._postings_maps(
+                facet_terms, prep["pid_range"]
+            )
+            for t, v in zip(facet_terms, facet_values):
+                c = fmap.get(t)
+                if c is None or not c.size:
+                    continue
+                pos = np.minimum(
+                    np.searchsorted(matches, c), matches.size - 1
+                )
+                inter = c[matches[pos] == c]
+                if not inter.size:
+                    continue
+                ub, cnt = np.unique(_bucket_of(inter), return_counts=True)
+                for b, n in zip(ub, cnt):
+                    sums[int(b)] = sums.get(int(b), 0.0) + v * int(n)
+            if kind == "sum":
+                return [
+                    (b * bucket_us, int(round(sums[b])))
+                    for b in sorted(sums)
+                ]
+            ub, cnt = np.unique(_bucket_of(matches), return_counts=True)
+            denom = dict(zip(ub.tolist(), cnt.tolist()))
+            return [
+                (b * bucket_us, sums[b] / denom[b]) for b in sorted(sums)
+            ]
+        rows = (
+            self.kernel_frame(
+                query, k=0, locale=locale, time_range_us=time_range_us,
+                prep=prep, agg="metrics", bucket_us=bucket_us,
+                facet_terms=facet_terms, facet_values=facet_values,
+            )
+            .groupBy("doc_id")
+            .agg(F.sum("score").alias("s"))
+            .orderBy("doc_id")
+            .collect()
+        )
+        if kind == "sum":
+            return [
+                (int(r["doc_id"]) * bucket_us, int(round(r["s"])))
+                for r in rows
+            ]
+        denom = dict(
+            self.waveform(
+                query, bucket_seconds, locale, time_range_us,
+                constraints, authz, local=False,
+            )
+        )
+        return [
+            (int(r["doc_id"]) * bucket_us,
+             float(r["s"]) / denom[int(r["doc_id"]) * bucket_us])
+            for r in rows
         ]
 
     def distincts(

@@ -154,6 +154,179 @@ def test_distincts_both_paths_match_oracle(eng):
     assert eng.distincts("nosuchfield", "w000001") == []
 
 
+def test_waveform_many_matches_singles(eng):
+    qs = {
+        "a": "w000001",
+        "b": "w000001 AND w000009",
+        "none": "zzzznotaterm",
+        "all": None,
+    }
+    got = eng.waveform_many(qs, bucket_seconds=3600)
+    assert set(got) == set(qs)
+    for key, q in qs.items():
+        assert got[key] == eng.waveform(q, bucket_seconds=3600), key
+    assert got["none"] == []
+    assert sum(c for _b, c in got["all"]) == N
+
+
+def test_uniques(eng):
+    langs = {r["lang"] for r in _expected("w000001")}
+    assert eng.uniques("lang", "w000001") == len(langs)
+    assert eng.uniques("lang", "w000001", local=False) == len(langs)
+    # prefix restriction (UniquesQuery.prefixes)
+    de = {v for v in langs if v.startswith("d")}
+    assert eng.uniques("lang", "w000001", prefix="d") == len(de)
+    assert eng.uniques("lang", "zzzznotaterm") == 0
+
+
+def test_metrics_sum_avg_both_paths_match_oracle(eng):
+    import math
+    import re
+
+    site = lambda u: int(  # noqa: E731
+        re.match(r"^https?://[a-z]*?(\d+)\.", u).group(1)
+    )
+    sums: dict = {}
+    cnts: dict = {}
+    for r in _expected("w000001"):
+        b = (r["warc_us"] // HOUR_US) * HOUR_US
+        sums[b] = sums.get(b, 0) + site(r["url"])
+        cnts[b] = cnts.get(b, 0) + 1
+    want_sum = sorted(sums.items())
+    want_avg = [(b, sums[b] / cnts[b]) for b, _v in want_sum]
+    assert eng.metrics("site", "w000001", 3600, "sum") == want_sum
+    assert (
+        eng.metrics("site", "w000001", 3600, "sum", local=False)
+        == want_sum
+    )
+    for got in (
+        eng.metrics("site", "w000001", 3600, "avg"),
+        eng.metrics("site", "w000001", 3600, "avg", local=False),
+    ):
+        assert len(got) == len(want_avg)
+        assert all(
+            b1 == b2 and math.isclose(v1, v2)
+            for (b1, v1), (b2, v2) in zip(got, want_avg)
+        )
+    assert eng.metrics("site", "zzzznotaterm", 3600, "sum") == []
+    with pytest.raises(ValueError):
+        eng.metrics("lang", "w000001")  # non-numeric field
+    with pytest.raises(ValueError):
+        eng.metrics("site", "w000001", kind="max")  # reference TODO too
+
+
+def test_trending_strategies_match_oracle(eng):
+    import math
+
+    import numpy as np
+
+    by: dict = {}
+    for r in _expected("w000001"):
+        by.setdefault(r["lang"], collections.Counter())[
+            r["warc_us"] // HOUR_US
+        ] += 1
+    bs = sorted({b for c in by.values() for b in c})
+    lo, n = bs[0], bs[-1] - bs[0] + 1
+    arrays = {}
+    for v, c in by.items():
+        a = np.zeros(n)
+        for b, k in c.items():
+            a[b - lo] = k
+        arrays[v] = a
+    x = np.arange(n, dtype=float)
+    xc = x - x.mean()
+    den = float((xc * xc).sum())
+    want = sorted(
+        (
+            (v, float((xc * (a - a.mean())).sum() / den))
+            for v, a in arrays.items()
+        ),
+        key=lambda t: (-t[1], t[0]),
+    )
+    got = eng.trending("lang", "w000001", bucket_seconds=3600)
+    assert [v for v, _s in got] == [v for v, _s in want]
+    assert all(
+        math.isclose(s1, s2) for (_v1, s1), (_v2, s2) in zip(got, want)
+    )
+    # leader == distincts counts; highest_peak == max bucket
+    leader = eng.trending(
+        "lang", "w000001", bucket_seconds=3600, strategy="leader"
+    )
+    assert leader == [
+        (v, float(c)) for v, c in eng.distincts("lang", "w000001")
+    ]
+    hp = eng.trending(
+        "lang", "w000001", bucket_seconds=3600, strategy="highest_peak"
+    )
+    assert dict(hp) == {v: float(a.max()) for v, a in arrays.items()}
+    # peaks runs and returns every candidate; unknown strategy rejected
+    pk = eng.trending(
+        "lang", "w000001", bucket_seconds=3600, strategy="peaks"
+    )
+    assert {v for v, _s in pk} == set(arrays)
+    with pytest.raises(ValueError):
+        eng.trending("lang", "w000001", strategy="zscore")
+    assert eng.trending("lang", "zzzznotaterm") == []
+
+
+def test_serving_analytics_run_zero_spark_jobs(eng, spark):
+    """The serving-node analytics paths answer in-process: no Spark job
+    may start for any of them (same guarantee search_collect gives)."""
+    # warm every decode/cache outside the measured window
+    eng.count("w000001")
+    eng.waveform("w000001", bucket_seconds=3600)
+    eng.distincts("lang", "w000001")
+    eng.metrics("site", "w000001", 3600, "avg")
+    eng.aggregate_counts("site", "w000001", 0, 5)
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    eng.count("w000001 AND w000009")
+    eng.waveform("w000001 OR w000009", bucket_seconds=3600)
+    eng.waveform_many({"a": "w000001", "b": None}, bucket_seconds=3600)
+    eng.distincts("lang", "w000001 AND w000009")
+    eng.uniques("lang", "w000001")
+    eng.metrics("site", "w000009", 3600, "sum")
+    eng.trending("lang", "w000009", bucket_seconds=3600)
+    eng.aggregate_counts("site", "w000009", 0, 5)
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before
+
+
+def test_aggregate_counts_stream_page(eng):
+    import re
+
+    site = lambda u: int(  # noqa: E731
+        re.match(r"^https?://[a-z]*?(\d+)\.", u).group(1)
+    )
+    latest: dict = {}
+    cnt: collections.Counter = collections.Counter()
+    for r in _expected("w000001"):
+        s = site(r["url"])
+        cnt[s] += 1
+        if s not in latest or r["warc_us"] > latest[s]["warc_us"]:
+            latest[s] = r
+    order = sorted(latest, key=lambda s: -latest[s]["warc_us"])
+
+    def want(lo, hi):
+        return [
+            (s, cnt[s], latest[s]["url"], latest[s]["warc_us"])
+            for s in order[lo:hi]
+        ]
+
+    for kw in ({}, {"local": False}):
+        got = eng.aggregate_counts("site", "w000001", 0, 5, **kw)
+        assert [
+            (r["value"], r["count"], r["url"], r["warc_us"]) for r in got
+        ] == want(0, 5)
+    # paging continues where the first page stopped
+    page2 = eng.aggregate_counts("site", "w000001", 5, 5)
+    assert [
+        (r["value"], r["count"], r["url"], r["warc_us"]) for r in page2
+    ] == want(5, 10)
+    assert eng.aggregate_counts("site", "zzzznotaterm") == []
+    assert eng.aggregate_counts("nosuchfield", "w000001") == []
+
+
 def test_count_masks_tombstones(spark, tmp_path_factory):
     idx = str(tmp_path_factory.mktemp("wave_rm") / "index")
     build_index(

@@ -112,10 +112,14 @@ def test_registry_within_driver_cap():
 # The per-op tx_*/mm_* functions left the driver registry (batched into
 # tx_profile/mm_pipeline) but keep their individual DuckDB parity here.
 def _retired_pairs():
+    from miru_spark.ops import fulltext_sql as ft
     from miru_spark.ops import multimodal as mm
     from miru_spark.ops import textstats as tx
 
     return {
+        # retired r3: slot given to ft_engine_waveform; OR-path engine
+        # semantics remain driver-gated by ft_engine_bm25_or
+        "ft_disjunctive": (ft.ft_disjunctive, ft.FT_DISJUNCTIVE_SQL),
         "tx_token_count": (tx.tx_token_count, tx.TX_TOKEN_COUNT_SQL),
         "tx_quality": (tx.tx_quality, tx.TX_QUALITY_SQL),
         "tx_langid": (tx.tx_langid, tx.TX_LANGID_SQL),

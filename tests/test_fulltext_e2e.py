@@ -441,6 +441,21 @@ def test_rank_identity_fuzz(engine, oracle, query):
     _assert_rank_identical(got, want, query)
 
 
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(query=_query_st)
+def test_count_identity_fuzz(engine, oracle, query):
+    """Random boolean trees: engine.count (match-set size, no scoring)
+    must equal the oracle's full match-set size for every tree -- the
+    analytics paths share _eval_tree with search, and this pins that
+    the no-scoring fast path never diverges from it."""
+    want = len(oracle.search(query, k=1 << 30))
+    assert engine.count(query) == want
+
+
 def test_posting_cache_eviction_bound_and_identity(engine, oracle):
     """Shrink the decoded-postings LRU so every query evicts, and check
     results stay rank-identical while the entry budget holds."""
