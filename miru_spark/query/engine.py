@@ -2185,17 +2185,15 @@ class SearchEngine:
         -- the uniques plugin (miru-reco-plugins/.../uniques/
         UniquesQuery.java:15-21: timeRange + gatherUniquesForField +
         constraintsFilter + optional value prefixes). `prefix` restricts
-        the counted values, matching the query's prefixes list. Built on
-        the same distincts pass; same routing."""
-        vals = self.distincts(
-            field, query, locale, time_range_us, constraints, authz,
-            local,
+        the counted values, matching the query's prefixes list --
+        applied term-side before any postings are probed. Built on the
+        same distincts pass; same routing."""
+        return len(
+            self.distincts(
+                field, query, locale, time_range_us, constraints, authz,
+                local, prefix=prefix,
+            )
         )
-        if prefix is not None:
-            vals = [
-                (v, c) for v, c in vals if str(v).startswith(prefix)
-            ]
-        return len(vals)
 
     def metrics(
         self,
@@ -2337,6 +2335,7 @@ class SearchEngine:
         constraints=None,
         authz=None,
         local: bool | None = None,
+        prefix: str | None = None,
     ) -> list[tuple]:
         """Distinct values of a metadata field among the docs matching a
         query (+constraints/authz/time range), WITH counts -- the
@@ -2345,7 +2344,12 @@ class SearchEngine:
         field's distinct terms; counts are the facet upgrade). Field
         values come from a term-dictionary prefix scan over the composed
         `field\\x1f` terms (capped like wildcard expansion), so only
-        values that EXIST in the index are probed. Returns
+        values that EXIST in the index are probed. `prefix` restricts
+        the gathered values (DistinctsQuery.prefixes, the typeahead
+        path: Distincts.java:87-108,143-148 narrows the term range /
+        startsWith-filters term bytes) -- applied to the composed value
+        BEFORE any postings are probed, so a typeahead over a wide field
+        only touches the matching values' postings. Returns
         [(value, count)] sorted by count desc then value asc; numeric
         fields decode back to ints.
 
@@ -2355,7 +2359,9 @@ class SearchEngine:
         blobs shed) and each pid task emits only (value_idx, count)."""
         from ..fields import FIELD_SEP, NUMERIC_FIELDS, decode_num
 
-        facet_terms = self.expand_prefix(f"{field}{FIELD_SEP}")
+        facet_terms = self.expand_prefix(
+            f"{field}{FIELD_SEP}{prefix or ''}"
+        )
         if not facet_terms:
             return []
 

@@ -152,6 +152,18 @@ def test_distincts_both_paths_match_oracle(eng):
         ("de", de["de"])
     ]
     assert eng.distincts("nosuchfield", "w000001") == []
+    # typeahead prefix restricts the gathered values term-side
+    want_d = [
+        (v, c)
+        for v, c in eng.distincts("lang", "w000001")
+        if v.startswith("d")
+    ]
+    assert eng.distincts("lang", "w000001", prefix="d") == want_d
+    assert (
+        eng.distincts("lang", "w000001", prefix="d", local=False)
+        == want_d
+    )
+    assert eng.distincts("lang", "w000001", prefix="zz") == []
 
 
 def test_waveform_many_matches_singles(eng):
