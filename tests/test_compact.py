@@ -211,6 +211,67 @@ def test_tiered_compaction_skips_large_units(spark, tmp_path_factory):
     assert eng3.search_collect(QUERIES[0], k=10) == before[QUERIES[0]]
 
 
+def test_sip_continues_after_compaction(spark, tmp_path_factory):
+    """Compaction must be invisible to the sip cursor: the checkpoint
+    tracks input files, the done-pid set survives the lineage rewrite
+    (late-arrival protection intact), and post-compaction sip batches
+    mint tags above the compacted epoch."""
+    from miru_spark.streaming import sip_build
+
+    root = tmp_path_factory.mktemp("cidx_sip")
+    input_dir = str(root / "in")
+    index_dir = str(root / "idx")
+    ckpt = str(root / "ckpt")
+    batches = _batches()
+
+    def _sip(batch):
+        _wt(spark, batch).write.mode("append").parquet(input_dir)
+        return sip_build(
+            spark, input_dir, index_dir, ckpt,
+            partition_seconds=PARTITION_SECONDS, block_span=BLOCK_SPAN,
+            batch_partitions=2,
+        )
+
+    _sip(batches[0])
+    _sip(batches[1])
+    assert len(_seg_dirs(index_dir)) >= 2
+    from miru_spark.index.build import IndexPaths
+    from miru_spark.streaming.sip import _read_done_pids
+
+    done_before = set(_read_done_pids(spark, IndexPaths(index_dir)))
+    compact_index(spark, index_dir)
+    assert len(_seg_dirs(index_dir)) == 1
+    # the done-pid set survives the lineage rewrite: late-arrival
+    # protection (and resume skipping) is intact after compaction
+    assert (
+        set(_read_done_pids(spark, IndexPaths(index_dir))) == done_before
+    )
+
+    eng = SearchEngine(spark, index_dir)
+    rows01 = [r for b in batches[:2] for r in b]
+    oi = OracleIndex(rows01, partition_seconds=PARTITION_SECONDS)
+    got = eng.search_collect("w000001 OR w000009", k=10)
+    want = oi.search("w000001 OR w000009", k=10)
+    assert [(p, d, u) for p, d, _s, u in got] == [
+        (p, d, u) for p, d, _s, u in want
+    ]
+    eng.close()
+
+    # new data still flows and the final index matches the full oracle
+    _sip(batches[2])
+    assert len(_seg_dirs(index_dir)) == 2  # compacted base + new tag
+    eng2 = SearchEngine(spark, index_dir)
+    oi_all = OracleIndex(
+        [r for b in batches for r in b],
+        partition_seconds=PARTITION_SECONDS,
+    )
+    got = eng2.search_collect("w000001 OR w000009", k=10)
+    want = oi_all.search("w000001 OR w000009", k=10)
+    assert [(p, d, u) for p, d, _s, u in got] == [
+        (p, d, u) for p, d, _s, u in want
+    ]
+
+
 def test_compact_removals_resolution_identical(spark, tmp_path_factory):
     index_dir = str(tmp_path_factory.mktemp("cidx_rm"))
     _build_multi(spark, index_dir)
