@@ -1984,6 +1984,7 @@ class SearchEngine:
         constraints=None,
         authz=None,
         local: bool | None = None,
+        gather_fields: list | None = None,
     ) -> list[dict]:
         """Stream page over the INDEX -- the reference's AggregateCounts
         plugin (miru-stream-plugins/.../filter/AggregateCounts.java;
@@ -1993,8 +1994,12 @@ class SearchEngine:
         values of `field` among the matching docs, each represented by
         its NEWEST matching doc, ordered newest-first, paged
         [start, start+count), with each value's total match count.
-        Returns [{"value", "count", "pid", "doc_id", "url",
-        "warc_us"}]. docIDs are minted time-ordered per pid and pids are
+        `gather_fields` (the constraint's gatherTermsForFields) adds
+        each page doc's values of those fields, read by probing the
+        fields' composed-term postings against the k page docs -- a
+        bounded point op, never a scan. Returns [{"value", "count",
+        "pid", "doc_id", "url", "warc_us"[, "fields"]}]. docIDs are
+        minted time-ordered per pid and pids are
         time-ordered, so "newest" is the max composite (pid, doc_id) --
         the same descending-id iteration the reference's gather uses.
 
@@ -2074,20 +2079,41 @@ class SearchEngine:
             self._dataset(), pids, docs, np.zeros(pids.size)
         )
         info = {(p, d): (u, w) for u, w, p, d, _s in gathered}
+        doc_fields: dict = {}
+        if gather_fields:
+            # gatherTermsForFields: probe each field's composed-term
+            # postings against the k page composites (one searchsorted
+            # pass per field; pages are k docs, postings row-group
+            # pruned by term)
+            page = np.sort((pids << 32) + docs)
+            for gf in gather_fields:
+                gterms = self.expand_prefix(f"{gf}{FIELD_SEP}")
+                if not gterms:
+                    continue
+                gmap, _t, _d = self._postings_maps(gterms, None)
+                vh, mp = self._facet_hits(page, gterms, gmap)
+                for i, p_ in zip(vh.tolist(), mp.tolist()):
+                    val = gterms[i].split(FIELD_SEP, 1)[1]
+                    if gf in NUMERIC_FIELDS:
+                        val = decode_num(val)
+                    doc_fields.setdefault(
+                        int(page[p_]), {}
+                    ).setdefault(gf, []).append(val)
         out = []
         for v, (comp, n) in ordered:
             p, d = comp >> 32, comp & 0xFFFFFFFF
             u, w = info.get((p, d), (None, 0))
-            out.append(
-                {
-                    "value": v,
-                    "count": n,
-                    "pid": int(p),
-                    "doc_id": int(d),
-                    "url": u,
-                    "warc_us": int(w),
-                }
-            )
+            row = {
+                "value": v,
+                "count": n,
+                "pid": int(p),
+                "doc_id": int(d),
+                "url": u,
+                "warc_us": int(w),
+            }
+            if gather_fields:
+                row["fields"] = doc_fields.get(int(comp), {})
+            out.append(row)
         return out
 
     def trending(

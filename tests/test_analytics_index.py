@@ -337,6 +337,15 @@ def test_aggregate_counts_stream_page(eng):
     ] == want(5, 10)
     assert eng.aggregate_counts("site", "zzzznotaterm") == []
     assert eng.aggregate_counts("nosuchfield", "w000001") == []
+    # gatherTermsForFields: each page doc's field values ride along
+    by_url = {r["url"]: r for r in ROWS}
+    page = eng.aggregate_counts(
+        "site", "w000001", 0, 5, gather_fields=["lang", "site"]
+    )
+    for row in page:
+        src = by_url[row["url"]]
+        assert row["fields"]["lang"] == [src["lang"]]
+        assert row["fields"]["site"] == [site(src["url"])]
 
 
 def test_count_masks_tombstones(spark, tmp_path_factory):
