@@ -455,7 +455,9 @@ def _make_kernel(
 
         if agg is not None:
             ids_out: dict | None = (
-                {} if agg in ("distincts", "metrics", "aggregate")
+                {}
+                if agg in ("distincts", "metrics", "aggregate",
+                           "waveforms")
                 else None
             )
             ids, _ = score_subset(
@@ -485,6 +487,48 @@ def _make_kernel(
                         "doc_id": np.array(o_doc, dtype=np.int64),
                         "score": np.array(o_idx, dtype=np.float64),
                         "cnt": np.array(o_cnt, dtype=np.int64),
+                    }
+                )
+            if agg == "waveforms":
+                # per-facet-value waveforms in ONE pass (trending's
+                # batched shape: TrendingInjectable computes an
+                # analytics waveform per distinct term) -- emits
+                # (pid, bucket, value_idx, count) rows
+                if trows is None or not len(trows) or ids.size == 0:
+                    return pd.DataFrame(
+                        columns=["pid", "doc_id", "score", "cnt"]
+                    )
+                tr = trows.sort_values("first_doc")
+                warc = np.concatenate(
+                    [np.cumsum(decode_varint(b)) for b in tr["ids_bin"]]
+                )
+                o_b, o_v, o_c = [], [], []
+                for i, t in enumerate(facet_terms or []):
+                    c = ids_out.get(t)
+                    if c is None or not c.size:
+                        continue
+                    pos = np.minimum(
+                        np.searchsorted(ids, c), ids.size - 1
+                    )
+                    inter = c[ids[pos] == c]
+                    if not inter.size:
+                        continue
+                    ub, cnt = np.unique(
+                        warc[inter] // bucket_us, return_counts=True
+                    )
+                    o_b.append(ub)
+                    o_v.append(np.full(ub.size, i, dtype=np.int64))
+                    o_c.append(cnt)
+                if not o_b:
+                    return pd.DataFrame(
+                        columns=["pid", "doc_id", "score", "cnt"]
+                    )
+                return pd.DataFrame(
+                    {
+                        "pid": pid,
+                        "doc_id": np.concatenate(o_b),
+                        "score": np.concatenate(o_v).astype(np.float64),
+                        "cnt": np.concatenate(o_c).astype(np.int64),
                     }
                 )
             if agg == "metrics":
@@ -1117,7 +1161,10 @@ class SearchEngine:
             use_blockmax = False
             theta0 = 0.0
         fetch_terms = p["fetch_terms"]
-        if agg in ("distincts", "metrics", "aggregate") and facet_terms:
+        if (
+            agg in ("distincts", "metrics", "aggregate", "waveforms")
+            and facet_terms
+        ):
             fetch_terms = sorted(set(fetch_terms) | set(facet_terms))
         has_all_node = p["has_all_node"]
         relevant_pids = p["relevant_pids"]
@@ -1184,7 +1231,7 @@ class SearchEngine:
             blocks = blocks.join(F.broadcast(tstats), "term", "left")
 
         blocks = _pad_cols(blocks, kcols, "p")
-        if agg in ("waveform", "metrics"):
+        if agg in ("waveform", "metrics", "waveforms"):
             # every relevant pid's time rows ride to its kernel task so
             # matched docIDs bucket in-task (boundary pids reuse the same
             # rows for their exact [lo, hi) interval)
@@ -1266,8 +1313,8 @@ class SearchEngine:
         # repartition bounded by the pids touched
         plain = (
             not boundary_pids
-            # waveform/metrics union time-index rows
-            and agg not in ("waveform", "metrics")
+            # waveform/metrics/waveforms union time-index rows
+            and agg not in ("waveform", "metrics", "waveforms")
             and not (has_all_node and relevant_pids)
             and not unpinned_removals
             # phrase queries read the uncached pos-bearing view, which
@@ -1286,7 +1333,7 @@ class SearchEngine:
             )
             src = blocks.repartition(nparts, "pid")
         out_schema = _RESULT_SCHEMA + (
-            ", cnt long" if agg == "aggregate" else ""
+            ", cnt long" if agg in ("aggregate", "waveforms") else ""
         )
         return src.mapInPandas(_per_pid_dispatch(kernel), out_schema)
 
@@ -2051,20 +2098,33 @@ class SearchEngine:
                         int(latest[i]), int(counts[i])
                     )
         else:
-            rows = self.kernel_frame(
-                query, k=0, locale=locale, time_range_us=time_range_us,
-                prep=prep, agg="aggregate", facet_terms=facet_terms,
-            ).collect()
+            # merge per-pid partials IN SPARK (values x pids rows never
+            # reach the driver): one tiny groupBy over (value_idx) rows,
+            # then only the page's values collect
+            rows = (
+                self.kernel_frame(
+                    query, k=0, locale=locale,
+                    time_range_us=time_range_us,
+                    prep=prep, agg="aggregate", facet_terms=facet_terms,
+                )
+                .groupBy(F.col("score").alias("vidx"))
+                .agg(
+                    F.max(
+                        (F.col("pid") * F.lit(1 << 32)) + F.col("doc_id")
+                    ).alias("latest"),
+                    F.sum("cnt").alias("n"),
+                )
+                # vidx asc == composed-term order == value order: same
+                # tie-break as the serving path when two values share
+                # their newest doc (possible for multi-valued fields)
+                .orderBy(F.desc("latest"), F.asc("vidx"))
+                .limit(int(start) + int(count))
+                .collect()
+            )
             for r in rows:
-                v = _decode(facet_terms[int(r["score"])])
-                comp = (int(r["pid"]) << 32) + int(r["doc_id"])
-                prev = per_value.get(v)
-                if prev is None:
-                    per_value[v] = (comp, int(r["cnt"]))
-                else:
-                    per_value[v] = (
-                        max(prev[0], comp), prev[1] + int(r["cnt"])
-                    )
+                per_value[_decode(facet_terms[int(r["vidx"])])] = (
+                    int(r["latest"]), int(r["n"])
+                )
         # newest-first page over the distinct values
         ordered = sorted(
             per_value.items(), key=lambda vc: (-vc[1][0], str(vc[0]))
@@ -2144,8 +2204,13 @@ class SearchEngine:
         Candidates are bounded at `max_candidates` by leader (= match
         count), exactly the events-op bound and the reference's top-N
         candidate restriction. Returns [(value, score)] sorted score
-        desc then value asc, length <= top_n."""
-        from ..fields import NUMERIC_FIELDS
+        desc then value asc, length <= top_n.
+
+        Every per-value waveform comes out of ONE pass over the match
+        set (serving: one concatenated facet-hit probe; distributed: ONE
+        kernel job emitting (value, bucket, count) rows) -- never a job
+        or scan per candidate value."""
+        from ..fields import FIELD_SEP, NUMERIC_FIELDS, decode_num
         from ..ops.events_ops import _peakdet_count, _r6_percentile
 
         strategies = (
@@ -2153,38 +2218,92 @@ class SearchEngine:
         )
         if strategy not in strategies:
             raise ValueError(f"strategy must be one of {strategies}")
-        cands = self.distincts(
-            field, query, locale, time_range_us, constraints, authz
-        )[: int(max_candidates)]
-        if not cands:
-            return []
-        if query is not None and constraints is not None:
-            base = f"({query}) AND ({constraints})"
-        else:
-            base = query if query is not None else constraints
-
-        def vq(v):
-            if field in NUMERIC_FIELDS:
-                return f"{field}:[{v} TO {v}]"
-            return f"{field}:{v}"
-
-        wfs = self.waveform_many(
-            {str(v): vq(v) for v, _c in cands},
-            bucket_seconds, locale, time_range_us,
-            constraints=base, authz=authz,
-        )
-        buckets = sorted({b for wf in wfs.values() for b, _c in wf})
-        if not buckets:
-            return []
+        if int(self.meta.get("format", 1)) < 2:
+            raise ValueError(
+                "trending requires a format>=2 index (per-block 't' "
+                "time rows)"
+            )
         bucket_us = int(bucket_seconds) * 1_000_000
+        facet_terms = self.expand_prefix(f"{field}{FIELD_SEP}")
+        if not facet_terms:
+            return []
+
+        def _decode(term: str):
+            v = term.split(FIELD_SEP, 1)[1]
+            return decode_num(v) if field in NUMERIC_FIELDS else v
+
+        prep = self._prep_query(
+            query, locale, time_range_us, constraints, authz
+        )
+        est_facets = sum(
+            (self._term_df or {}).get(t, 0) for t in facet_terms
+        )
+        local = (
+            self._local_eligible(prep)
+            and self._estimated_postings(prep) + est_facets
+            <= self.local_max_postings
+        )
+        # (value_idx, bucket) -> count, from one pass either way
+        cell_counts: dict = {}
+        if local:
+            matches = self._local_match_ids(prep)
+            if matches.size == 0:
+                return []
+            times = self._pid_times(np.unique(matches >> 32))
+            m_bucket = self._times_of(matches, times) // bucket_us
+            fmap, _tfs, _dls = self._postings_maps(
+                facet_terms, prep["pid_range"]
+            )
+            vh, mp = self._facet_hits(matches, facet_terms, fmap)
+            if not vh.size:
+                return []
+            keys = np.stack((vh, m_bucket[mp]))
+            uk, cnt = np.unique(keys, axis=1, return_counts=True)
+            for i, b, c in zip(
+                uk[0].tolist(), uk[1].tolist(), cnt.tolist()
+            ):
+                cell_counts[(i, b)] = c
+        else:
+            rows = (
+                self.kernel_frame(
+                    query, k=0, locale=locale,
+                    time_range_us=time_range_us,
+                    prep=prep, agg="waveforms", bucket_us=bucket_us,
+                    facet_terms=facet_terms,
+                )
+                .groupBy(
+                    F.col("score").alias("vidx"),
+                    F.col("doc_id").alias("bucket"),
+                )
+                .agg(F.sum("cnt").alias("n"))
+                .collect()
+            )
+            for r in rows:
+                cell_counts[(int(r["vidx"]), int(r["bucket"]))] = int(
+                    r["n"]
+                )
+        if not cell_counts:
+            return []
+        # leader-bounded candidates (reference's top-N restriction)
+        leaders: dict = {}
+        for (i, _b), c in cell_counts.items():
+            leaders[i] = leaders.get(i, 0) + c
+        cand_idx = sorted(
+            leaders, key=lambda i: (-leaders[i], facet_terms[i])
+        )[: int(max_candidates)]
+        cand_set = set(cand_idx)
+        buckets = sorted(
+            {b for (i, b) in cell_counts if i in cand_set}
+        )
         lo = buckets[0]
-        n = (buckets[-1] - lo) // bucket_us + 1
+        n = buckets[-1] - lo + 1
         arrays = {}
-        for v, _c in cands:
+        for i in cand_idx:
             arr = np.zeros(int(n), dtype=np.float64)
-            for b, c in wfs[str(v)]:
-                arr[(b - lo) // bucket_us] = c
-            arrays[v] = arr
+            arrays[_decode(facet_terms[i])] = arr
+        for (i, b), c in cell_counts.items():
+            if i in cand_set:
+                arrays[_decode(facet_terms[i])][b - lo] = c
         if strategy == "leader":
             scored = [(v, float(a.sum())) for v, a in arrays.items()]
         elif strategy == "highest_peak":

@@ -276,6 +276,14 @@ def test_trending_strategies_match_oracle(eng):
         "lang", "w000001", bucket_seconds=3600, strategy="peaks"
     )
     assert {v for v, _s in pk} == set(arrays)
+    # the distributed single-job path (agg="waveforms") is identical
+    old = eng.local_max_postings
+    try:
+        eng.local_max_postings = 1
+        got_dist = eng.trending("lang", "w000001", bucket_seconds=3600)
+    finally:
+        eng.local_max_postings = old
+    assert got_dist == got
     with pytest.raises(ValueError):
         eng.trending("lang", "w000001", strategy="zscore")
     assert eng.trending("lang", "zzzznotaterm") == []
