@@ -73,6 +73,21 @@ def main() -> None:
         rows = eng.search_collect(q, k=10)
         assert rows, f"stress query matches nothing at this scale: {q}"
 
+    # STRESS_MIX=analytics interleaves the serving analytics ops with
+    # the searches (same in-process path, shared postings/time caches)
+    ops = [
+        (lambda q=q: eng.search_collect(q, k=10)) for q in QUERIES
+    ]
+    if os.environ.get("STRESS_MIX") == "analytics":
+        ops += [
+            lambda: eng.count("w000001 AND w000004"),
+            lambda: eng.waveform("w000017", bucket_seconds=86400),
+            lambda: eng.distincts("lang", "w000001"),
+            lambda: eng.aggregate_counts("site", "w000001", 0, 5),
+        ]
+        for fn in ops[len(QUERIES):]:
+            fn()  # warm the facet postings + time-array caches
+
     for threads in LEVELS:
         lat_ms: list[float] = []
 
@@ -81,9 +96,8 @@ def main() -> None:
             i = wid
             end = time.time() + SECONDS
             while time.time() < end:
-                q = QUERIES[i % len(QUERIES)]
                 t0 = time.perf_counter()
-                eng.search_collect(q, k=10)
+                ops[i % len(ops)]()
                 out.append((time.perf_counter() - t0) * 1000)
                 i += 1
             return out
