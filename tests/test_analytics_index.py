@@ -179,6 +179,18 @@ def test_waveform_many_matches_singles(eng):
         assert got[key] == eng.waveform(q, bucket_seconds=3600), key
     assert got["none"] == []
     assert sum(c for _b, c in got["all"]) == N
+    # oversized queries fall back to their own distributed job and
+    # still return identical waveforms
+    old = eng.local_max_postings
+    try:
+        eng.local_max_postings = 1
+        got_d = eng.waveform_many(
+            {"a": "w000001", "b": "w000001 AND w000009"},
+            bucket_seconds=3600,
+        )
+    finally:
+        eng.local_max_postings = old
+    assert got_d["a"] == got["a"] and got_d["b"] == got["b"]
 
 
 def test_uniques(eng):
