@@ -127,3 +127,24 @@ def test_simhash_plan_single_pass_no_row_multiplication(spark):
     assert "BatchEvalPython" not in plan
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
     assert plan.count("Exchange") == 2
+
+
+def test_agg_kernel_plans_shed_all_blobs(engine):
+    """Aggregation modes never score: EVERY fetched term's tf/dl blobs
+    must be nulled before the exchange (literal-null projection, not a
+    CASE), and the plan stays Arrow-batched with no row-Python."""
+    df = engine.kernel_frame("w000001 AND w000002", k=0, agg="count")
+    plan = _plan(df)
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" in plan
+    assert "null AS tfs_bin" in plan and "null AS dls_bin" in plan
+
+    # waveform ships 't' rows: the union forces a bounded repartition,
+    # still one exchange total and blob-free
+    wdf = engine.kernel_frame(
+        "w000001", k=0, agg="waveform", bucket_us=3600_000_000
+    )
+    wplan = _plan(wdf)
+    assert "BatchEvalPython" not in wplan
+    assert "null AS tfs_bin" in wplan
+    assert wplan.count("Exchange") == 1, wplan
