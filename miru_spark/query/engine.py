@@ -1610,6 +1610,7 @@ class SearchEngine:
         time_range_us: tuple[int, int] | None = None,
         constraints=None,
         authz=None,
+        field: str | None = None,
     ) -> dict:
         """Driver-side query plan report -- what `search` WOULD do, with
         zero Spark jobs and zero posting reads. The operator's pre-flight
@@ -1617,7 +1618,13 @@ class SearchEngine:
         terms it touches and how many postings they carry, which pids
         survive time pruning, which route answers it (serving node vs
         distributed kernel) and why, what gets pruned or shed on the way.
-        Keys are stable; values are JSON-able."""
+        Keys are stable; values are JSON-able.
+
+        `field` adds the facet-op view (distincts / metrics / trending /
+        aggregate_counts over that field): how many values exist in the
+        dictionary, the extra postings their intersections read, and
+        which route the facet ops would take -- their serving budget
+        counts the facet postings on top of the query's."""
         prep = self._prep_query(
             query, locale, time_range_us, constraints, authz
         )
@@ -1672,7 +1679,7 @@ class SearchEngine:
             <= self.local_max_postings
         )
 
-        return {
+        rep = {
             "query": query,
             "tree": repr(prep["tree"]),
             "locale": locale or "en",
@@ -1734,6 +1741,29 @@ class SearchEngine:
                 else int(sum(len(v) for v in self._removed_map.values()))
             ),
         }
+        if field is not None:
+            from ..fields import FIELD_SEP
+
+            fterms = self.expand_prefix(f"{field}{FIELD_SEP}")
+            fest = sum(int(term_df.get(t, 0)) for t in fterms)
+            rep["facet"] = {
+                "field": field,
+                "n_values": len(fterms),
+                "facet_postings": int(fest),
+                "route": (
+                    "serving-node"
+                    if local
+                    and est + fest <= self.local_max_postings
+                    else "distributed-kernel"
+                ),
+                "note": (
+                    "distincts/metrics/trending/aggregate_counts probe "
+                    "these values' postings against the match set; the "
+                    "serving budget adds facet_postings to "
+                    "estimated_postings"
+                ),
+            }
+        return rep
 
     def _local_match_ids(self, prep: dict) -> np.ndarray:
         """Exact composite (pid << 32 | doc_id) match set of a query on

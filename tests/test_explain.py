@@ -89,6 +89,28 @@ def test_explain_time_pruning_and_match_all(eng):
     assert all_rep["shed_blob_terms"] >= 1  # lang:de never scores
 
 
+def test_explain_facet_view(eng):
+    rep = eng.explain("w000001", field="lang")
+    f = rep["facet"]
+    assert f["n_values"] == len(eng.expand_prefix("lang\x1f")) >= 2
+    assert f["facet_postings"] == sum(
+        eng._term_df[t] for t in eng.expand_prefix("lang\x1f")
+    )
+    assert f["route"] == "serving-node"
+    # the facet budget can flip the route even when search() serves
+    old = eng.local_max_postings
+    try:
+        eng.local_max_postings = rep["estimated_postings"] + 1
+        f2 = eng.explain("w000001", field="lang")["facet"]
+        assert f2["route"] == "distributed-kernel"
+    finally:
+        eng.local_max_postings = old
+    assert "facet" not in eng.explain("w000001")
+    import json
+
+    json.dumps(rep)
+
+
 def test_explain_prefix_expansion_counts(eng):
     rep = eng.explain("w00004*", k=10)
     n = rep["prefix_expansions"]["w00004"]
