@@ -87,3 +87,27 @@ def doc_field_terms(
             for lbl in sorted({str(a).lower() for a in authz})
         )
     return out
+
+
+def extra_field_terms(fields_map, declared: list[str]) -> list[str]:
+    """Composed terms for the schema-declared EXTRA fields of one doc --
+    the MiruSchema analog (miru-api/.../schema/MiruSchema.java: arbitrary
+    multi-term fields per activity, each indexed per value like
+    MiruFieldIndex). `fields_map` is the doc's `fields` map column
+    (field -> array of string values); only fields in `declared` are
+    indexed, values are case-folded and deduped (same discipline as
+    authz labels). pyarrow map columns decode to key/value tuple lists,
+    plain dict inputs also accepted."""
+    if not fields_map:
+        return []
+    if not isinstance(fields_map, dict):
+        fields_map = dict(fields_map)
+    out: list[str] = []
+    for f in declared:
+        vals = fields_map.get(f)
+        if vals:
+            out.extend(
+                compose(f, v)
+                for v in sorted({str(v).lower() for v in vals})
+            )
+    return out

@@ -71,7 +71,7 @@ from pyspark.sql import functions as F
 
 from ..analyzer import analyze, analyze_positions
 from ..codec import encode_postings_grouped, encode_varint, encode_varint_grouped
-from ..fields import doc_field_terms
+from ..fields import doc_field_terms, extra_field_terms
 
 DEFAULT_PARTITION_SECONDS = 86400
 DEFAULT_BLOCK_SPAN = 4096
@@ -394,7 +394,11 @@ def _block_rows_batch(
     )
 
 
-def _make_indexer(block_span: int, positions: bool = False):
+def _make_indexer(
+    block_span: int,
+    positions: bool = False,
+    extra_fields: list[str] | None = None,
+):
     """mapInArrow worker over raw doc rows (pid, url, warc_us, lang, text)
     hash-co-located by pid (a plain exchange -- no JVM sort anywhere):
 
@@ -412,6 +416,8 @@ def _make_indexer(block_span: int, positions: bool = False):
     partition_seconds x shuffle partitions keeps it task-sized at crawl
     scale."""
     from collections import Counter
+
+    extra_fields = list(extra_fields or [])
 
     def indexer(batches):
         import pyarrow.compute as pc
@@ -498,11 +504,20 @@ def _make_indexer(block_span: int, positions: bool = False):
             langs = tbl.column("lang").chunk(0).slice(s, e - s).to_pylist()
             urls_g = url_arr.slice(s, e - s).to_pylist()
             azs = tbl.column("authz").chunk(0).slice(s, e - s).to_pylist()
+            # schema-declared extra fields (MiruSchema analog): per-doc
+            # field->values maps, composed into the same posting space
+            flds = (
+                tbl.column("fields").chunk(0).slice(s, e - s).to_pylist()
+                if extra_fields
+                else [None] * (e - s)
+            )
             terms_col: list = []
             tfs_col: list = []
             dl_col: list = []
             pos_col: list | None = [] if positions else None
-            for text, lang, url, az in zip(texts, langs, urls_g, azs):
+            for text, lang, url, az, fm in zip(
+                texts, langs, urls_g, azs, flds
+            ):
                 if positions:
                     # positional build: group each token's stream
                     # positions (pre-stop-removal indices, Lucene
@@ -513,6 +528,8 @@ def _make_indexer(block_span: int, positions: bool = False):
                         grouped.setdefault(t, []).append(p)
                     dl_col.append(len(toks))
                     fts = doc_field_terms(url, lang, len(toks), az)
+                    if extra_fields:
+                        fts += extra_field_terms(fm, extra_fields)
                     for t in fts:
                         # composed field terms are filter-only: tf=1 and
                         # a placeholder position keeps the invariant
@@ -545,6 +562,8 @@ def _make_indexer(block_span: int, positions: bool = False):
                 # the same posting space (MiruTermComposer analog, fields.py)
                 items = sorted(Counter(toks).items()) if toks else []
                 fts = doc_field_terms(url, lang, len(toks), az)
+                if extra_fields:
+                    fts += extra_field_terms(fm, extra_fields)
                 if fts:
                     items = sorted(items + [(t, 1) for t in fts])
                 if items:
@@ -863,9 +882,18 @@ def build_index(
     finalize: bool = True,
     shuffle_partitions: int | None = None,
     positions: bool | None = None,
+    extra_fields: list[str] | None = None,
     _fail_after_batches: int | None = None,
 ) -> BuildReport:
     """Build (or resume) the inverted index for a webtext DataFrame.
+
+    `extra_fields` declares additional schema fields (the MiruSchema
+    analog: MiruFieldDefinition lists arbitrary per-activity multi-term
+    fields, miru-api/.../schema/MiruSchema.java): each named field is
+    read from the input's `fields` map column (field -> array<string>)
+    and indexed as composed filter-only terms alongside lang/site/
+    doclen/authz. None (default) inherits the existing index's
+    declaration on resume, else no extra fields.
 
     `positions=True` additionally stores per-occurrence token positions
     (pos_bin blobs), enabling phrase queries -- a capability beyond the
@@ -890,7 +918,7 @@ def build_index(
         return _build_index_inner(
             spark, webtext, index_dir, partition_seconds, block_span,
             batch_partitions, resume, finalize, shuffle_partitions,
-            positions, _fail_after_batches, t0,
+            positions, extra_fields, _fail_after_batches, t0,
         )
     finally:
         if _prior_aqe is not None:
@@ -911,6 +939,7 @@ def _build_index_inner(
     finalize: bool,
     shuffle_partitions: int | None,
     positions: bool | None,
+    extra_fields: list[str] | None,
     _fail_after_batches: int | None,
     t0: float,
 ) -> BuildReport:
@@ -924,13 +953,18 @@ def _build_index_inner(
         shutil.rmtree(paths.lineage)
 
     meta_path = os.path.join(index_dir, "meta.json")
-    if positions is None:
+    if positions is None or extra_fields is None:
         # inherit from an existing index (sip/resume appends must keep
         # one consistent posting format); fresh builds default off
-        positions = False
+        old_meta = {}
         if resume and os.path.exists(meta_path):
             with open(meta_path) as f:
-                positions = bool(json.load(f).get("positions", False))
+                old_meta = json.load(f)
+        if positions is None:
+            positions = bool(old_meta.get("positions", False))
+        if extra_fields is None:
+            extra_fields = list(old_meta.get("extra_fields", []))
+    extra_fields = sorted(set(extra_fields))
     meta = {
         "partition_seconds": int(partition_seconds),
         "block_span": int(block_span),
@@ -943,6 +977,9 @@ def _build_index_inner(
         # populated when the input carries an authz array column
         "format": 3,
         "fields": ["lang", "site", "doclen", "authz"],
+        # schema-declared extra fields (MiruSchema analog), read from the
+        # input's `fields` map column and composed like the base four
+        "extra_fields": extra_fields,
         "positions": bool(positions),
     }
     if os.path.exists(meta_path):
@@ -951,6 +988,7 @@ def _build_index_inner(
         # indexes written before the positions capability lack the key;
         # they are positions=False by construction
         old.setdefault("positions", False)
+        old.setdefault("extra_fields", [])
         if resume and old != meta:
             raise ValueError(
                 f"index meta mismatch: existing {old} vs requested {meta}"
@@ -964,6 +1002,12 @@ def _build_index_inner(
     if "authz" not in webtext.columns:
         webtext = webtext.withColumn(
             "authz", F.lit(None).cast("array<string>")
+        )
+    # likewise the schema-field map: typed-null when absent so the
+    # indexer sees one stable input schema
+    if "fields" not in webtext.columns:
+        webtext = webtext.withColumn(
+            "fields", F.lit(None).cast("map<string,array<string>>")
         )
     pid_df = _with_pid(webtext, partition_seconds)
     n_shuffle = int(
@@ -1051,10 +1095,11 @@ def _build_index_inner(
                 F.col("pid").isin([int(p) for p in batch_pids])
             )
         sub = sub.select(
-            "pid", "url", "warc_us", "lang", "text", "authz"
+            "pid", "url", "warc_us", "lang", "text", "authz", "fields"
         ).repartition(n_shuffle, "pid")
         seg = sub.mapInArrow(
-            _make_indexer(block_span, positions), _SEGMENT_SCHEMA
+            _make_indexer(block_span, positions, extra_fields),
+            _SEGMENT_SCHEMA,
         )
         _commit_write(seg, paths.segments, tag, [])
 

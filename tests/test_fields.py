@@ -61,3 +61,27 @@ def test_doc_field_terms_shape():
     assert compose("lang", "en") in terms
     assert compose("site", encode_num(37)) in terms
     assert compose("doclen", encode_num(12)) in terms
+
+
+def test_extra_field_terms_declared_only_dedup_casefold():
+    from miru_spark.fields import extra_field_terms
+
+    fm = {
+        "user": ["U01", "u01"],          # case-folded dedupe
+        "item": ["i05", "i02"],
+        "undeclared": ["x"],             # not in the schema declaration
+    }
+    terms = extra_field_terms(fm, ["user", "item"])
+    assert terms == [
+        compose("user", "u01"),
+        compose("item", "i02"),
+        compose("item", "i05"),
+    ]
+    # pyarrow map columns decode to key/value tuple lists
+    terms2 = extra_field_terms(
+        [("user", ["U01", "u01"]), ("item", ["i05", "i02"])],
+        ["user", "item"],
+    )
+    assert terms2 == terms
+    assert extra_field_terms(None, ["user"]) == []
+    assert extra_field_terms({}, ["user"]) == []
