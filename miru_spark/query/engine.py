@@ -56,6 +56,7 @@ from pyspark.sql.window import Window
 
 from ..codec import decode_grouped_deltas, decode_postings, decode_varint
 from ..index.build import _POSTING_COLS, IndexPaths
+from .featureops import FeatureOpsMixin
 from ..oracle import B, K1, MAX_WILDCARD_EXPANSION, bm25_idf
 from ..queryparse import (
     all_referenced_terms,
@@ -267,6 +268,71 @@ def _per_pid_dispatch(kernel):
     return run
 
 
+def _hits_of(matches: np.ndarray, postings: dict, terms: list):
+    """(value_idx, position-into-matches) arrays for every posting of
+    `terms` that lands in the sorted match set -- one concatenated
+    searchsorted pass (the kernel-side twin of SearchEngine._facet_hits)."""
+    va, pa = [], []
+    for i, t in enumerate(terms):
+        c = postings.get(t)
+        if c is None or not c.size or not matches.size:
+            continue
+        pos = np.minimum(np.searchsorted(matches, c), matches.size - 1)
+        m = matches[pos] == c
+        if m.any():
+            va.append(np.full(int(m.sum()), i, dtype=np.int64))
+            pa.append(pos[m])
+    if not va:
+        z = np.empty(0, dtype=np.int64)
+        return z, z
+    return np.concatenate(va), np.concatenate(pa)
+
+
+def _pair_expand(ai, ap, bi, bp, nb: int):
+    """Per-doc cross product of two match-aligned hit sets: for every
+    match position carrying both an A and a B value, emit one
+    (a_idx * nb + b_idx, position) row per combination -- all vectorized
+    (sorted-position merge + range expansion), no per-doc Python loop.
+    Keeping positions lets a third field chain another expansion (the
+    2-field-feature tuples of gatherFeatures)."""
+    z = np.empty(0, dtype=np.int64)
+    if not ai.size or not bi.size:
+        return z, z
+    oa = np.argsort(ap, kind="stable")
+    ap, ai = ap[oa], ai[oa]
+    ob = np.argsort(bp, kind="stable")
+    bp, bi = bp[ob], bi[ob]
+    left = np.searchsorted(bp, ap, "left")
+    right = np.searchsorted(bp, ap, "right")
+    cnt = right - left
+    tot = int(cnt.sum())
+    if tot == 0:
+        return z, z
+    a_rep = np.repeat(ai, cnt)
+    starts = np.repeat(left, cnt)
+    offs = np.arange(tot, dtype=np.int64) - np.repeat(
+        np.cumsum(cnt) - cnt, cnt
+    )
+    b_rep = bi[starts + offs]
+    return a_rep * nb + b_rep, np.repeat(ap, cnt)
+
+
+def _tuple_counts(matches, postings, groups: list):
+    """Distinct feature tuples + doc counts over the match set: one hit
+    pass per term group (field), then chained per-doc cross products.
+    `groups` is a list of facet-term lists (2 or 3 fields); the packed
+    key of tuple (a, b[, c]) is ((a * nB + b) [* nC + c]) -- multiplier
+    packing so callers can decode with plain divmod over group sizes."""
+    keys, pos = _hits_of(matches, postings, groups[0])
+    for g in groups[1:]:
+        gi, gp = _hits_of(matches, postings, g)
+        keys, pos = _pair_expand(keys, pos, gi, gp, len(g))
+    if not keys.size:
+        z = np.empty(0, dtype=np.int64)
+        return z, z
+    return np.unique(keys, return_counts=True)
+
+
 def _make_kernel(
     tree,
     scoring_terms: list[str],
@@ -287,6 +353,8 @@ def _make_kernel(
     bucket_us: int = 0,
     facet_terms: list | None = None,
     facet_values: list | None = None,
+    facet_terms2: list | None = None,
+    facet_terms3: list | None = None,
 ):
     """Build the per-partition applyInPandas kernel (closure ships to
     executors with the task -- all members are small).
@@ -457,7 +525,7 @@ def _make_kernel(
             ids_out: dict | None = (
                 {}
                 if agg in ("distincts", "metrics", "aggregate",
-                           "waveforms")
+                           "waveforms", "pairs")
                 else None
             )
             ids, _ = score_subset(
@@ -487,6 +555,25 @@ def _make_kernel(
                         "doc_id": np.array(o_doc, dtype=np.int64),
                         "score": np.array(o_idx, dtype=np.float64),
                         "cnt": np.array(o_cnt, dtype=np.int64),
+                    }
+                )
+            if agg == "pairs":
+                # feature-tuple doc-co-occurrence counts over the match
+                # set -- the counting core of gatherFeatures
+                # (MiruAggregateUtil.gatherFeatures:77-291: per answer
+                # activity, stream the feature fields' terms and count
+                # each observed combination). Only (packed tuple, count)
+                # rows leave the task; the cross product is per-DOC
+                # (multi-valued fields expand), never across docs.
+                groups = [facet_terms or [], facet_terms2 or []]
+                if facet_terms3:
+                    groups.append(facet_terms3)
+                keys, counts = _tuple_counts(ids, ids_out, groups)
+                return pd.DataFrame(
+                    {
+                        "pid": pid,
+                        "doc_id": keys,
+                        "score": counts.astype(np.float64),
                     }
                 )
             if agg == "waveforms":
@@ -702,7 +789,7 @@ def _make_kernel(
     return kernel
 
 
-class SearchEngine:
+class SearchEngine(FeatureOpsMixin):
     """Distributed BM25 search over a built index directory."""
 
     def __init__(
@@ -850,6 +937,11 @@ class SearchEngine:
         # LRU -- repeated waveforms skip the varint re-decode
         self._times_cache: dict = {}
         self._times_cache_entries = 0
+        # strut score cache (StrutModelScorer.java analog): repeated
+        # model-scored strut questions skip the feature gather entirely;
+        # keyed by model + request + index version (featureops.strut)
+        self._strut_cache: OrderedDict = OrderedDict()
+        self.strut_cache_hits = 0
         self._init_lock = Lock()  # lazy _pads/_rgcat/_pool construction
         # Memory bound: each cached posting costs 3 x 8 B (cids/tfs/dls
         # int64), so 2 x local_max_postings entries ~= 384 MB at the 8M
@@ -1062,6 +1154,22 @@ class SearchEngine:
         # :99-170 termCollector walks the query, not the constraints)
         pos_terms, pos_prefixes, _ = collect_terms(tree)
         tree = with_access(tree, constraints, authz, locale, allow_phrases)
+        return self._prep_tree(
+            tree, time_range_us, pos_terms, pos_prefixes
+        )
+
+    def _prep_tree(
+        self,
+        tree,
+        time_range_us: tuple[int, int] | None = None,
+        pos_terms=(),
+        pos_prefixes=(),
+    ) -> dict:
+        """Plan an already-built filter tree (the post-parse half of
+        `_prep_query`). Programmatic callers -- reco's 3-hop walk, strut,
+        inbox -- compose trees of raw `("term", composed)` nodes directly
+        (FieldMultiTermTxIndex analog: the hop operands are term IDs, not
+        query text), so no analyzer pass must touch them."""
         phrases = collect_phrases(tree)
         phrase_terms = sorted({t for ph in phrases for t, _p in ph[1]})
         terms, prefixes, franges = all_referenced_terms(tree)
@@ -1139,6 +1247,8 @@ class SearchEngine:
         bucket_us: int = 0,
         facet_terms: list | None = None,
         facet_values: list | None = None,
+        facet_terms2: list | None = None,
+        facet_terms3: list | None = None,
     ) -> DataFrame:
         """Build the distributed match+score frame for a query: one
         mapInPandas kernel pass over the pruned posting blocks, yielding
@@ -1162,10 +1272,14 @@ class SearchEngine:
             theta0 = 0.0
         fetch_terms = p["fetch_terms"]
         if (
-            agg in ("distincts", "metrics", "aggregate", "waveforms")
+            agg in ("distincts", "metrics", "aggregate", "waveforms",
+                    "pairs")
             and facet_terms
         ):
-            fetch_terms = sorted(set(fetch_terms) | set(facet_terms))
+            fetch_terms = sorted(
+                set(fetch_terms) | set(facet_terms)
+                | set(facet_terms2 or []) | set(facet_terms3 or [])
+            )
         has_all_node = p["has_all_node"]
         relevant_pids = p["relevant_pids"]
         time_bounds = p["time_bounds"]
@@ -1298,6 +1412,8 @@ class SearchEngine:
             bucket_us=bucket_us,
             facet_terms=facet_terms,
             facet_values=facet_values,
+            facet_terms2=facet_terms2,
+            facet_terms3=facet_terms3,
         )
         # hash-co-locate each pid's fetched blocks on one task, then ONE
         # pandas call per task loops the pids it owns -- same semantics as

@@ -1,0 +1,486 @@
+"""Index-backed reco / strut / gatherFeatures -- the last reference
+plugin family re-expressed over the real inverted index.
+
+Re-expresses, over the blocked-postings index (not the event table):
+
+- gatherFeatures: per-doc feature value-tuple co-occurrence counts over
+  a match set (miru-plugin/.../solution/MiruAggregateUtil.java:77-291
+  `gatherFeatures`: for each answer bitmap, walk its activities and
+  count each observed combination of the feature fields' terms).
+- collaborative filtering: the 3-hop bitmap walk of
+  miru-reco-plugins/.../reco/CollaborativeFiltering.java:75-213
+  ("I have viewed these things; among others who have also viewed
+  these things, what have they viewed that I have not?").
+- strut: model-weighted feature scoring of candidate terms,
+  miru-stream-plugins/.../strut/Strut.java:82-236 (score:330-341
+  max-accumulate, finalizeScore:367-397 per Strategy.java:6-10
+  UNIT_WEIGHTED / REGRESSION_WEIGHTED / MAX), with the
+  StrutModelScorer.java score-cache analog.
+
+Spark-first shape: every hop is either the serving-node NumPy path
+(zero Spark jobs -- match evaluation + one concatenated searchsorted
+pass per field group) or ONE kernel job (agg="distincts"/"pairs") whose
+tasks emit only (packed value, count) rows -- postings blobs never
+cross an exchange, candidate x value cross products happen per-DOC
+inside a task, and the global merge is a groupBy over at most
+|observed tuples| rows. No all-pairs joins at any scale.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from ..fields import FIELD_SEP, NUMERIC_FIELDS, compose, decode_num
+from ..queryparse import with_access
+
+__all__ = ["FeatureOpsMixin"]
+
+# Strut.java finalizeScore strategies (Strategy.java:6-10)
+_STRATEGIES = ("unit_weighted", "regression_weighted", "max")
+
+
+def _decode_value(field: str, term: str):
+    v = term.split(FIELD_SEP, 1)[1]
+    return decode_num(v) if field in NUMERIC_FIELDS else v
+
+
+def _finalize(scores: np.ndarray, strategy: str) -> np.ndarray:
+    """Strut.finalizeScore:367-397 vectorized over candidates: scores is
+    (n_candidates, n_features) of max-accumulated per-feature scores
+    (0 = feature never observed / never positive)."""
+    pos = scores > 0.0
+    if strategy == "unit_weighted":
+        return np.where(
+            pos.any(axis=1), scores.sum(axis=1) / scores.shape[1], 0.0
+        )
+    if strategy == "regression_weighted":
+        return scores.sum(axis=1)
+    if strategy == "max":
+        return scores.max(axis=1, initial=0.0)
+    raise ValueError(f"strategy must be one of {_STRATEGIES}")
+
+
+class FeatureOpsMixin:
+    """SearchEngine methods for the reco plugin family. Mixed into
+    SearchEngine (engine.py); every `self._*` helper lives there."""
+
+    # -- shared plumbing ---------------------------------------------------
+
+    def _field_terms(self, field: str, values=None) -> list[str]:
+        """Composed terms of a field: the capped dictionary prefix scan
+        (every value that EXISTS in the index), or an explicit value
+        list composed + filtered to existing terms."""
+        if values is None:
+            return self.expand_prefix(f"{field}{FIELD_SEP}")
+        from ..fields import compose_value
+
+        df = self._term_df or {}
+        return sorted(
+            t
+            for t in {compose_value(field, v) for v in values}
+            if t in df
+        )
+
+    def _route_facets(self, prep: dict, groups: list, local) -> bool:
+        """Serving-node vs distributed decision, same budget discipline
+        as `distincts`: the facet groups' postings ride the match pass,
+        so they count against the local postings budget too."""
+        if local is not None:
+            if local and not self._local_eligible(prep):
+                raise ValueError(
+                    "local=True forced but this query is not eligible "
+                    "for the serving-node path; use local=None"
+                )
+            return bool(local)
+        est = sum(
+            (self._term_df or {}).get(t, 0) for g in groups for t in g
+        )
+        return (
+            self._local_eligible(prep)
+            and self._estimated_postings(prep) + est
+            <= self.local_max_postings
+        )
+
+    def _tuple_counts_local(
+        self, prep: dict, groups: list
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Serving path: one match evaluation + chained per-doc cross
+        products (engine._tuple_counts) -- zero Spark jobs."""
+        from .engine import _tuple_counts
+
+        matches = self._local_match_ids(prep)
+        if not matches.size:
+            z = np.empty(0, dtype=np.int64)
+            return z, z
+        fmap, _tfs, _dls = self._postings_maps(
+            sorted({t for g in groups for t in g}), prep["pid_range"]
+        )
+        return _tuple_counts(matches, fmap, groups)
+
+    def _tuple_counts_dist(
+        self, prep: dict, groups: list
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Distributed path: ONE kernel job; tasks emit only (packed
+        tuple, count) rows, globally merged by a sum groupBy."""
+        rows = (
+            self.kernel_frame(
+                None,
+                k=0,
+                prep=prep,
+                agg="pairs",
+                facet_terms=groups[0],
+                facet_terms2=groups[1],
+                facet_terms3=groups[2] if len(groups) > 2 else None,
+            )
+            .groupBy("doc_id")
+            .agg(F.sum("score").alias("c"))
+            .collect()
+        )
+        if not rows:
+            z = np.empty(0, dtype=np.int64)
+            return z, z
+        keys = np.array([r["doc_id"] for r in rows], dtype=np.int64)
+        counts = np.array([int(r["c"]) for r in rows], dtype=np.int64)
+        o = np.argsort(keys)
+        return keys[o], counts[o]
+
+    def _facet_presence(
+        self, prep: dict, terms: list, local: bool
+    ) -> np.ndarray:
+        """Per-term match counts (0 = absent) -- the gather/stream hop
+        of the 3-hop walk. Serving: zero jobs; distributed: one
+        agg="distincts" kernel job."""
+        counts = np.zeros(len(terms), dtype=np.int64)
+        if local:
+            matches = self._local_match_ids(prep)
+            if matches.size:
+                fmap, _t, _d = self._postings_maps(
+                    terms, prep["pid_range"]
+                )
+                vh, _mp = self._facet_hits(matches, terms, fmap)
+                counts = np.bincount(vh, minlength=len(terms))
+        else:
+            rows = (
+                self.kernel_frame(
+                    None, k=0, prep=prep, agg="distincts",
+                    facet_terms=terms,
+                )
+                .groupBy("doc_id")
+                .agg(F.sum("score").alias("c"))
+                .collect()
+            )
+            for r in rows:
+                counts[int(r["doc_id"])] = int(r["c"])
+        return counts
+
+    # -- gatherFeatures ----------------------------------------------------
+
+    def gather_features(
+        self,
+        fields: tuple,
+        query: str | None = None,
+        locale: str | None = None,
+        time_range_us: tuple[int, int] | None = None,
+        constraints=None,
+        authz=None,
+        local: bool | None = None,
+        top_n: int | None = None,
+    ) -> list[tuple]:
+        """Doc-co-occurrence counts of feature value tuples over the
+        docs matching a query (+constraints/authz/time) -- the counting
+        core of MiruAggregateUtil.gatherFeatures:77-291 with the match
+        set as the single answer bitmap. `fields` is 2 or 3 field names;
+        multi-valued fields expand per-DOC (the reference's per-activity
+        termIds cross product). Returns [(values_tuple, count)] sorted
+        by count desc then values asc, capped at `top_n`
+        (topNValuesPerFeature)."""
+        fields = tuple(fields)
+        if not 2 <= len(fields) <= 3:
+            raise ValueError("gather_features takes 2 or 3 fields")
+        groups = [self._field_terms(f) for f in fields]
+        if not all(groups):
+            return []
+        prep = self._prep_query(
+            query, locale, time_range_us, constraints, authz
+        )
+        run_local = self._route_facets(prep, groups, local)
+        keys, counts = (
+            self._tuple_counts_local(prep, groups)
+            if run_local
+            else self._tuple_counts_dist(prep, groups)
+        )
+        out = []
+        sizes = [len(g) for g in groups]
+        for key, c in zip(keys.tolist(), counts.tolist()):
+            idxs = []
+            for n in reversed(sizes[1:]):
+                key, i = divmod(key, n)
+                idxs.append(i)
+            idxs.append(key)
+            idxs.reverse()
+            out.append(
+                (
+                    tuple(
+                        _decode_value(f, g[i])
+                        for f, g, i in zip(fields, groups, idxs)
+                    ),
+                    int(c),
+                )
+            )
+        out.sort(key=lambda vc: (-vc[1], vc[0]))
+        return out[:top_n] if top_n else out
+
+    # -- collaborative filtering -------------------------------------------
+
+    def reco(
+        self,
+        my: tuple,
+        field1: str,
+        field2: str,
+        field3: str,
+        k: int = 10,
+        locale: str | None = None,
+        time_range_us: tuple[int, int] | None = None,
+        constraints=None,
+        authz=None,
+        remove_distincts=None,
+        local: bool | None = None,
+    ) -> list[tuple]:
+        """The reference's collaborative filtering, hop for hop
+        (CollaborativeFiltering.java:75-213) over the inverted index:
+
+        1. myOkActivity = posting(`my` = (field, value)) AND ok
+           (constraints/authz/time) -- :102.
+        2. distinctParents = distinct `field1` terms I touched (gather,
+           :110-125).
+        3. otherOkField1Activity = ok activity on those parents MINUS
+           mine (orMultiTx + and + andNot, :127-146).
+        4. contributors = top-k `field2` terms of that set by count
+           (stream into the contributorHeap, :148-166; k is the
+           reference's overloaded desiredNumberOfDistincts).
+        5. score(parent) = sum of contributor weights over contributors
+           who touched the parent (`field3` gather per contributor,
+           distinct per contributor, parents + removeDistincts excluded
+           -- :168-213). Here hop 5 is ONE tuple-counts pass
+           (contributor x parent presence), not a per-contributor loop.
+        6. Top-k parents by (score desc, value asc). field2 == field3
+           short-circuits to the contributor heap (:170-173).
+
+        Serving path: zero Spark jobs (three match evaluations).
+        Distributed path: one kernel job per hop, three total."""
+        allow_ph = bool(self.meta.get("positions", False))
+        my_term = compose(str(my[0]), str(my[1]).lower())
+        my_tree = with_access(
+            ("term", my_term), constraints, authz, locale, allow_ph
+        )
+        prep_my = self._prep_tree(my_tree, time_range_us)
+        f1_terms = self._field_terms(field1)
+        if not f1_terms:
+            return []
+        run_local = self._route_facets(
+            prep_my,
+            [f1_terms, self._field_terms(field2)],
+            local,
+        )
+        # hop 1+2: distinct field1 parents of my ok activity
+        pcounts = self._facet_presence(prep_my, f1_terms, run_local)
+        parents = [t for t, c in zip(f1_terms, pcounts) if c]
+        if not parents:
+            return []
+        # hop 3+4: other ok activity on those parents -> contributors
+        other_tree = (
+            "not",
+            with_access(
+                ("or", [("term", t) for t in parents]),
+                constraints, authz, locale, allow_ph,
+            ),
+            my_tree,
+        )
+        prep_other = self._prep_tree(other_tree, time_range_us)
+        f2_terms = self._field_terms(field2)
+        ccounts = self._facet_presence(prep_other, f2_terms, run_local)
+        ranked = sorted(
+            (
+                (int(c), t)
+                for t, c in zip(f2_terms, ccounts)
+                if c
+            ),
+            key=lambda ct: (-ct[0], ct[1]),
+        )[: max(k, 1)]
+        if not ranked:
+            return []
+        if field2 == field3:
+            # special case :170-173 -- contributors ARE the answer
+            return [
+                (_decode_value(field3, t), int(c)) for c, t in ranked
+            ][:k]
+        contrib_terms = [t for _c, t in ranked]
+        weights = {t: c for c, t in ranked}
+        # hop 5: contributor x parent presence in ONE pass
+        contrib_tree = with_access(
+            ("or", [("term", t) for t in contrib_terms]),
+            constraints, authz, locale, allow_ph,
+        )
+        prep_c = self._prep_tree(contrib_tree, time_range_us)
+        f3_terms = self._field_terms(field3)
+        if not f3_terms:
+            return []
+        groups = [contrib_terms, f3_terms]
+        keys, _counts = (
+            self._tuple_counts_local(prep_c, groups)
+            if run_local
+            else self._tuple_counts_dist(prep_c, groups)
+        )
+        excluded = {t.split(FIELD_SEP, 1)[1] for t in parents}
+        if remove_distincts:
+            excluded |= {str(v).lower() for v in remove_distincts}
+        scores: dict[int, int] = {}
+        n3 = len(f3_terms)
+        for key in keys.tolist():
+            ci, pi = divmod(key, n3)
+            if f3_terms[pi].split(FIELD_SEP, 1)[1] in excluded:
+                continue
+            scores[pi] = scores.get(pi, 0) + weights[contrib_terms[ci]]
+        out = [
+            (_decode_value(field3, f3_terms[pi]), int(s))
+            for pi, s in scores.items()
+        ]
+        out.sort(key=lambda vs: (-vs[1], str(vs[0])))
+        return out[:k]
+
+    # -- strut ---------------------------------------------------------------
+
+    def strut(
+        self,
+        candidate_field: str,
+        features: list,
+        model=None,
+        model_id: str | None = None,
+        strategy: str = "unit_weighted",
+        k: int = 10,
+        query: str | None = None,
+        locale: str | None = None,
+        time_range_us: tuple[int, int] | None = None,
+        constraints=None,
+        authz=None,
+        local: bool | None = None,
+        include_features: bool = False,
+    ) -> list[tuple]:
+        """Model-weighted feature scoring of candidate terms
+        (Strut.yourStuff, Strut.java:82-236): candidates are the
+        `candidate_field` values present in the match set; for each
+        candidate, every observed feature value tuple looks up a model
+        score s = numerators/denominator (clipped to [0,1], :173-186)
+        and max-accumulates s x featureScalar into that feature's slot
+        (score:330-341); finalizeScore combines the slots per strategy
+        (:367-397, Strategy.java UNIT_WEIGHTED/REGRESSION_WEIGHTED/MAX).
+
+        `features` = [(scalar, field_or_fields), ...] (CatwalkFeature
+        featureFields of 1 or 2 fields here). `model` maps
+        (feature_idx, values_tuple) -> (numerator, denominator) | float;
+        None scores every observed tuple 1.0. `model_id` set enables the
+        serving-node score cache (StrutModelScorer.java analog -- keyed
+        by model + request + index version, so repeated strut questions
+        skip the gather entirely; `self.strut_cache_hits` counts).
+
+        Returns [(candidate_value, score)] top-k by (score desc, value
+        asc); with include_features=True each row appends the
+        per-feature score vector (the Hotness list analog)."""
+        if strategy not in _STRATEGIES:
+            raise ValueError(f"strategy must be one of {_STRATEGIES}")
+        feats = []
+        for scalar, ff in features:
+            ff = (ff,) if isinstance(ff, str) else tuple(ff)
+            if not 1 <= len(ff) <= 2:
+                raise ValueError("a strut feature takes 1 or 2 fields")
+            feats.append((float(scalar), ff))
+        cache_key = None
+        if model_id is not None:
+            rem = self._removed_comp
+            cache_key = (
+                model_id, candidate_field,
+                tuple((s, f) for s, f in feats), strategy, k, query,
+                locale, time_range_us, repr(constraints),
+                tuple(authz) if authz else None, include_features,
+                (int(rem.size), int(rem[0]), int(rem[-1]))
+                if rem is not None and rem.size else None,
+            )
+            hit = self._strut_cache.get(cache_key)
+            if hit is not None:
+                self.strut_cache_hits += 1
+                return hit
+        cand_terms = self._field_terms(candidate_field)
+        if not cand_terms:
+            return []
+        prep = self._prep_query(
+            query, locale, time_range_us, constraints, authz
+        )
+        field_groups = {
+            f: self._field_terms(f)
+            for _s, ff in feats
+            for f in ff
+        }
+        run_local = self._route_facets(
+            prep, [cand_terms, *field_groups.values()], local
+        )
+        fscores = np.zeros((len(cand_terms), len(feats)), dtype=np.float64)
+        for i, (scalar, ff) in enumerate(feats):
+            groups = [cand_terms] + [field_groups[f] for f in ff]
+            if not all(groups):
+                continue
+            keys, _counts = (
+                self._tuple_counts_local(prep, groups)
+                if run_local
+                else self._tuple_counts_dist(prep, groups)
+            )
+            sizes = [len(g) for g in groups]
+            for key in keys.tolist():
+                idxs = []
+                for n in reversed(sizes[1:]):
+                    key, j = divmod(key, n)
+                    idxs.append(j)
+                idxs.reverse()
+                ci = key
+                vals = tuple(
+                    _decode_value(f, field_groups[f][j])
+                    for f, j in zip(ff, idxs)
+                )
+                if model is None:
+                    s = 1.0
+                else:
+                    got = (
+                        model(i, vals) if callable(model)
+                        else model.get((i, vals))
+                    )
+                    if got is None:
+                        continue
+                    if isinstance(got, tuple):
+                        num, den = got
+                        s = float(num) / float(den) if den else 0.0
+                    else:
+                        s = float(got)
+                    # Strut.java:177-186 clips >1 and NaN
+                    s = 0.0 if s != s else min(s, 1.0)
+                up = s * scalar
+                # score():330-341 -- max-accumulate when positive
+                if up > 0.0 and up > fscores[ci, i]:
+                    fscores[ci, i] = up
+        final = _finalize(fscores, strategy)
+        order = np.argsort(-final, kind="stable")
+        out = []
+        for ci in order.tolist():
+            if final[ci] <= 0.0 or len(out) >= k:
+                break
+            row = (
+                _decode_value(candidate_field, cand_terms[ci]),
+                float(final[ci]),
+            )
+            if include_features:
+                row = (*row, fscores[ci].tolist())
+            out.append(row)
+        if cache_key is not None:
+            if len(self._strut_cache) >= 128:
+                self._strut_cache.pop(next(iter(self._strut_cache)))
+            self._strut_cache[cache_key] = out
+        return out
