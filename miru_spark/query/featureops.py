@@ -16,6 +16,16 @@ Re-expresses, over the blocked-postings index (not the event table):
   max-accumulate, finalizeScore:367-397 per Strategy.java:6-10
   UNIT_WEIGHTED / REGRESSION_WEIGHTED / MAX), with the
   StrutModelScorer.java score-cache analog.
+- inbox: the per-stream inbox dimension -- a composed stream field
+  plays MiruInboxIndex (one posting list per streamId,
+  miru-plugin/.../index/MiruInboxIndex.java), the aggregate-counts
+  page machinery answers the stream question
+  (miru-stream-plugins/.../filter/AggregateCountsInboxQuestion.java),
+  and the streamed read-state table resolves unread flags the way
+  MiruJustInTimeBackfillerizer applies READ/UNREAD/MARK_ALL_READ WAL
+  ops to the unread bitmap (miru-service/.../stream/
+  MiruJustInTimeBackfillerizer.java; op types
+  MiruPartitionedActivity.java:17-19).
 
 Spark-first shape: every hop is either the serving-node NumPy path
 (zero Spark jobs -- match evaluation + one concatenated searchsorted
@@ -484,3 +494,144 @@ class FeatureOpsMixin:
                 self._strut_cache.pop(next(iter(self._strut_cache)))
             self._strut_cache[cache_key] = out
         return out
+
+    # -- inbox ---------------------------------------------------------------
+
+    def inbox(
+        self,
+        stream_id,
+        item_field: str = "item",
+        stream_field: str = "stream",
+        query: str | None = None,
+        start: int = 0,
+        count: int = 10,
+        unread_only: bool = False,
+        read_state=None,
+        locale: str | None = None,
+        time_range_us: tuple[int, int] | None = None,
+        constraints=None,
+        authz=None,
+        local: bool | None = None,
+    ) -> dict:
+        """The inbox stream question: newest-first page of distinct
+        `item_field` values among the stream's matching docs, each with
+        its match count and an unread flag, plus the stream's total
+        unread count -- AggregateCountsInboxQuestion semantics (inbox
+        bitmap AND constraints AND authz, unread filter optional) where
+        the inbox bitmap is the composed `stream_field:stream_id`
+        posting list (MiruInboxIndex: one bitmap per streamId).
+
+        `read_state` resolves unread the backfillerizer way
+        (MiruJustInTimeBackfillerizer applies READ/UNREAD/MARK_ALL_READ
+        against inbox activity; rules restated in ops/readstate.py):
+        an item is unread iff never marked, explicitly 'unread', or its
+        newest matching activity is strictly newer than its effective
+        read mark. Accepts the streamed state table (a path to the
+        stream_read_state state dir, a DataFrame of its rows, or a
+        driver-side row list) -- reads arriving AFTER the index build
+        are consumed at query time, no rebuild. With a state table the
+        stream key must be its numeric user_id.
+
+        Returns {"page": [...aggregate-counts rows + "unread"...],
+        "n_unread", "n_items"}. The page gather is bounded by the
+        stream's distinct items (one user's inbox -- the same per-stream
+        bound the reference's per-streamId bitmaps give)."""
+        stream_tree = (
+            "term", compose(stream_field, str(stream_id).lower())
+        )
+        if constraints is not None and not isinstance(constraints, tuple):
+            from ..queryparse import parse_query
+
+            constraints = parse_query(
+                constraints, locale, bool(self.meta.get("positions", False))
+            )
+        combined = (
+            stream_tree if constraints is None
+            else ("and", [stream_tree, constraints])
+        )
+        n_vals = len(self._field_terms(item_field))
+        if not n_vals:
+            return {"page": [], "n_unread": 0, "n_items": 0}
+        rows = self.aggregate_counts(
+            item_field, query=query, start=0, count=n_vals,
+            locale=locale, time_range_us=time_range_us,
+            constraints=combined, authz=authz, local=local,
+        )
+        explicit, m_ts = self._stream_read_marks(
+            read_state, stream_id, self.spark
+        )
+        for r in rows:
+            last_act = int(r["warc_us"])
+            e = explicit.get(str(r["value"]).lower())
+            if e is None and m_ts is None:
+                unread = True
+            elif m_ts is not None and (e is None or m_ts >= e[1]):
+                unread = last_act > m_ts
+            elif e[0] == "unread":
+                unread = True
+            else:
+                unread = last_act > e[1]
+            r["unread"] = unread
+        n_unread = sum(1 for r in rows if r["unread"])
+        page = [r for r in rows if r["unread"]] if unread_only else rows
+        return {
+            "page": page[int(start): int(start) + int(count)],
+            "n_unread": n_unread,
+            "n_items": len(rows),
+        }
+
+    @staticmethod
+    def _stream_read_marks(read_state, stream_id, spark=None):
+        """Normalize a read-state source to this stream's driver-side
+        marks: ({item_value -> (op, ts_us)}, markall_cutoff_us|None).
+        The collect is one stream's touched items -- the same per-stream
+        payload the reference pins as that streamId's unread bitmap."""
+        if read_state is None:
+            return {}, None
+        rows = read_state
+        if isinstance(read_state, str):
+            from ..streaming.readstate import read_state as _load
+
+            df = _load(spark, read_state)
+            if df is None:
+                return {}, None
+            rows = df
+        if hasattr(rows, "filter") and hasattr(rows, "collect"):
+            try:
+                uid = int(stream_id)
+            except (TypeError, ValueError):
+                raise ValueError(
+                    "a read-state table keys streams by numeric "
+                    "user_id; pass a driver-side row list for "
+                    "non-numeric stream ids"
+                )
+            rows = rows.filter(F.col("user_id") == uid).collect()
+        explicit: dict = {}
+        m_ts = None
+
+        def _us(ts):
+            if isinstance(ts, (int, float)):
+                return int(ts)
+            from datetime import timezone
+
+            if ts.tzinfo is None:
+                ts = ts.replace(tzinfo=timezone.utc)
+            return int(ts.timestamp() * 1_000_000)
+
+        for r in rows:
+            get = r.get if isinstance(r, dict) else r.__getitem__
+            op = get("op")
+            ts_us = _us(get("ts"))
+            if op == "mark_all_read":
+                m_ts = ts_us if m_ts is None else max(m_ts, ts_us)
+            else:
+                key = str(get("item")).lower()
+                prev = explicit.get(key)
+                seq = get("seq") if "seq" in (
+                    r.keys() if hasattr(r, "keys") else r
+                ) else 0
+                if prev is None or (ts_us, seq) >= (prev[1], prev[2]):
+                    explicit[key] = (op, ts_us, seq)
+        return {
+            k: (op, ts) for k, (op, ts, _s) in explicit.items()
+        }, m_ts

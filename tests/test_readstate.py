@@ -6,6 +6,7 @@ applied by MiruJustInTimeBackfillerizer against the inbox index)."""
 from __future__ import annotations
 
 import datetime as dt
+import os
 
 from pyspark.sql import functions as F
 
@@ -142,6 +143,84 @@ def test_streaming_reads_after_inbox_build(spark, tmp_path):
     keys = [(r["user_id"], r["item"], r["op"]) for r in srows]
     assert len(keys) == len(set(keys))
     assert len([k for k in keys if k[2] != "mark_all_read"]) <= 2
+
+
+def test_streaming_sink_never_rewrites_untouched_buckets(spark, tmp_path):
+    """Scale shape of the MERGE sink (VERDICT r3 item 3): state lives in
+    hash(user_id) buckets under write-once epoch dirs; a batch rewrites
+    ONLY the buckets it touches (manifest entries for other buckets keep
+    pointing at their old epoch, files untouched), the swap is one
+    atomic manifest replace, and nothing state-sized reaches the driver
+    (the sink's only collect is the batch's distinct bucket ids)."""
+    import inspect
+    import json
+
+    from miru_spark import streaming as _s
+    from miru_spark.streaming import readstate as rs
+
+    d_in = str(tmp_path / "oplog")
+    d_state = str(tmp_path / "state")
+    d_ck = str(tmp_path / "ckpt")
+
+    # batch 1: many users spread across buckets
+    rows1 = [(u, 1, "read", _t(1), u) for u in range(40)]
+    spark.createDataFrame(rows1, READLOG_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(d_in)
+    stream_read_state(spark, d_in, d_state, d_ck)
+    with open(f"{d_state}/MANIFEST") as f:
+        m1 = json.load(f)
+    files1 = {
+        b: sorted(
+            (fn, os.stat(f"{d_state}/{ep}/bucket={b}/{fn}").st_mtime_ns)
+            for fn in os.listdir(f"{d_state}/{ep}/bucket={b}")
+            if fn.endswith(".parquet")
+        )
+        for b, ep in m1["buckets"].items()
+    }
+
+    # batch 2 touches exactly one user -> one bucket
+    rows2 = [(7, 2, "read", _t(2), 100)]
+    spark.createDataFrame(rows2, READLOG_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(d_in)
+    stream_read_state(spark, d_in, d_state, d_ck)
+    with open(f"{d_state}/MANIFEST") as f:
+        m2 = json.load(f)
+
+    from pyspark.sql import functions as F
+    b7 = spark.createDataFrame([(7,)], "user_id long").select(
+        F.pmod(F.hash("user_id"), F.lit(m1["n_buckets"])).cast("int")
+    ).collect()[0][0]
+    changed = {
+        b for b in m2["buckets"]
+        if m1["buckets"].get(b) != m2["buckets"][b]
+    }
+    assert changed == {str(b7)}
+    # untouched buckets: identical epoch, identical files (mtime pinned)
+    for b, ep in m2["buckets"].items():
+        if b == str(b7):
+            continue
+        assert ep == m1["buckets"][b]
+        got = sorted(
+            (fn, os.stat(f"{d_state}/{ep}/bucket={b}/{fn}").st_mtime_ns)
+            for fn in os.listdir(f"{d_state}/{ep}/bucket={b}")
+            if fn.endswith(".parquet")
+        )
+        assert got == files1[b]
+    # merged answer still correct across epochs
+    srows = read_state(spark, d_state).collect()
+    assert {(r["user_id"], r["item"]) for r in srows} == {
+        (u, 1) for u in range(40)
+    } | {(7, 2)}
+
+    # the driver-materialization pattern is gone from the sink source
+    src = inspect.getsource(rs)
+    assert "coalesce(1)" not in src
+    assert ".collect()" not in src.replace(
+        'batch_b.select("bucket").distinct().collect()', ""
+    )
+    del _s
 
 
 def test_resolution_equals_wal_replay_randomized(spark):
