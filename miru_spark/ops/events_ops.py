@@ -460,5 +460,6 @@ QUERIES = {
     "ev_anomaly_newest": (ev_anomaly_newest, EV_ANOMALY_NEWEST_SQL),
     "ev_trending_slope": (ev_trending_slope, EV_TRENDING_SLOPE_SQL),
     "ev_trending_peaks": (ev_trending_peaks, EV_TRENDING_PEAKS_SQL),
-    "ev_reco_cofilter": (ev_reco_cofilter, EV_RECO_COFILTER_SQL),
+    # ev_reco_cofilter retired: driver-gated by ft_engine_reco (the
+    # engine's 3-hop walk); pytest-gated in tests/test_entry_oracle.py.
 }

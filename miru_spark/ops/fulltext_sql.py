@@ -253,6 +253,29 @@ def _engine_for(spark: SparkSession, sf_dir: str):
             F.format_string("g%d", F.col("doc_id") % 3),
             F.format_string("h%d", F.col("doc_id") % 5),
         ).alias("authz"),
+        # schema-declared plugin fields (MiruSchema analog), all pure
+        # functions of doc_id so DuckDB recomputes the reco/strut/
+        # features/inbox answers: `parent` correlates with `user`
+        # (each parent maps to <=2 users) so collaborative filtering
+        # has real structure instead of an affine map that every user
+        # covers
+        F.create_map(
+            F.lit("user"),
+            F.array(F.format_string("u%02d", F.col("doc_id") % 13)),
+            F.lit("item"),
+            F.array(
+                F.format_string("i%02d", (F.col("doc_id") * 3) % 11)
+            ),
+            F.lit("parent"),
+            F.array(
+                F.format_string(
+                    "p%d",
+                    (F.col("doc_id") % 13) * 3 + (F.col("doc_id") % 5),
+                )
+            ),
+            F.lit("stream"),
+            F.array((F.col("doc_id") % 4).cast("string")),
+        ).alias("fields"),
     )
     index_dir = tempfile.mkdtemp(prefix="ft_engine_idx_")
     build_index(
@@ -262,6 +285,7 @@ def _engine_for(spark: SparkSession, sf_dir: str):
         partition_seconds=10**9,
         block_span=64,
         shuffle_partitions=max(8, spark.sparkContext.defaultParallelism),
+        extra_fields=["user", "item", "parent", "stream"],
     )
     eng = SearchEngine(spark, index_dir)
     _ENGINE_CACHE[key] = eng
@@ -534,6 +558,163 @@ LIMIT 10
 """
 
 
+# -- the reco plugin family through the REAL engine (featureops.py):
+#    gatherFeatures / collaborative filtering / strut / inbox, each
+#    DuckDB-recomputable because every plugin field is a pure function
+#    of doc_id (see _engine_for). -----------------------------------------
+
+
+def ft_engine_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gatherFeatures through the engine: (user, item) value-tuple
+    doc-co-occurrence counts over the docs matching 'spark'
+    (MiruAggregateUtil.gatherFeatures:77-291 counting core)."""
+    rows = _engine_for(spark, sf_dir).gather_features(
+        ("user", "item"), query="spark"
+    )
+    return spark.createDataFrame(
+        [(u, i, int(c)) for (u, i), c in rows],
+        "user_v string, item_v string, cnt long",
+    )
+
+
+FT_ENGINE_FEATURES_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+), m AS (
+  SELECT doc_id FROM toks WHERE list_contains(ts, 'spark')
+)
+SELECT printf('u%02d', doc_id % 13) AS user_v,
+       printf('i%02d', (doc_id * 3) % 11) AS item_v,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM m GROUP BY 1, 2
+"""
+
+
+def ft_engine_reco(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collaborative filtering through the engine: the 3-hop walk of
+    CollaborativeFiltering.java:75-213 for user u03 over the composed
+    parent/user fields; score = sum of contributor weights."""
+    rows = _engine_for(spark, sf_dir).reco(
+        ("user", "u03"), "parent", "user", "parent", k=10
+    )
+    return spark.createDataFrame(
+        [(v, int(s)) for v, s in rows], "value string, score long"
+    )
+
+
+FT_ENGINE_RECO_SQL = """
+WITH docs AS (
+  SELECT doc_id, doc_id % 13 AS u,
+         (doc_id % 13) * 3 + (doc_id % 5) AS p
+  FROM documents
+), parents AS (
+  SELECT DISTINCT p FROM docs WHERE u = 3
+), contributors AS (
+  SELECT u, CAST(count(*) AS BIGINT) AS w FROM docs
+  WHERE u <> 3 AND p IN (SELECT p FROM parents)
+  GROUP BY u ORDER BY w DESC, u ASC LIMIT 10
+), cand AS (
+  SELECT DISTINCT c.u, d.p, c.w
+  FROM docs d JOIN contributors c ON d.u = c.u
+  WHERE d.p NOT IN (SELECT p FROM parents)
+)
+SELECT printf('p%d', p) AS value, CAST(sum(w) AS BIGINT) AS score
+FROM cand GROUP BY p
+ORDER BY score DESC, value ASC LIMIT 10
+"""
+
+
+def _strut_model(fi: int, vals: tuple) -> float:
+    # deterministic stand-in for the catwalk model table: feature 0
+    # (user) scores (u%5)/7, feature 1 (item) scores (i%4)/3
+    n = int(vals[0][1:])
+    return (n % 5) / 7.0 if fi == 0 else (n % 4) / 3.0
+
+
+def ft_engine_strut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strut through the engine (Strut.java:82-236): candidates =
+    parent values, features = user (scalar 1.0) + item (scalar 0.5),
+    UNIT_WEIGHTED finalize; model scores recomputed by DuckDB."""
+    rows = _engine_for(spark, sf_dir).strut(
+        "parent",
+        [(1.0, "user"), (0.5, "item")],
+        model=_strut_model,
+        k=10,
+    )
+    return spark.createDataFrame(
+        [(v, round(float(s), 6)) for v, s in rows],
+        "value string, score double",
+    )
+
+
+FT_ENGINE_STRUT_SQL = """
+WITH docs AS (
+  SELECT doc_id % 13 AS u, (doc_id * 3) % 11 AS i,
+         (doc_id % 13) * 3 + (doc_id % 5) AS p
+  FROM documents
+), f0 AS (
+  SELECT p, max((u % 5) / 7.0) AS s0
+  FROM (SELECT DISTINCT p, u FROM docs) GROUP BY p
+), f1 AS (
+  SELECT p, max(0.5 * (i % 4) / 3.0) AS s1
+  FROM (SELECT DISTINCT p, i FROM docs) GROUP BY p
+), s AS (
+  SELECT f0.p, (coalesce(s0, 0) + coalesce(s1, 0)) / 2 AS sc
+  FROM f0 LEFT JOIN f1 ON f0.p = f1.p
+)
+SELECT printf('p%d', p) AS value, round(sc, 6) AS score
+FROM s WHERE sc > 0
+ORDER BY round(sc, 6) DESC, value ASC LIMIT 10
+"""
+
+
+def ft_engine_inbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inbox stream page through the engine
+    (AggregateCountsInboxQuestion + backfillerizer unread rules):
+    stream '2', newest-first item page with counts + unread flags;
+    even items were read at the mid-corpus cutoff, so items whose
+    newest activity predates it show read."""
+    eng = _engine_for(spark, sf_dir)
+    n_docs = eng.n_docs
+    cutoff = 1704067200_000_000 + (n_docs // 2) * 1_000_000
+    reads = [
+        {"item": f"i{i:02d}", "op": "read", "ts": cutoff, "seq": i}
+        for i in range(0, 11, 2)
+    ]
+    page = eng.inbox("2", count=10, read_state=reads)["page"]
+    return spark.createDataFrame(
+        [
+            (r["value"], int(r["count"]), int(r["warc_us"]),
+             int(r["unread"]))
+            for r in page
+        ],
+        "value string, cnt long, warc_us long, unread int",
+    )
+
+
+FT_ENGINE_INBOX_SQL = """
+WITH n AS (
+  SELECT CAST(count(*) AS BIGINT) AS nd FROM documents
+), s AS (
+  SELECT printf('i%02d', (doc_id * 3) % 11) AS item,
+         CAST(count(*) AS BIGINT) AS cnt,
+         CAST(max(1704067200000000 + doc_id * 1000000) AS BIGINT)
+           AS last_act
+  FROM documents WHERE doc_id % 4 = 2 GROUP BY 1
+), marks AS (
+  SELECT item,
+         1704067200000000 + (SELECT nd FROM n) // 2 * 1000000 AS read_ts
+  FROM s WHERE CAST(substr(item, 2) AS INT) % 2 = 0
+)
+SELECT s.item AS value, cnt, last_act AS warc_us,
+       CAST(CASE WHEN m.item IS NULL THEN 1
+                 WHEN last_act > m.read_ts THEN 1 ELSE 0 END AS INT)
+         AS unread
+FROM s LEFT JOIN marks m ON s.item = m.item
+ORDER BY warc_us DESC, value ASC LIMIT 10
+"""
+
+
 QUERIES = {
     "ft_term_stats": (ft_term_stats, FT_TERM_STATS_SQL),
     "ft_bm25_and_topk": (ft_bm25_and_topk, FT_BM25_AND_SQL),
@@ -553,4 +734,13 @@ QUERIES = {
     "ft_engine_newest": (ft_engine_newest, FT_ENGINE_NEWEST_SQL),
     "ft_engine_time_range": (ft_engine_time_range, FT_ENGINE_TIME_RANGE_SQL),
     "ft_engine_authz": (ft_engine_authz, FT_ENGINE_AUTHZ_SQL),
+    # r4: the reco plugin family through the REAL engine. Their slots
+    # come from the retired event-table re-expressions
+    # (ev_gather_features / ev_strut_score / ev_reco_cofilter /
+    # ev_inbox_aggregate_counts), which stay pytest-gated in
+    # tests/test_entry_oracle.py.
+    "ft_engine_features": (ft_engine_features, FT_ENGINE_FEATURES_SQL),
+    "ft_engine_reco": (ft_engine_reco, FT_ENGINE_RECO_SQL),
+    "ft_engine_strut": (ft_engine_strut, FT_ENGINE_STRUT_SQL),
+    "ft_engine_inbox": (ft_engine_inbox, FT_ENGINE_INBOX_SQL),
 }

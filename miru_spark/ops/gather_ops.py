@@ -580,12 +580,16 @@ FROM model
 QUERIES = {
     "ev_gather_counts": (ev_gather_counts, EV_GATHER_COUNTS_SQL),
     "ev_stream_sets": (ev_stream_sets, EV_STREAM_SETS_SQL),
-    "ev_gather_features": (ev_gather_features, EV_GATHER_FEATURES_SQL),
-    "ev_strut_score": (ev_strut_score, EV_STRUT_SCORE_SQL),
+    # ev_gather_features / ev_strut_score retired from the driver
+    # registry (50-entry cap): driver-gated by ft_engine_features /
+    # ft_engine_strut through the REAL engine; pytest-gated in
+    # tests/test_entry_oracle.py.
     "ev_catwalk_train": (ev_catwalk_train, EV_CATWALK_TRAIN_SQL),
     "ev_inbox_unread": (ev_inbox_unread, EV_INBOX_UNREAD_SQL),
     "ev_inbox_distinct_count": (ev_inbox_distinct_count, EV_INBOX_DISTINCT_COUNT_SQL),
-    "ev_inbox_aggregate_counts": (ev_inbox_aggregate_counts, EV_INBOX_AGG_COUNTS_SQL),
+    # ev_inbox_aggregate_counts retired: driver-gated by
+    # ft_engine_inbox (the engine's inbox page); pytest-gated in
+    # tests/test_entry_oracle.py.
     "ev_authz_filter": (ev_authz_filter, EV_AUTHZ_FILTER_SQL),
     "ev_bloom_probe": (ev_bloom_probe, EV_BLOOM_PROBE_SQL),
     "ev_latest_first": (ev_latest_first, EV_LATEST_FIRST_SQL),

@@ -112,7 +112,9 @@ def test_registry_within_driver_cap():
 # The per-op tx_*/mm_* functions left the driver registry (batched into
 # tx_profile/mm_pipeline) but keep their individual DuckDB parity here.
 def _retired_pairs():
+    from miru_spark.ops import events_ops as eo
     from miru_spark.ops import fulltext_sql as ft
+    from miru_spark.ops import gather_ops as go
     from miru_spark.ops import multimodal as mm
     from miru_spark.ops import textstats as tx
 
@@ -128,6 +130,16 @@ def _retired_pairs():
         "mm_frame_sample": (mm.mm_frame_sample, mm.MM_FRAME_SAMPLE_SQL),
         "mm_resize_plan": (mm.mm_resize_plan, mm.MM_RESIZE_PLAN_SQL),
         "mm_audio_windows": (mm.mm_audio_windows, mm.MM_AUDIO_WINDOWS_SQL),
+        # retired r4: slots given to the engine-backed reco plugin
+        # family (ft_engine_features/reco/strut/inbox); the event-table
+        # re-expressions keep their DuckDB parity here
+        "ev_gather_features": (
+            go.ev_gather_features, go.EV_GATHER_FEATURES_SQL),
+        "ev_strut_score": (go.ev_strut_score, go.EV_STRUT_SCORE_SQL),
+        "ev_inbox_aggregate_counts": (
+            go.ev_inbox_aggregate_counts, go.EV_INBOX_AGG_COUNTS_SQL),
+        "ev_reco_cofilter": (
+            eo.ev_reco_cofilter, eo.EV_RECO_COFILTER_SQL),
     }
 
 
