@@ -39,9 +39,9 @@ ENGLISH_STOPWORDS = frozenset(
 
 # Token characters: Latin (+extensions), Cyrillic, Greek, Armenian,
 # Arabic (+supplement), Devanagari, Thai -- the scripts of the wired
-# locale analyzers. StandardTokenizer splits on anything else. Thai is
-# unsegmented; run-of-script chunks stand in for dictionary segmentation
-# (ThaiAnalyzer), a documented limitation.
+# locale analyzers. StandardTokenizer splits on anything else. Thai
+# run-of-script chunks are further split by dictionary segmentation
+# (thai_segment, the ThaiAnalyzer analog) under the `th` locale.
 _TOKEN_RE = re.compile(
     r"[0-9A-Za-z_À-ɏЀ-ӿ"
     r"Ͱ-Ͽἀ-῿"  # Greek + Greek Extended
@@ -634,13 +634,309 @@ italian_light_stem = lru_cache(maxsize=1 << 16)(
 
 
 # ---------------------------------------------------------------------------
+# Russian: the Snowball Russian stemmer, implemented from the published
+# specification (snowballstem.org/algorithms/russian/stemmer) -- the
+# algorithm inside the RussianAnalyzer the reference wires
+# (TermAnalyzers.java:43-111). among() semantics preserved: the LONGEST
+# matching suffix in each group decides; if its precondition (preceding
+# а/я for group-1 patterns) fails, the whole rule fails with no
+# backtracking to a shorter suffix.
+# ---------------------------------------------------------------------------
+
+_RU_VOWELS = frozenset("аеиоуыэюя")
+
+# (suffix, needs preceding а/я) -- sorted longest-first at module load
+_RU_PERF_GERUND = sorted(
+    [("в", True), ("вши", True), ("вшись", True),
+     ("ив", False), ("ивши", False), ("ившись", False),
+     ("ыв", False), ("ывши", False), ("ывшись", False)],
+    key=lambda sp: -len(sp[0]),
+)
+_RU_ADJECTIVE = sorted(
+    ["ее", "ие", "ые", "ое", "ими", "ыми", "ей", "ий", "ый", "ой",
+     "ем", "им", "ым", "ом", "его", "ого", "ему", "ому", "их", "ых",
+     "ую", "юю", "ая", "яя", "ою", "ею"],
+    key=len, reverse=True,
+)
+_RU_PARTICIPLE = sorted(
+    [("ем", True), ("нн", True), ("вш", True), ("ющ", True),
+     ("щ", True), ("ивш", False), ("ывш", False), ("ующ", False)],
+    key=lambda sp: -len(sp[0]),
+)
+_RU_VERB = sorted(
+    [("ла", True), ("на", True), ("ете", True), ("йте", True),
+     ("ли", True), ("й", True), ("л", True), ("ем", True), ("н", True),
+     ("ло", True), ("но", True), ("ет", True), ("ют", True),
+     ("ны", True), ("ть", True), ("ешь", True), ("нно", True),
+     ("ила", False), ("ыла", False), ("ена", False), ("ейте", False),
+     ("уйте", False), ("ите", False), ("или", False), ("ыли", False),
+     ("ей", False), ("уй", False), ("ил", False), ("ыл", False),
+     ("им", False), ("ым", False), ("ен", False), ("ило", False),
+     ("ыло", False), ("ено", False), ("ят", False), ("ует", False),
+     ("уют", False), ("ит", False), ("ыт", False), ("ены", False),
+     ("ить", False), ("ыть", False), ("ишь", False), ("ую", False),
+     ("ю", False)],
+    key=lambda sp: -len(sp[0]),
+)
+_RU_NOUN = sorted(
+    ["а", "ев", "ов", "ие", "ье", "е", "иями", "ями", "ами", "еи",
+     "ии", "и", "ией", "ей", "ой", "ий", "й", "иям", "ям", "ием",
+     "ем", "ам", "ом", "о", "у", "ах", "иях", "ях", "ы", "ь", "ию",
+     "ью", "ю", "ия", "ья", "я"],
+    key=len, reverse=True,
+)
+
+
+def _ru_regions(word: str) -> tuple[int, int]:
+    """(RV, R2) start offsets per the Snowball definitions: RV after the
+    first vowel; R1 after the first non-vowel following a vowel; R2 the
+    same within R1."""
+    n = len(word)
+    rv = n
+    for i, c in enumerate(word):
+        if c in _RU_VOWELS:
+            rv = i + 1
+            break
+    r1 = n
+    for i in range(1, n):
+        if word[i] not in _RU_VOWELS and word[i - 1] in _RU_VOWELS:
+            r1 = i + 1
+            break
+    r2 = n
+    for i in range(r1 + 1, n):
+        if word[i] not in _RU_VOWELS and word[i - 1] in _RU_VOWELS:
+            r2 = i + 1
+            break
+    return rv, r2
+
+
+def _ru_try(word: str, rv: int, candidates) -> str | None:
+    """among(): longest suffix (entirely inside RV) decides; a failed
+    а/я precondition fails the whole rule. Candidates are either plain
+    strings or (suffix, needs_prec) pairs."""
+    for cand in candidates:
+        s, needs = cand if isinstance(cand, tuple) else (cand, False)
+        if word.endswith(s) and len(word) - len(s) >= rv:
+            if needs:
+                i = len(word) - len(s) - 1
+                if i < rv or word[i] not in "ая":
+                    return None
+            return word[: -len(s)]
+    return None
+
+
+def _russian_stem_uncached(word: str) -> str:
+    word = word.replace("ё", "е")
+    rv, r2 = _ru_regions(word)
+    if rv >= len(word):
+        return word
+    # step 1: perfective gerund, else (reflexive?, then
+    # adjectival | verb | noun)
+    got = _ru_try(word, rv, _RU_PERF_GERUND)
+    if got is not None:
+        word = got
+    else:
+        for refl in ("ся", "сь"):
+            if word.endswith(refl) and len(word) - 2 >= rv:
+                word = word[:-2]
+                break
+        got = _ru_try(word, rv, _RU_ADJECTIVE)
+        if got is not None:
+            word = got
+            got = _ru_try(word, rv, _RU_PARTICIPLE)
+            if got is not None:
+                word = got
+        else:
+            got = _ru_try(word, rv, _RU_VERB)
+            if got is not None:
+                word = got
+            else:
+                got = _ru_try(word, rv, _RU_NOUN)
+                if got is not None:
+                    word = got
+    # step 2: drop a final и
+    if word.endswith("и") and len(word) - 1 >= rv:
+        word = word[:-1]
+    # step 3: derivational ость/ост in R2
+    for der in ("ость", "ост"):
+        if word.endswith(der) and len(word) - len(der) >= r2:
+            word = word[: -len(der)]
+            break
+    # step 4: undouble нн | superlative (+undouble) | drop final ь
+    if word.endswith("нн") and len(word) - 1 >= rv:
+        word = word[:-1]
+    else:
+        for sup in ("ейше", "ейш"):
+            if word.endswith(sup) and len(word) - len(sup) >= rv:
+                word = word[: -len(sup)]
+                if word.endswith("нн") and len(word) - 1 >= rv:
+                    word = word[:-1]
+                break
+        else:
+            if word.endswith("ь") and len(word) - 1 >= rv:
+                word = word[:-1]
+    return word
+
+
+russian_stem = lru_cache(maxsize=1 << 16)(_russian_stem_uncached)
+
+
+# ---------------------------------------------------------------------------
+# Arabic: normalization + the light10 stemmer (Larkey, Ballesteros &
+# Connell 2002), the algorithm inside Lucene's ArabicAnalyzer
+# (ArabicNormalizer + ArabicStemmer) that the reference wires for "ar".
+# ---------------------------------------------------------------------------
+
+# harakat/tanwin/shadda/sukun + superscript alef + tatweel are removed;
+# hamza-carrying alefs fold to bare alef, alef maksura to yeh, teh
+# marbuta to heh
+_AR_STRIP = dict.fromkeys(map(ord, "ًٌٍَُ"
+                                   "ِّْٰـ"))
+_AR_FOLD = str.maketrans("أإآىة", "ااايه")
+_AR_PREFIXES = ("وال", "بال", "كال", "فال", "لل", "ال", "و")
+_AR_SUFFIXES = ("ها", "ان", "ات", "ون", "ين", "يه", "ية", "ه", "ة", "ي")
+
+
+def _arabic_stem_uncached(word: str) -> str:
+    w = word.translate(_AR_STRIP).translate(_AR_FOLD)
+    # one prefix, longest first; the bare waw needs a 3-char remainder
+    for p in _AR_PREFIXES:
+        if w.startswith(p):
+            rest = len(w) - len(p)
+            if (rest >= 3) if len(p) == 1 else (rest >= 2):
+                w = w[len(p):]
+                break
+    # suffixes strip in list order, each at most once, while >= 2 chars
+    # would remain
+    for s in _AR_SUFFIXES:
+        if w.endswith(s) and len(w) - len(s) >= 2:
+            w = w[: -len(s)]
+    return w
+
+
+arabic_stem = lru_cache(maxsize=1 << 16)(_arabic_stem_uncached)
+
+
+# ---------------------------------------------------------------------------
+# Finnish: a light stemmer in the Savoy CLEF style (the same family as
+# the es/pt/it stemmers above): strip the enclitic particles, then the
+# possessive, then the longest case ending, then normalize the stem tail.
+# A rendition of the published light approach (Savoy 2003; Lucene ships
+# it as FinnishLightStemmer), NOT the full Snowball algorithm -- scope
+# documented here and in VERDICT tracking.
+# ---------------------------------------------------------------------------
+
+_FI_PARTICLES = ("kaan", "kään", "han", "hän", "kin", "ko", "kö",
+                 "pa", "pä")
+_FI_POSSESSIVES = ("nsa", "nsä", "mme", "nne", "ni", "si")
+_FI_CASES = sorted(
+    ["seen", "siin", "tten", "ssa", "ssä", "sta", "stä", "lla", "llä",
+     "lta", "ltä", "lle", "ksi", "ine", "den", "tta", "ttä", "na",
+     "nä", "in", "an", "än", "en", "a", "ä", "n", "t"],
+    key=len, reverse=True,
+)
+_FI_VOWELS = "aeiouyäö"
+
+
+def _finnish_light_stem_uncached(word: str) -> str:
+    w = word
+    if len(w) < 4:
+        return w
+    for suf in _FI_PARTICLES:
+        if w.endswith(suf) and len(w) - len(suf) >= 3:
+            w = w[: -len(suf)]
+            break
+    for suf in _FI_POSSESSIVES:
+        if w.endswith(suf) and len(w) - len(suf) >= 3:
+            w = w[: -len(suf)]
+            break
+    # -nen lexemes conflate with their oblique stem in -s
+    # (suomalainen / suomalaisen -> suomalais)
+    if w.endswith("nen") and len(w) >= 6:
+        w = w[:-3] + "s"
+    # two passes: a possessive-fused tail is case + Vn (talossaan ->
+    # talossa -> talo)
+    for _pass in range(2):
+        for suf in _FI_CASES:
+            keep = 4 if len(suf) == 1 else 3
+            if w.endswith(suf) and len(w) - len(suf) >= keep:
+                w = w[: -len(suf)]
+                break
+        else:
+            break
+    # tail normalization: collapse a final long vowel (talossaan ->
+    # talo...aa -> a) and a final double consonant (tt -> t)
+    if len(w) >= 4 and w[-1] == w[-2] and w[-1] in _FI_VOWELS:
+        w = w[:-1]
+    if len(w) >= 4 and w[-1] == w[-2] and w[-1] not in _FI_VOWELS:
+        w = w[:-1]
+    return w
+
+
+finnish_light_stem = lru_cache(maxsize=1 << 16)(
+    _finnish_light_stem_uncached
+)
+
+
+# ---------------------------------------------------------------------------
+# Turkish: light affix stripper in the same family -- iterative removal
+# of the regular agglutinative tail (plural, possessive, case, copula)
+# with vowel-harmony variants enumerated, minimum 3-char stems. A
+# conservative rendition of published Turkish suffix-stripping practice,
+# NOT the full Snowball algorithm (the reference's TurkishAnalyzer
+# stems via Snowball) -- scope documented.
+# ---------------------------------------------------------------------------
+
+_TR_SUFFIXES = sorted(
+    # plural
+    ["lar", "ler",
+     # possessive + case clusters
+     "ları", "leri", "ının", "inin", "unun", "ünün", "ında", "inde",
+     "unda", "ünde", "ından", "inden", "undan", "ünden", "ıyla",
+     "iyle", "uyla", "üyle", "sında", "sinde",
+     # case
+     "dan", "den", "tan", "ten", "nın", "nin", "nun", "nün", "yı",
+     "yi", "yu", "yü", "ya", "ye", "da", "de", "ta", "te",
+     # possessive
+     "ımız", "imiz", "umuz", "ümüz", "ınız", "iniz", "unuz", "ünüz",
+     "sı", "si", "su", "sü", "ım", "im", "um", "üm", "ın", "in",
+     "un", "ün",
+     # copula
+     "dır", "dir", "dur", "dür", "tır", "tir", "tur", "tür",
+     # bare vowel case endings
+     "ı", "i", "u", "ü"],
+    key=len, reverse=True,
+)
+
+
+def _turkish_light_stem_uncached(word: str) -> str:
+    w = word
+    # min stem 2: Turkish roots are commonly two letters (ev, su, el)
+    for _round in range(3):
+        for suf in _TR_SUFFIXES:
+            if w.endswith(suf) and len(w) - len(suf) >= 2:
+                w = w[: -len(suf)]
+                break
+        else:
+            break
+    return w
+
+
+turkish_light_stem = lru_cache(maxsize=1 << 16)(
+    _turkish_light_stem_uncached
+)
+
+
+# ---------------------------------------------------------------------------
 # Stopword-only analyzers. The reference wires full Lucene analyzers for
-# ~30 more locales (TermAnalyzers.java:50-81); for nl/ru/sv/da we ship the
-# Snowball stop set with Standard tokenization and NO stemmer -- an
-# explicit, documented scope reduction (stopping captures most of the
-# retrieval win; a wrong stemmer would be worse than none). Remaining
-# locales fall through to the Standard analyzer exactly like
-# findAnalyzer's fallback (TermAnalyzers.java:117-136).
+# ~30 more locales (TermAnalyzers.java:50-81); locales below ship the
+# Snowball stop set with Standard tokenization. ru/ar/fi/tr gained
+# stemmers in r4 (Snowball Russian, Arabic light10, Finnish/Turkish
+# light); the rest stay stopword-only -- an explicit, documented scope
+# reduction (stopping captures most of the retrieval win; a wrong
+# stemmer would be worse than none). Remaining locales fall through to
+# the Standard analyzer exactly like findAnalyzer's fallback
+# (TermAnalyzers.java:117-136).
 # ---------------------------------------------------------------------------
 
 DUTCH_STOPWORDS = frozenset(
@@ -882,13 +1178,74 @@ SORANI_STOPWORDS = frozenset(
 )
 
 THAI_STOPWORDS = frozenset(
-    # Thai is unsegmented; without dictionary segmentation (Lucene's
-    # ThaiAnalyzer) tokens are run-of-script chunks, so these match only
-    # when space-delimited -- documented limitation
     """ที่ และ เป็น ใน ของ มี ได้ ว่า ให้ ไม่ จะ กับ แต่ ก็ การ ความ ไป มา นี้ นั้น
     อยู่ อย่าง ซึ่ง ต้อง ตาม โดย หรือ เมื่อ เพราะ จาก ถึง แล้ว ยัง ทั้ง ต่อ ทำ คือ
     เขา เรา คุณ ฉัน ผม มัน พวก ทุก บาง อะไร ใคร ไหน ทำไม อย่างไร""".split()
 )
+
+# ---------------------------------------------------------------------------
+# Thai dictionary segmentation (ThaiAnalyzer analog, VERDICT r3 item 7):
+# Thai is written without spaces, so run-of-script chunks are useless as
+# terms. A frozen dictionary (the stop list + common content words)
+# drives greedy longest-match segmentation; spans with no dictionary
+# word become one unknown-run token (the same fallback shape Lucene's
+# BreakIterator gives OOV spans). A match never strands a combining
+# vowel/tone mark at a word boundary.
+# ---------------------------------------------------------------------------
+
+_THAI_DICT = frozenset(
+    list(THAI_STOPWORDS)
+    + """คน บ้าน เมือง ประเทศ ไทย ภาษา หนังสือ เรียน โรงเรียน ครู นักเรียน
+    น้ำ ข้าว กิน ดี มาก วัน เวลา ปี เดือน รถ ถนน เด็ก ผู้หญิง ผู้ชาย แม่ พ่อ
+    ลูก เพื่อน รัก ชอบ เห็น รู้ คิด พูด อ่าน เขียน ซื้อ ขาย เงิน งาน บริษัท
+    ตลาด อาหาร ร้าน โรงแรม จังหวัด กรุงเทพ เชียงใหม่ ทะเล ภูเขา ต้นไม้ สัตว์
+    หมา แมว นก ปลา ช้าง เสือ ใหญ่ เล็ก ใหม่ เก่า สวย เร็ว ช้า ร้อน เย็น ฝน
+    แดด ลม ไฟ สี แดง เขียว เหลือง ขาว ดำ หนึ่ง สอง สาม สี่ ห้า หก เจ็ด
+    แปด เก้า สิบ ร้อย พัน หมื่น ล้าน รัฐบาล ข่าว กีฬา ดนตรี หนัง เพลง
+    เที่ยว นอน ตื่น เช้า สาย บ่าย เย็นนี้ คืน พรุ่งนี้ เมื่อวาน วันนี้""".split()
+)
+_TH_MAXLEN = max(map(len, _THAI_DICT))
+_TH_COMBINING = frozenset(
+    "ัำิีึืฺุู"
+    "็่้๊๋์ํ๎"
+)
+
+
+def _is_thai(c: str) -> bool:
+    return "฀" <= c <= "๿"
+
+
+@lru_cache(maxsize=1 << 14)
+def thai_segment(chunk: str) -> tuple:
+    """Greedy longest-match segmentation of one token. Non-Thai tokens
+    pass through; within Thai text, dictionary words split out and
+    out-of-vocabulary spans stay one token."""
+    if not any(_is_thai(c) for c in chunk):
+        return (chunk,)
+    out, unk = [], []
+    i, n = 0, len(chunk)
+    while i < n:
+        best = 0
+        if _is_thai(chunk[i]):
+            for ln in range(min(_TH_MAXLEN, n - i), 0, -1):
+                if chunk[i: i + ln] in _THAI_DICT:
+                    # never strand a combining mark at the boundary
+                    if i + ln < n and chunk[i + ln] in _TH_COMBINING:
+                        continue
+                    best = ln
+                    break
+        if best:
+            if unk:
+                out.append("".join(unk))
+                unk = []
+            out.append(chunk[i: i + best])
+            i += best
+        else:
+            unk.append(chunk[i])
+            i += 1
+    if unk:
+        out.append("".join(unk))
+    return tuple(out)
 
 
 def _identity_stem(word: str) -> str:
@@ -898,9 +1255,10 @@ def _identity_stem(word: str) -> str:
 # locale -> (stopword set, stemmer). Resolution strips `_` suffixes like
 # TermAnalyzers.findAnalyzer (so pt_BR -> pt_br -> explicit entry,
 # de_AT -> de). The full 31-entry reference map (TermAnalyzers.java:43-75)
-# is wired: 6 locales carry stemmers, the rest are stopword-only
-# (documented scope reduction; a mis-specified stemmer is worse than
-# none). en_ie maps to the English stop set exactly like the reference
+# is wired: 10 locales carry stemmers (en de fr es pt it + r4's ru ar fi
+# tr), the rest are stopword-only (documented scope reduction; a
+# mis-specified stemmer is worse than none). en_ie maps to the English
+# stop set exactly like the reference
 # (IrishAnalyzer built over EnStopwords); pt_br shares the pt light
 # stemmer (BrazilianAnalyzer analog); nb/nn share the Norwegian set.
 _LOCALE_ANALYZERS: dict[str, tuple[frozenset, object]] = {
@@ -911,14 +1269,17 @@ _LOCALE_ANALYZERS: dict[str, tuple[frozenset, object]] = {
     "pt": (PORTUGUESE_STOPWORDS, portuguese_light_stem),
     "it": (ITALIAN_STOPWORDS, italian_light_stem),
     "nl": (DUTCH_STOPWORDS, _identity_stem),
-    "ru": (RUSSIAN_STOPWORDS, _identity_stem),
+    # r4 stemmers (VERDICT r3 item 4, highest-value locales first):
+    # ru = full Snowball Russian; ar = light10; fi/tr = documented
+    # light stemmers (the reference's analyzers stem via Snowball)
+    "ru": (RUSSIAN_STOPWORDS, russian_stem),
     "sv": (SWEDISH_STOPWORDS, _identity_stem),
     "da": (DANISH_STOPWORDS, _identity_stem),
     # completed map (stopword-only)
     "nb": (NORWEGIAN_STOPWORDS, _identity_stem),
     "nn": (NORWEGIAN_STOPWORDS, _identity_stem),
-    "fi": (FINNISH_STOPWORDS, _identity_stem),
-    "tr": (TURKISH_STOPWORDS, _identity_stem),
+    "fi": (FINNISH_STOPWORDS, finnish_light_stem),
+    "tr": (TURKISH_STOPWORDS, turkish_light_stem),
     "ro": (ROMANIAN_STOPWORDS, _identity_stem),
     "id": (INDONESIAN_STOPWORDS, _identity_stem),
     "cs": (CZECH_STOPWORDS, _identity_stem),
@@ -928,7 +1289,7 @@ _LOCALE_ANALYZERS: dict[str, tuple[frozenset, object]] = {
     "lv": (LATVIAN_STOPWORDS, _identity_stem),
     "bg": (BULGARIAN_STOPWORDS, _identity_stem),
     "gr": (GREEK_STOPWORDS, _identity_stem),
-    "ar": (ARABIC_STOPWORDS, _identity_stem),
+    "ar": (ARABIC_STOPWORDS, arabic_stem),
     "fa": (PERSIAN_STOPWORDS, _identity_stem),
     "hi": (HINDI_STOPWORDS, _identity_stem),
     "hy": (ARMENIAN_STOPWORDS, _identity_stem),
@@ -975,6 +1336,10 @@ def analyze(
             base = base.rsplit("_", 1)[0]
         else:
             break
+    if base == "th":
+        # dictionary segmentation splits run-of-script chunks BEFORE
+        # stop/stem (ThaiAnalyzer tokenizes, then stops)
+        tokens = [s for t in tokens for s in thai_segment(t)]
     spec = _LOCALE_ANALYZERS.get(base)
     if spec is None:
         return tokens
@@ -1001,6 +1366,10 @@ def analyze_positions(
             base = base.rsplit("_", 1)[0]
         else:
             break
+    if base == "th":
+        # positions number the SEGMENTED stream (each dictionary word
+        # is its own position, like ThaiTokenizer emits)
+        tokens = [s for t in tokens for s in thai_segment(t)]
     spec = _LOCALE_ANALYZERS.get(base)
     if spec is None:
         return tokens, list(range(len(tokens)))

@@ -1857,6 +1857,28 @@ class SearchEngine(FeatureOpsMixin):
                 else int(sum(len(v) for v in self._removed_map.values()))
             ),
         }
+        # fragmentation advisory (lineage view): every commit unit a
+        # term's postings span is another row-group run each probe
+        # reads; compaction restores the single term-major run
+        units = [
+            d for d in sorted(os.listdir(self.paths.segments))
+            if d.startswith("b_")
+        ]
+        n_units = len(units)
+        rep["segments"] = {
+            "n_commit_units": n_units,
+            "n_files": len(self._segment_files()),
+            "advice": (
+                "compacted: one commit unit; a term's postings are one "
+                "contiguous term-major row-group run"
+                if n_units <= 1 else
+                f"fragmented: a term's postings span up to {n_units} "
+                "commit units (one per batch/sip append) -- "
+                "compact_index() would merge them into one globally "
+                "term-major unit (note: compaction collapses as_of "
+                "history)"
+            ),
+        }
         if field is not None:
             from ..fields import FIELD_SEP
 

@@ -225,11 +225,12 @@ def test_italian_analyzer_stops():
     assert got == ["amici", "amic", "banca"]
 
 
-# -- Stopword-only locales (nl/ru/sv/da: documented no-stemmer scope) ------
+# -- Stopword-only locales (nl/sv/da: documented no-stemmer scope) ---------
 
 def test_stopword_only_locales():
     assert analyze("de huizen en de katten", "nl") == ["huizen", "katten"]
-    assert analyze("и в не что он на я банки", "ru") == ["банки"]
+    # ru stems since r4 (Snowball Russian)
+    assert analyze("и в не что он на я банки", "ru") == ["банк"]
     assert analyze("och det att banker", "sv") == ["banker"]
     assert analyze("og i jeg banker", "da") == ["banker"]
     # no stemming: tokens pass through verbatim
@@ -252,8 +253,8 @@ GOLDEN_NEW_LOCALES = {
     # locale: (input, expected tokens)
     "nb": ("og jeg har en ny bok", ["ny", "bok"]),
     "nn": ("eg har ikkje ei bok", ["ei", "bok"]),
-    "fi": ("olen lukenut tämä kirja ja lehti", ["lukenut", "kirja", "lehti"]),
-    "tr": ("ve bir kitap okudum ama", ["kitap", "okudum"]),
+    "fi": ("olen lukenut tämä kirja ja lehti", ["lukenu", "kirj", "lehti"]),
+    "tr": ("ve bir kitap okudum ama", ["kitap", "okud"]),
     "ro": ("și o carte în casa", ["carte", "casa"]),
     "id": ("yang buku ini dan itu", ["buku"]),
     "cs": ("a je to kniha na stole", ["kniha", "stole"]),
@@ -263,7 +264,7 @@ GOLDEN_NEW_LOCALES = {
     "lv": ("un grāmata ir uz galda", ["grāmata", "galda"]),
     "bg": ("и книгата е на масата", ["книгата", "масата"]),
     "gr": ("ο σκύλος και η γάτα", ["σκύλος", "γάτα"]),
-    "ar": ("هذا كتاب جديد من المكتبة", ["كتاب", "جديد", "المكتبة"]),
+    "ar": ("هذا كتاب جديد من المكتبة", ["كتاب", "جديد", "مكتب"]),
     "fa": ("این کتاب جدید است و خوب", ["کتاب", "جدید", "خوب"]),
     "hi": ("यह एक नई किताब है", ["नई", "किताब"]),
     "hy": ("սա գիրք է եւ լավ", ["գիրք", "լավ"]),
@@ -279,8 +280,8 @@ GOLDEN_NEW_LOCALES = {
 def test_new_locales_golden():
     for loc, (text, want) in GOLDEN_NEW_LOCALES.items():
         assert analyze(text, loc) == want, loc
-    # stopword-only: no stemming anywhere outside the 6 stemmer locales
-    assert analyze("kitaplar", "tr") == ["kitaplar"]
+    # stopword-only: no stemming outside the 10 stemmer locales
+    assert analyze("kitaplar", "tr") == ["kitap"]  # tr stems since r4
     assert analyze("βιβλία", "gr") == ["βιβλία"]
 
 

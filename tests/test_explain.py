@@ -116,3 +116,29 @@ def test_explain_prefix_expansion_counts(eng):
     n = rep["prefix_expansions"]["w00004"]
     assert n == len(eng.expand_prefix("w00004")) >= 2
     assert rep["n_fetch_terms"] == n
+
+
+def test_explain_fragmentation_advisory(eng, spark, tmp_path):
+    # the one-batch fixture reports compacted
+    seg = eng.explain("w000001")["segments"]
+    assert seg["n_commit_units"] == 1
+    assert seg["advice"].startswith("compacted")
+    assert seg["n_files"] >= 1
+
+    # a second append fragments the index; the advisory flips and
+    # names compact_index
+    idx = str(tmp_path / "frag")
+    build_index(spark, webtext_df(spark, 200), idx,
+                partition_seconds=PSEC, block_span=256)
+    # a later doc range lands in fresh pids, so resume appends a
+    # second commit unit instead of skipping complete pids
+    build_index(spark, webtext_df(spark, 200, start=1200), idx,
+                partition_seconds=PSEC, block_span=256)
+    e2 = SearchEngine(spark, idx)
+    try:
+        seg2 = e2.explain("w000001")["segments"]
+        assert seg2["n_commit_units"] >= 2
+        assert "compact_index" in seg2["advice"]
+        json.dumps(seg2)
+    finally:
+        e2.close()
