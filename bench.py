@@ -187,6 +187,34 @@ def main() -> None:
             extras["analytics_sizes"] = [
                 n_match, len(wf), len(fc), len(mx), len(tr)
             ]
+            # r4 reco plugin family over the same index (the composed
+            # lang/site fields stand in for user/item dimensions so the
+            # build metric stays comparable across rounds)
+            t0 = time.time()
+            gf = eng.gather_features(("lang", "site"), query="w000017")
+            extras["plugin_features_ms"] = round(
+                (time.time() - t0) * 1e3, 1
+            )
+            t0 = time.time()
+            st = eng.strut(
+                "lang", [(1.0, "site")], query="w000017", k=10
+            )
+            extras["plugin_strut_ms"] = round((time.time() - t0) * 1e3, 1)
+            # field3=doclen: the uniform synthetic corpus gives every
+            # lang full site coverage, so a site-typed hop-3 would
+            # (correctly) exclude everything; doclen keeps the same
+            # 3-hop work and returns a real page
+            t0 = time.time()
+            rc = eng.reco(("lang", "de"), "site", "lang", "doclen", k=10)
+            extras["plugin_reco_ms"] = round((time.time() - t0) * 1e3, 1)
+            t0 = time.time()
+            ib = eng.inbox(
+                "de", item_field="site", stream_field="lang", count=10
+            )
+            extras["plugin_inbox_ms"] = round((time.time() - t0) * 1e3, 1)
+            extras["plugin_sizes"] = [
+                len(gf), len(st), len(rc), len(ib["page"])
+            ]
 
         # batched qps: all queries in ONE Spark job (stress-harness shape)
         t0 = time.time()
