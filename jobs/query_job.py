@@ -55,14 +55,20 @@ def main() -> None:
     ap.add_argument(
         "--mode", choices=["search", "count", "waveform", "distincts",
                            "metrics", "trending", "aggregate",
-                           "explain"],
+                           "explain", "features", "reco", "strut",
+                           "inbox"],
         default="search",
         help="search = ranked top-k (default); count = exact match "
         "count; waveform = per-time-bucket match counts; distincts = "
         "faceted field-value counts; metrics = per-bucket sum/avg of a "
         "numeric field; trending = strategy-ranked field values; "
         "aggregate = stream page (newest doc per value + counts); "
-        "explain = plan report, no query",
+        "explain = plan report, no query; features = field-tuple "
+        "co-occurrence counts (--field + --field2 [+ --field3]); "
+        "reco = collaborative filtering (--my f:v, --field/--field2/"
+        "--field3); strut = presence-scored candidates (--field + "
+        "repeatable --feature scalar:field); inbox = stream page "
+        "(--stream-id, --field item field, [--read-state dir])",
     )
     ap.add_argument(
         "--bucket-seconds", type=int, default=86400,
@@ -78,12 +84,35 @@ def main() -> None:
     )
     ap.add_argument(
         "--strategy",
-        choices=["linear_regression", "peaks", "highest_peak", "leader"],
-        default="linear_regression", help="trending ranking strategy",
+        choices=["linear_regression", "peaks", "highest_peak", "leader",
+                 "unit_weighted", "regression_weighted", "max"],
+        default="linear_regression",
+        help="trending ranking strategy / strut finalize strategy",
     )
     ap.add_argument(
         "--start", type=int, default=0,
-        help="aggregate: page offset (startFromDistinctN)",
+        help="aggregate/inbox: page offset (startFromDistinctN)",
+    )
+    ap.add_argument("--field2", default=None,
+                    help="features/reco: second field")
+    ap.add_argument("--field3", default=None,
+                    help="features (optional) / reco: third field")
+    ap.add_argument("--my", default=None,
+                    help="reco: my activity as field:value")
+    ap.add_argument(
+        "--feature", action="append", default=None,
+        help="strut feature as scalar:field (repeatable)",
+    )
+    ap.add_argument("--stream-id", default=None, help="inbox stream id")
+    ap.add_argument("--stream-field", default="stream",
+                    help="inbox: composed stream field (default stream)")
+    ap.add_argument(
+        "--read-state", default=None,
+        help="inbox: streamed read-state table dir",
+    )
+    ap.add_argument(
+        "--unread-only", action="store_true",
+        help="inbox: page only unread items",
     )
     args = ap.parse_args()
 
@@ -91,7 +120,8 @@ def main() -> None:
     if args.queries_file:
         with open(args.queries_file) as f:
             queries += [ln.strip() for ln in f if ln.strip()]
-    _FIELD_MODES = ("distincts", "metrics", "trending", "aggregate")
+    _FIELD_MODES = ("distincts", "metrics", "trending", "aggregate",
+                    "features", "reco", "strut", "inbox")
     if not queries:
         if args.mode in ("count", "waveform") + _FIELD_MODES:
             queries = [None]  # match-all
@@ -99,6 +129,14 @@ def main() -> None:
             ap.error("no queries given")
     if args.mode in _FIELD_MODES and not args.field:
         ap.error(f"--mode {args.mode} requires --field")
+    if args.mode == "features" and not args.field2:
+        ap.error("--mode features requires --field2")
+    if args.mode == "reco" and not (
+        args.my and args.field2 and args.field3
+    ):
+        ap.error("--mode reco requires --my, --field2, --field3")
+    if args.mode == "inbox" and not args.stream_id:
+        ap.error("--mode inbox requires --stream-id")
 
     time_range_us = None
     if args.time_range:
@@ -147,6 +185,45 @@ def main() -> None:
             elif args.mode == "aggregate":
                 res = eng.aggregate_counts(
                     args.field, q, args.start, args.k, **kw
+                )
+            elif args.mode == "features":
+                flds = [args.field, args.field2] + (
+                    [args.field3] if args.field3 else []
+                )
+                res = eng.gather_features(
+                    tuple(flds), query=q, top_n=args.k, **kw
+                )
+                res = [[list(v), c] for v, c in res]
+            elif args.mode == "reco":
+                f, v = args.my.split(":", 1)
+                res = eng.reco(
+                    (f, v), args.field, args.field2, args.field3,
+                    k=args.k, **kw
+                )
+            elif args.mode == "strut":
+                if not args.feature:
+                    ap.error("--mode strut requires --feature")
+                feats = [
+                    (float(s.split(":", 1)[0]), s.split(":", 1)[1])
+                    for s in args.feature
+                ]
+                strat = (
+                    args.strategy
+                    if args.strategy in ("unit_weighted",
+                                         "regression_weighted", "max")
+                    else "unit_weighted"
+                )
+                res = eng.strut(
+                    args.field, feats, k=args.k, query=q,
+                    strategy=strat, **kw
+                )
+            elif args.mode == "inbox":
+                res = eng.inbox(
+                    args.stream_id, item_field=args.field,
+                    stream_field=args.stream_field, query=q,
+                    start=args.start, count=args.k,
+                    unread_only=args.unread_only,
+                    read_state=args.read_state, **kw
                 )
             else:
                 res = eng.explain(

@@ -928,6 +928,177 @@ turkish_light_stem = lru_cache(maxsize=1 << 16)(
 
 
 # ---------------------------------------------------------------------------
+# Scandinavian Snowball stemmers (Swedish / Danish / Norwegian),
+# implemented from the published specifications
+# (snowballstem.org/algorithms/{swedish,danish,norwegian}/stemmer) --
+# the algorithms inside the SwedishAnalyzer / DanishAnalyzer /
+# NorwegianAnalyzer the reference wires. All share the scheme: R1 (first
+# non-vowel after a vowel, adjusted to start >= 3 letters in), one
+# longest-match ending drop, a consonant-pair trim, a residual-suffix
+# step.
+# ---------------------------------------------------------------------------
+
+
+def _scandi_r1(word: str, vowels: str) -> int:
+    n = len(word)
+    r1 = n
+    for i in range(1, n):
+        if word[i] not in vowels and word[i - 1] in vowels:
+            r1 = i + 1
+            break
+    return max(r1, 3)
+
+
+def _drop_longest(word: str, r1: int, suffixes) -> str | None:
+    """Longest suffix lying inside R1, deleted; None if none match."""
+    for s in suffixes:
+        if word.endswith(s) and len(word) - len(s) >= r1:
+            return word[: -len(s)]
+    return None
+
+
+_SV_VOWELS = "aeiouyäåö"
+_SV_STEP1 = sorted(
+    ["a", "arna", "erna", "heterna", "orna", "ad", "e", "ade", "ande",
+     "arne", "are", "aste", "en", "anden", "aren", "heten", "ern",
+     "ar", "er", "heter", "or", "as", "arnas", "ernas", "ornas", "es",
+     "ades", "andes", "ens", "arens", "hetens", "erns", "at", "andet",
+     "het", "ast"],
+    key=len, reverse=True,
+)
+_SV_S_ENDINGS = frozenset("bcdfghjklmnoprtvy")
+_SV_PAIRS = ("dd", "gd", "nn", "dt", "gt", "kt", "tt")
+
+
+def _swedish_stem_uncached(word: str) -> str:
+    w = word
+    r1 = _scandi_r1(w, _SV_VOWELS)
+    got = _drop_longest(w, r1, _SV_STEP1)
+    if got is not None:
+        w = got
+    elif (
+        w.endswith("s") and len(w) - 1 >= r1
+        and len(w) >= 2 and w[-2] in _SV_S_ENDINGS
+    ):
+        w = w[:-1]
+    for p in _SV_PAIRS:
+        if w.endswith(p) and len(w) - 1 >= r1:
+            w = w[:-1]
+            break
+    for s, rep in (("fullt", "full"), ("löst", "lös")):
+        if w.endswith(s) and len(w) - len(s) >= r1:
+            return w[: -len(s)] + rep
+    got = _drop_longest(w, r1, ["lig", "els", "ig"])
+    return got if got is not None else w
+
+
+swedish_stem = lru_cache(maxsize=1 << 16)(_swedish_stem_uncached)
+
+
+_DA_VOWELS = "aeiouyæåø"
+_DA_STEP1 = sorted(
+    ["hed", "ethed", "ered", "e", "erede", "ende", "erende", "ene",
+     "erne", "ere", "en", "heden", "eren", "er", "heder", "erer",
+     "heds", "get", "gets", "hedens", "ets", "et", "eret", "ens",
+     "erens", "ers", "erets"],
+    key=len, reverse=True,
+)
+_DA_S_ENDINGS = frozenset("abcdfghjklmnoprtvyzå")
+_DA_PAIRS = ("gd", "dt", "gt", "kt")
+_DA_CONSONANTS = frozenset("bcdfghjklmnpqrstvwxz")
+
+
+def _danish_stem_uncached(word: str) -> str:
+    w = word
+    r1 = _scandi_r1(w, _DA_VOWELS)
+    got = _drop_longest(w, r1, _DA_STEP1)
+    if got is not None:
+        w = got
+    elif (
+        w.endswith("s") and len(w) - 1 >= r1
+        and len(w) >= 2 and w[-2] in _DA_S_ENDINGS
+    ):
+        w = w[:-1]
+    for p in _DA_PAIRS:
+        if w.endswith(p) and len(w) - 1 >= r1:
+            w = w[:-1]
+            break
+    if w.endswith("igst") and len(w) - 2 >= r1:
+        w = w[:-2]
+    if w.endswith("løst") and len(w) - 1 >= r1:
+        w = w[:-1]
+    else:
+        got = _drop_longest(w, r1, ["elig", "lig", "els", "ig"])
+        if got is not None:
+            w = got
+            for p in _DA_PAIRS:  # step 3 repeats the pair trim
+                if w.endswith(p) and len(w) - 1 >= r1:
+                    w = w[:-1]
+                    break
+    # step 4: undouble a final double consonant in R1
+    if (
+        len(w) >= 2 and w[-1] == w[-2]
+        and w[-1] in _DA_CONSONANTS and len(w) - 1 >= r1
+    ):
+        w = w[:-1]
+    return w
+
+
+danish_stem = lru_cache(maxsize=1 << 16)(_danish_stem_uncached)
+
+
+_NO_VOWELS = "aeiouyæåø"
+_NO_STEP1 = sorted(
+    ["a", "e", "ede", "ande", "ende", "ane", "ene", "hetene", "en",
+     "heten", "ar", "er", "heter", "as", "es", "edes", "endes",
+     "enes", "hetenes", "ens", "hetens", "ers", "ets", "et", "het",
+     "ast"],
+    key=len, reverse=True,
+)
+_NO_S_ENDINGS = frozenset("bcdfghjlmnoprtvyz")
+_NO_STEP3 = sorted(
+    ["leg", "eleg", "ig", "eig", "lig", "elig", "els", "lov", "elov",
+     "slov", "hetslov"],
+    key=len, reverse=True,
+)
+
+
+def _norwegian_stem_uncached(word: str) -> str:
+    w = word
+    r1 = _scandi_r1(w, _NO_VOWELS)
+    # one longest-match among() covering the plain drops AND the
+    # erte/ert -> er replacements
+    matched = None
+    for s in sorted(
+        _NO_STEP1 + ["erte", "ert"], key=len, reverse=True
+    ):
+        if w.endswith(s) and len(w) - len(s) >= r1:
+            matched = s
+            break
+    if matched in ("erte", "ert"):
+        w = w[: -len(matched)] + "er"
+    elif matched is not None:
+        w = w[: -len(matched)]
+    elif (
+        w.endswith("s") and len(w) - 1 >= r1 and len(w) >= 2
+        and (
+            w[-2] in _NO_S_ENDINGS
+            or (w[-2] == "k" and (len(w) < 3 or w[-3] not in _NO_VOWELS))
+        )
+    ):
+        w = w[:-1]
+    for p in ("dt", "vt"):
+        if w.endswith(p) and len(w) - 1 >= r1:
+            w = w[:-1]
+            break
+    got = _drop_longest(w, r1, _NO_STEP3)
+    return got if got is not None else w
+
+
+norwegian_stem = lru_cache(maxsize=1 << 16)(_norwegian_stem_uncached)
+
+
+# ---------------------------------------------------------------------------
 # Stopword-only analyzers. The reference wires full Lucene analyzers for
 # ~30 more locales (TermAnalyzers.java:50-81); locales below ship the
 # Snowball stop set with Standard tokenization. ru/ar/fi/tr gained
@@ -1273,11 +1444,11 @@ _LOCALE_ANALYZERS: dict[str, tuple[frozenset, object]] = {
     # ru = full Snowball Russian; ar = light10; fi/tr = documented
     # light stemmers (the reference's analyzers stem via Snowball)
     "ru": (RUSSIAN_STOPWORDS, russian_stem),
-    "sv": (SWEDISH_STOPWORDS, _identity_stem),
-    "da": (DANISH_STOPWORDS, _identity_stem),
-    # completed map (stopword-only)
-    "nb": (NORWEGIAN_STOPWORDS, _identity_stem),
-    "nn": (NORWEGIAN_STOPWORDS, _identity_stem),
+    # r4 continued: Scandinavian Snowball stemmers
+    "sv": (SWEDISH_STOPWORDS, swedish_stem),
+    "da": (DANISH_STOPWORDS, danish_stem),
+    "nb": (NORWEGIAN_STOPWORDS, norwegian_stem),
+    "nn": (NORWEGIAN_STOPWORDS, norwegian_stem),
     "fi": (FINNISH_STOPWORDS, finnish_light_stem),
     "tr": (TURKISH_STOPWORDS, turkish_light_stem),
     "ro": (ROMANIAN_STOPWORDS, _identity_stem),

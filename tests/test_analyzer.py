@@ -225,16 +225,17 @@ def test_italian_analyzer_stops():
     assert got == ["amici", "amic", "banca"]
 
 
-# -- Stopword-only locales (nl/sv/da: documented no-stemmer scope) ---------
+# -- Stopword-only locales (nl: documented no-stemmer scope) ---------------
 
 def test_stopword_only_locales():
     assert analyze("de huizen en de katten", "nl") == ["huizen", "katten"]
-    # ru stems since r4 (Snowball Russian)
+    # ru/sv/da stem since r4 (Snowball)
     assert analyze("и в не что он на я банки", "ru") == ["банк"]
-    assert analyze("och det att banker", "sv") == ["banker"]
-    assert analyze("og i jeg banker", "da") == ["banker"]
-    # no stemming: tokens pass through verbatim
-    assert analyze("bankerna", "sv") == ["bankerna"]
+    assert analyze("och det att banker", "sv") == ["bank"]
+    assert analyze("og i jeg bankerne", "da") == ["bank"]
+    assert analyze("bankerna", "sv") == ["bank"]
+    # nl stays verbatim (no stemmer)
+    assert analyze("huizen", "nl") == ["huizen"]
 
 
 def test_use_stopwords_flag():
@@ -253,6 +254,8 @@ GOLDEN_NEW_LOCALES = {
     # locale: (input, expected tokens)
     "nb": ("og jeg har en ny bok", ["ny", "bok"]),
     "nn": ("eg har ikkje ei bok", ["ei", "bok"]),
+    "sv": ("och det att bankerna", ["bank"]),
+    "da": ("og i jeg kvinderne", ["kvind"]),
     "fi": ("olen lukenut tämä kirja ja lehti", ["lukenu", "kirj", "lehti"]),
     "tr": ("ve bir kitap okudum ama", ["kitap", "okud"]),
     "ro": ("și o carte în casa", ["carte", "casa"]),

@@ -320,3 +320,75 @@ def test_strut_model_cache(fx_engine):
 def test_strut_rejects_bad_strategy(fx_engine):
     with pytest.raises(ValueError, match="strategy"):
         fx_engine.strut("parent", FEATS, strategy="nope")
+
+
+# -- property: the vectorized per-doc cross-product counting core ------------
+
+
+def test_tuple_counts_matches_bruteforce_property():
+    """_tuple_counts (sorted-position merge + range expansion) ==
+    brute-force per-doc cross-product Counter, over randomized
+    multi-valued assignments, for 2 and 3 field groups."""
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+
+    from miru_spark.query.engine import _tuple_counts
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.data())
+    def run(data):
+        n_docs = data.draw(st.integers(1, 30))
+        n_groups = data.draw(st.integers(2, 3))
+        sizes = [data.draw(st.integers(1, 5)) for _ in range(n_groups)]
+        # per group: term -> sorted doc-id posting array
+        assign = []  # per group: doc -> set of value idx
+        for g in range(n_groups):
+            per_doc = [
+                data.draw(
+                    st.sets(st.integers(0, sizes[g] - 1), max_size=3)
+                )
+                for _ in range(n_docs)
+            ]
+            assign.append(per_doc)
+        match_mask = [
+            data.draw(st.booleans()) for _ in range(n_docs)
+        ]
+        matches = np.array(
+            [d for d in range(n_docs) if match_mask[d]], dtype=np.int64
+        )
+        postings = {}
+        groups = []
+        for g in range(n_groups):
+            terms = [f"g{g}v{v}" for v in range(sizes[g])]
+            groups.append(terms)
+            for v, t in enumerate(terms):
+                postings[t] = np.array(
+                    [d for d in range(n_docs) if v in assign[g][d]],
+                    dtype=np.int64,
+                )
+        keys, counts = _tuple_counts(matches, postings, groups)
+        got = dict(zip(keys.tolist(), counts.tolist()))
+        want: dict = {}
+        for d in range(n_docs):
+            if not match_mask[d]:
+                continue
+            tuples = [()]
+            for g in range(n_groups):
+                tuples = [
+                    t + (v,) for t in tuples for v in sorted(assign[g][d])
+                ]
+                if not assign[g][d]:
+                    tuples = []
+                    break
+            for t in tuples:
+                key = 0
+                for g, v in enumerate(t):
+                    key = key * (sizes[g] if g else 1) + v if g else v
+                # packed key = ((v0 * n1 + v1) * n2 + v2)
+                key = t[0]
+                for g in range(1, n_groups):
+                    key = key * sizes[g] + t[g]
+                want[key] = want.get(key, 0) + 1
+        assert got == want
+
+    run()

@@ -175,3 +175,57 @@ def test_stemmed_recall_e2e(spark, tmp_path):
     # Turkish / Arabic inflection recall
     assert urls("kitaplardan", "tr") == {"tr0"}
     assert urls("كتابها", "ar") == {"ar0"}
+
+
+# -- Scandinavian Snowball stemmers (sv/da/nb/nn, r4 continued) --------------
+
+
+def test_scandinavian_conflation():
+    from miru_spark.analyzer import (
+        danish_stem,
+        norwegian_stem,
+        swedish_stem,
+    )
+
+    sv = {
+        "bank": ["bank", "banker", "bankerna"],
+        "flick": ["flicka", "flickorna"],
+        "jak": ["jakt", "jakten"],  # step-2 kt trim per the spec
+        "möj": ["möjlighet", "möjligheterna"],
+    }
+    da = {
+        "hus": ["hus", "huset", "husene"],
+        "kvind": ["kvinde", "kvinden", "kvinderne"],
+        "ven": ["venlig", "venligst"],
+    }
+    no = {
+        "bok": ["bok", "boken"],
+        "hus": ["hus", "huset", "husene"],
+        "jent": ["jenta", "jentene"],
+        "kjær": ["kjærlighet", "kjærligheten"],
+    }
+    for stem, families in (
+        (swedish_stem, sv), (danish_stem, da), (norwegian_stem, no)
+    ):
+        for head, members in families.items():
+            for m in members:
+                assert stem(m) == head, f"{m} -> {stem(m)} != {head}"
+
+
+def test_norwegian_ert_replacement_and_s_condition():
+    from miru_spark.analyzer import norwegian_stem
+
+    # erte/ert -> er (the spec's only replacement rule)
+    assert norwegian_stem("fortert") == "forter"
+    # s drops only after a valid s-ending; vowel+k+s keeps the s
+    assert norwegian_stem("hettes") == "hett"
+
+
+def test_danish_undouble_and_igst():
+    from miru_spark.analyzer import danish_stem
+
+    assert danish_stem("venligst") == "ven"   # igst -> ig -> lig chain
+    # final double consonant in R1 undoubles
+    assert danish_stem("gulddrengen")[-1] != danish_stem(
+        "gulddrengen"
+    )[-2:-1] * 2
