@@ -355,6 +355,7 @@ def _make_kernel(
     facet_values: list | None = None,
     facet_terms2: list | None = None,
     facet_terms3: list | None = None,
+    tuple_specs: list | None = None,
 ):
     """Build the per-partition applyInPandas kernel (closure ships to
     executors with the task -- all members are small).
@@ -565,15 +566,31 @@ def _make_kernel(
                 # each observed combination). Only (packed tuple, count)
                 # rows leave the task; the cross product is per-DOC
                 # (multi-valued fields expand), never across docs.
-                groups = [facet_terms or [], facet_terms2 or []]
-                if facet_terms3:
-                    groups.append(facet_terms3)
-                keys, counts = _tuple_counts(ids, ids_out, groups)
+                # `tuple_specs` batches SEVERAL features into this one
+                # pass (strut's catwalk features): each spec owns a
+                # disjoint int64 key range via its offset, so every
+                # feature's counts ride the same exchange.
+                if tuple_specs is not None:
+                    specs = tuple_specs
+                else:
+                    groups = [facet_terms or [], facet_terms2 or []]
+                    if facet_terms3:
+                        groups.append(facet_terms3)
+                    specs = [(0, groups)]
+                all_k, all_c = [], []
+                for off, groups in specs:
+                    keys, counts = _tuple_counts(ids, ids_out, groups)
+                    if keys.size:
+                        all_k.append(keys + off)
+                        all_c.append(counts)
+                z = np.empty(0, dtype=np.int64)
                 return pd.DataFrame(
                     {
                         "pid": pid,
-                        "doc_id": keys,
-                        "score": counts.astype(np.float64),
+                        "doc_id": np.concatenate(all_k) if all_k else z,
+                        "score": (
+                            np.concatenate(all_c) if all_c else z
+                        ).astype(np.float64),
                     }
                 )
             if agg == "waveforms":
@@ -1249,6 +1266,7 @@ class SearchEngine(FeatureOpsMixin):
         facet_values: list | None = None,
         facet_terms2: list | None = None,
         facet_terms3: list | None = None,
+        tuple_specs: list | None = None,
     ) -> DataFrame:
         """Build the distributed match+score frame for a query: one
         mapInPandas kernel pass over the pruned posting blocks, yielding
@@ -1274,11 +1292,18 @@ class SearchEngine(FeatureOpsMixin):
         if (
             agg in ("distincts", "metrics", "aggregate", "waveforms",
                     "pairs")
-            and facet_terms
+            and (facet_terms or tuple_specs)
         ):
+            spec_terms = {
+                t
+                for _off, groups in (tuple_specs or [])
+                for g in groups
+                for t in g
+            }
             fetch_terms = sorted(
-                set(fetch_terms) | set(facet_terms)
+                set(fetch_terms) | set(facet_terms or [])
                 | set(facet_terms2 or []) | set(facet_terms3 or [])
+                | spec_terms
             )
         has_all_node = p["has_all_node"]
         relevant_pids = p["relevant_pids"]
@@ -1414,6 +1439,7 @@ class SearchEngine(FeatureOpsMixin):
             facet_values=facet_values,
             facet_terms2=facet_terms2,
             facet_terms3=facet_terms3,
+            tuple_specs=tuple_specs,
         )
         # hash-co-locate each pid's fetched blocks on one task, then ONE
         # pandas call per task loops the pids it owns -- same semantics as

@@ -434,16 +434,63 @@ class FeatureOpsMixin:
         run_local = self._route_facets(
             prep, [cand_terms, *field_groups.values()], local
         )
+        # every feature's tuple counts come out of ONE gather: the
+        # serving path shares one match evaluation + postings fetch
+        # across features; the distributed path batches all features
+        # into ONE kernel job via per-feature key offsets (tuple_specs)
+        # -- F catwalk features never cost F jobs.
+        specs, spans = [], []
+        off = 0
+        for _scalar, ff in feats:
+            groups = [cand_terms] + [field_groups[f] for f in ff]
+            span = 1
+            for g in groups:
+                span *= max(len(g), 1)
+            specs.append((off, groups))
+            spans.append(span)
+            off += span
+        per_feature: list = []
+        if run_local:
+            from .engine import _tuple_counts
+
+            matches = self._local_match_ids(prep)
+            all_terms = sorted(
+                {t for _o, groups in specs for g in groups for t in g}
+            )
+            fmap = {}
+            if matches.size and all_terms:
+                fmap, _tfs, _dls = self._postings_maps(
+                    all_terms, prep["pid_range"]
+                )
+            for _o, groups in specs:
+                if matches.size and all(groups):
+                    keys, _c = _tuple_counts(matches, fmap, groups)
+                else:
+                    keys = np.empty(0, dtype=np.int64)
+                per_feature.append(keys)
+        else:
+            rows = (
+                self.kernel_frame(
+                    None, k=0, prep=prep, agg="pairs",
+                    tuple_specs=specs,
+                )
+                .groupBy("doc_id")
+                .agg(F.sum("score").alias("c"))
+                .collect()
+            )
+            allk = np.sort(
+                np.array([r["doc_id"] for r in rows], dtype=np.int64)
+            )
+            for (o, _groups), span in zip(specs, spans):
+                lo = np.searchsorted(allk, o)
+                hi = np.searchsorted(allk, o + span)
+                per_feature.append(allk[lo:hi] - o)
         fscores = np.zeros((len(cand_terms), len(feats)), dtype=np.float64)
         for i, (scalar, ff) in enumerate(feats):
-            groups = [cand_terms] + [field_groups[f] for f in ff]
+            _o, groups = specs[i]
             if not all(groups):
                 continue
-            keys, _counts = (
-                self._tuple_counts_local(prep, groups)
-                if run_local
-                else self._tuple_counts_dist(prep, groups)
-            )
+            keys = per_feature[i]
             sizes = [len(g) for g in groups]
             for key in keys.tolist():
                 idxs = []

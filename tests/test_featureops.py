@@ -392,3 +392,27 @@ def test_tuple_counts_matches_bruteforce_property():
         assert got == want
 
     run()
+
+
+def test_strut_distributed_is_one_kernel_job(fx_engine, spark):
+    """F catwalk features never cost F kernel jobs: tuple_specs batches
+    every feature's gather into ONE kernel pass (per-feature int64 key
+    offsets), so the distributed strut plans one job total."""
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    got = fx_engine.strut(
+        "parent", FEATS, model=MODEL, k=7, local=False
+    )
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after - before == 1
+    assert got == fx_engine.strut("parent", FEATS, model=MODEL, k=7,
+                                  local=True)
+
+
+def test_strut_serving_shares_one_match_pass(fx_engine, spark):
+    # serving path: zero Spark jobs no matter how many features
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    fx_engine.strut("parent", FEATS, model=MODEL, k=7, local=True)
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before
