@@ -155,6 +155,51 @@ class FeatureOpsMixin:
         o = np.argsort(keys)
         return keys[o], counts[o]
 
+    def _batched_tuple_counts(
+        self, prep: dict, specs: list, spans: list, run_local: bool
+    ) -> list:
+        """Per-spec (keys, counts) for several tuple specs out of ONE
+        gather: the serving path shares one match evaluation + postings
+        fetch; the distributed path batches every spec into ONE kernel
+        job via per-spec int64 key offsets."""
+        out = []
+        if run_local:
+            from .engine import _tuple_counts
+
+            matches = self._local_match_ids(prep)
+            all_terms = sorted(
+                {t for _o, groups in specs for g in groups for t in g}
+            )
+            fmap = {}
+            if matches.size and all_terms:
+                fmap, _tfs, _dls = self._postings_maps(
+                    all_terms, prep["pid_range"]
+                )
+            z = np.empty(0, dtype=np.int64)
+            for _o, groups in specs:
+                if matches.size and all(groups):
+                    out.append(_tuple_counts(matches, fmap, groups))
+                else:
+                    out.append((z, z))
+            return out
+        rows = (
+            self.kernel_frame(
+                None, k=0, prep=prep, agg="pairs", tuple_specs=specs
+            )
+            .groupBy("doc_id")
+            .agg(F.sum("score").alias("c"))
+            .collect()
+        )
+        allk = np.array([r["doc_id"] for r in rows], dtype=np.int64)
+        allc = np.array([int(r["c"]) for r in rows], dtype=np.int64)
+        o = np.argsort(allk)
+        allk, allc = allk[o], allc[o]
+        for (off, _groups), span in zip(specs, spans):
+            lo = np.searchsorted(allk, off)
+            hi = np.searchsorted(allk, off + span)
+            out.append((allk[lo:hi] - off, allc[lo:hi]))
+        return out
+
     def _facet_presence(
         self, prep: dict, terms: list, local: bool
     ) -> np.ndarray:
@@ -449,42 +494,12 @@ class FeatureOpsMixin:
             specs.append((off, groups))
             spans.append(span)
             off += span
-        per_feature: list = []
-        if run_local:
-            from .engine import _tuple_counts
-
-            matches = self._local_match_ids(prep)
-            all_terms = sorted(
-                {t for _o, groups in specs for g in groups for t in g}
+        per_feature = [
+            keys
+            for keys, _counts in self._batched_tuple_counts(
+                prep, specs, spans, run_local
             )
-            fmap = {}
-            if matches.size and all_terms:
-                fmap, _tfs, _dls = self._postings_maps(
-                    all_terms, prep["pid_range"]
-                )
-            for _o, groups in specs:
-                if matches.size and all(groups):
-                    keys, _c = _tuple_counts(matches, fmap, groups)
-                else:
-                    keys = np.empty(0, dtype=np.int64)
-                per_feature.append(keys)
-        else:
-            rows = (
-                self.kernel_frame(
-                    None, k=0, prep=prep, agg="pairs",
-                    tuple_specs=specs,
-                )
-                .groupBy("doc_id")
-                .agg(F.sum("score").alias("c"))
-                .collect()
-            )
-            allk = np.sort(
-                np.array([r["doc_id"] for r in rows], dtype=np.int64)
-            )
-            for (o, _groups), span in zip(specs, spans):
-                lo = np.searchsorted(allk, o)
-                hi = np.searchsorted(allk, o + span)
-                per_feature.append(allk[lo:hi] - o)
+        ]
         fscores = np.zeros((len(cand_terms), len(feats)), dtype=np.float64)
         for i, (scalar, ff) in enumerate(feats):
             _o, groups = specs[i]
@@ -541,6 +556,108 @@ class FeatureOpsMixin:
                 self._strut_cache.pop(next(iter(self._strut_cache)))
             self._strut_cache[cache_key] = out
         return out
+
+    # -- catwalk training ------------------------------------------------------
+
+    def catwalk_train(
+        self,
+        features: list,
+        numerator_queries: list,
+        query: str | None = None,
+        locale: str | None = None,
+        time_range_us: tuple[int, int] | None = None,
+        constraints=None,
+        authz=None,
+        local: bool | None = None,
+    ) -> dict:
+        """Train a strut model FROM THE INDEX -- the reference's Catwalk
+        (miru-stream-plugins/.../catwalk/Catwalk.java:120-197): per
+        feature value tuple, numerators[i] = docs carrying the tuple
+        that also match `numerator_queries[i]` (:126-131), denominator =
+        the tuple's total match cardinality in the gather scope (:163).
+        Partition models merge by SUMMING numerators and denominators
+        (CatwalkAnswerMerger.java:74-80) -- which is exactly what the
+        global groupBy of the kernel's (packed tuple, count) rows does,
+        so this IS the cluster-wide trainer.
+
+        `features` uses strut's shape: [(scalar, field_or_fields), ...]
+        (scalars ignored here, kept so one spec drives both train and
+        score). Returns {(feature_idx, values_tuple):
+        ((num_0, ..., num_k), denominator)} -- feed it to `strut` as
+        `model={k: (max(nums), den), ...}` or wrap per numerator.
+
+        One gather per match set: denominator scope + each numerator
+        query = 1 + len(numerator_queries) passes, each a single kernel
+        job distributed (tuple_specs batches all features) or a shared
+        serving-node pass. The model size is O(observed tuples), never
+        O(docs)."""
+        feats = []
+        for scalar, ff in features:
+            ff = (ff,) if isinstance(ff, str) else tuple(ff)
+            feats.append((float(scalar), ff))
+        field_groups = {
+            f: self._field_terms(f) for _s, ff in feats for f in ff
+        }
+        specs, spans = [], []
+        off = 0
+        for _scalar, ff in feats:
+            groups = [field_groups[f] for f in ff]
+            span = 1
+            for g in groups:
+                span *= max(len(g), 1)
+            specs.append((off, groups))
+            spans.append(span)
+            off += span
+
+        def _decode(fi: int, key: int) -> tuple:
+            _o, groups = specs[fi]
+            ff = feats[fi][1]
+            sizes = [len(g) for g in groups]
+            idxs = []
+            for n in reversed(sizes[1:]):
+                key, j = divmod(key, n)
+                idxs.append(j)
+            idxs.append(key)
+            idxs.reverse()
+            return tuple(
+                _decode_value(f, g[j])
+                for f, g, j in zip(ff, groups, idxs)
+            )
+
+        base_prep = self._prep_query(
+            query, locale, time_range_us, constraints, authz
+        )
+        run_local = self._route_facets(
+            base_prep, list(field_groups.values()), local
+        )
+        den = self._batched_tuple_counts(
+            base_prep, specs, spans, run_local
+        )
+        nums = []
+        for nq in numerator_queries:
+            # numerator scope = base scope AND the numerator query
+            # (Catwalk ANDs numerator term sets into the answer bitmap)
+            nprep = self._prep_query(
+                nq, locale, time_range_us,
+                constraints=base_prep["tree"], authz=None,
+            )
+            nums.append(
+                self._batched_tuple_counts(nprep, specs, spans, run_local)
+            )
+        model: dict = {}
+        for fi in range(len(feats)):
+            dk, dc = den[fi]
+            dmap = dict(zip(dk.tolist(), dc.tolist()))
+            nmaps = [
+                dict(zip(nk.tolist(), nc.tolist()))
+                for nk, nc in (nums[i][fi] for i in range(len(nums)))
+            ]
+            for key, d in dmap.items():
+                model[(fi, _decode(fi, key))] = (
+                    tuple(int(m.get(key, 0)) for m in nmaps),
+                    int(d),
+                )
+        return model
 
     # -- inbox ---------------------------------------------------------------
 

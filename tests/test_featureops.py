@@ -416,3 +416,65 @@ def test_strut_serving_shares_one_match_pass(fx_engine, spark):
     fx_engine.strut("parent", FEATS, model=MODEL, k=7, local=True)
     after = len(tracker.getJobIdsForGroup(None) or [])
     assert after == before
+
+
+# -- catwalk training (Catwalk.java:120-197) ---------------------------------
+
+
+def _catwalk_oracle(numerator_preds):
+    """{(fi, vals): ((num_i...), den)} by brute force over the corpus."""
+    out = {}
+    for fi, (_s, ff) in enumerate(FEATS):
+        ff = (ff,) if isinstance(ff, str) else ff
+        for doc in _docs():
+            groups = [
+                doc["items"] if f == "item" else [doc["user"]]
+                for f in ff
+            ]
+            tuples = [()]
+            for g in groups:
+                tuples = [t + (v,) for t in tuples for v in g]
+            for t in tuples:
+                nums, den = out.get(
+                    (fi, t), ([0] * len(numerator_preds), 0)
+                )
+                nums = [
+                    n + (1 if pred(doc) else 0)
+                    for n, pred in zip(nums, numerator_preds)
+                ]
+                out[(fi, t)] = (nums, den + 1)
+    return {
+        k: (tuple(nums), den) for k, (nums, den) in out.items()
+    }
+
+
+@pytest.mark.parametrize("local", [True, False])
+def test_catwalk_train_matches_bruteforce(fx_engine, local):
+    got = fx_engine.catwalk_train(
+        FEATS,
+        ["parent:p3", "parent:p3 OR parent:p5"],
+        local=local,
+    )
+    want = _catwalk_oracle(
+        [
+            lambda doc: doc["parent"] == "p3",
+            lambda doc: doc["parent"] in ("p3", "p5"),
+        ]
+    )
+    assert got == want
+
+
+def test_catwalk_model_feeds_strut(fx_engine):
+    """Train-then-score closure: the trained model drives strut
+    directly (FeatureScore.getMaxScore = max(numerators)/denominator),
+    both paths agreeing."""
+    trained = fx_engine.catwalk_train(FEATS, ["parent:p3"])
+    model = {
+        k: (max(nums), den) for k, (nums, den) in trained.items()
+    }
+    a = fx_engine.strut("parent", FEATS, model=model, k=7, local=True)
+    b = fx_engine.strut("parent", FEATS, model=model, k=7, local=False)
+    assert a == b and a
+    # p3 itself must rank first: its docs' tuples have the highest
+    # P(parent=p3 | tuple) by construction
+    assert a[0][0] == "p3"
