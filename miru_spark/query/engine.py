@@ -2226,6 +2226,7 @@ class SearchEngine(FeatureOpsMixin):
         authz=None,
         local: bool | None = None,
         gather_fields: list | None = None,
+        gather_urls: bool = True,
     ) -> list[dict]:
         """Stream page over the INDEX -- the reference's AggregateCounts
         plugin (miru-stream-plugins/.../filter/AggregateCounts.java;
@@ -2329,10 +2330,26 @@ class SearchEngine(FeatureOpsMixin):
         docs = np.array(
             [c & 0xFFFFFFFF for _v, (c, _n) in ordered], np.int64
         )
-        gathered = self._gather_rows(
-            self._dataset(), pids, docs, np.zeros(pids.size)
-        )
-        info = {(p, d): (u, w) for u, w, p, d, _s in gathered}
+        if gather_urls:
+            gathered = self._gather_rows(
+                self._dataset(), pids, docs, np.zeros(pids.size)
+            )
+            info = {(p, d): (u, w) for u, w, p, d, _s in gathered}
+        else:
+            # urls skipped: timestamps come from the cached per-pid
+            # time index instead of a per-doc point gather -- O(pids)
+            # decode, not O(values) lookups (inbox's unread resolution
+            # needs every value's last-activity ts but only the PAGE's
+            # display rows)
+            comps = np.sort((pids << 32) + docs)
+            ts = self._times_of(
+                comps, self._pid_times(np.unique(pids).tolist())
+            )
+            by_comp = dict(zip(comps.tolist(), ts.tolist()))
+            info = {
+                (int(p), int(d)): (None, by_comp[(int(p) << 32) + int(d)])
+                for p, d in zip(pids, docs)
+            }
         doc_fields: dict = {}
         if gather_fields:
             # gatherTermsForFields: probe each field's composed-term

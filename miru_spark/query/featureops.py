@@ -716,10 +716,16 @@ class FeatureOpsMixin:
         n_vals = len(self._field_terms(item_field))
         if not n_vals:
             return {"page": [], "n_unread": 0, "n_items": 0}
+        # unread resolution needs every item's last-activity ts but only
+        # the returned page's display rows: fetch the full value list
+        # WITHOUT the per-doc url gather (timestamps come from the
+        # cached time index, O(pids)), then point-gather urls for the
+        # final page only -- O(k), not O(stream items)
         rows = self.aggregate_counts(
             item_field, query=query, start=0, count=n_vals,
             locale=locale, time_range_us=time_range_us,
             constraints=combined, authz=authz, local=local,
+            gather_urls=False,
         )
         explicit, m_ts = self._stream_read_marks(
             read_state, stream_id, self.spark
@@ -738,8 +744,18 @@ class FeatureOpsMixin:
             r["unread"] = unread
         n_unread = sum(1 for r in rows if r["unread"])
         page = [r for r in rows if r["unread"]] if unread_only else rows
+        page = page[int(start): int(start) + int(count)]
+        if page:
+            pids = np.array([r["pid"] for r in page], dtype=np.int64)
+            docs = np.array([r["doc_id"] for r in page], dtype=np.int64)
+            gathered = self._gather_rows(
+                self._dataset(), pids, docs, np.zeros(pids.size)
+            )
+            urls = {(p, d): u for u, _w, p, d, _s in gathered}
+            for r in page:
+                r["url"] = urls.get((r["pid"], r["doc_id"]))
         return {
-            "page": page[int(start): int(start) + int(count)],
+            "page": page,
             "n_unread": n_unread,
             "n_items": len(rows),
         }
