@@ -1099,6 +1099,141 @@ norwegian_stem = lru_cache(maxsize=1 << 16)(_norwegian_stem_uncached)
 
 
 # ---------------------------------------------------------------------------
+# Indonesian: light affix stripper in the shape of the published
+# Nazief/Tala approach Lucene renders as IndonesianStemmer --
+# inflectional particles and possessives first, then one derivational
+# prefix and one derivational suffix, with sound-change-aware me-/pe-
+# variants. A documented light rendition (not the full
+# recoding/dictionary algorithm).
+# ---------------------------------------------------------------------------
+
+_ID_PARTICLES = ("lah", "kah", "tah", "pun")
+_ID_POSSESSIVES = ("ku", "mu", "nya")
+# longest-first; the meng-/peng- family before their shorter forms
+_ID_PREFIXES = ("meng", "meny", "mem", "men", "me", "peng", "peny",
+                "pem", "pen", "per", "pe", "ber", "be", "ter", "di",
+                "ke", "se")
+_ID_SUFFIXES = ("kan", "an", "i")
+
+
+def _id_syllables(w: str) -> int:
+    return sum(1 for c in w if c in "aeiou")
+
+
+def _indonesian_stem_uncached(word: str) -> str:
+    # every strip requires > 2 remaining syllables (vowel count), the
+    # published guard that keeps roots like makan/jalan intact so they
+    # conflate with their derivations
+    w = word
+    if _id_syllables(w) > 2:
+        for suf in _ID_PARTICLES:
+            if w.endswith(suf):
+                w = w[: -len(suf)]
+                break
+    if _id_syllables(w) > 2:
+        for suf in _ID_POSSESSIVES:
+            if w.endswith(suf):
+                w = w[: -len(suf)]
+                break
+    forbidden: tuple = ()
+    if _id_syllables(w) > 2:
+        for pre in _ID_PREFIXES:
+            if w.startswith(pre) and len(w) - len(pre) >= 3:
+                w = w[len(pre):]
+                # published disallowed prefix-suffix circumfix pairs
+                # (ke-...-an is a noun circumfix: the -an strips, never
+                # -kan; likewise se-, be-i, te-an, di-an)
+                forbidden = {
+                    "ke": ("i", "kan"), "se": ("i", "kan"),
+                    "di": ("an",), "be": ("i",), "ber": ("i",),
+                    "ter": ("an",), "te": ("an",),
+                }.get(pre, ())
+                break
+    if _id_syllables(w) > 2:
+        for suf in _ID_SUFFIXES:
+            if suf in forbidden:
+                continue
+            if w.endswith(suf) and len(w) - len(suf) >= 3:
+                w = w[: -len(suf)]
+                break
+    return w
+
+
+indonesian_stem = lru_cache(maxsize=1 << 16)(_indonesian_stem_uncached)
+
+
+# ---------------------------------------------------------------------------
+# Hindi: the published lightweight Hindi stemmer (Ramanathan & Rao
+# 2003, the algorithm Lucene renders as HindiStemmer): strip the
+# longest matching suffix from the published list, keeping at least
+# one leading character more than the suffix.
+# ---------------------------------------------------------------------------
+
+_HI_SUFFIXES = sorted(
+    ["ो", "े", "ू", "ु", "ी", "ि", "ा",
+     "कर", "ाओ", "िए", "ाई", "ाए", "ने", "नी", "ना", "ते", "ीं", "ती",
+     "ता", "ाँ", "ां", "ों", "ें",
+     "ाकर", "ाइए", "ाईं", "ाया", "ेगी", "ेगा", "ोगी", "ोगे", "ाने",
+     "ाना", "ाते", "ाती", "ाता", "तीं", "ाओं", "ाएं", "ुओं", "ुएं",
+     "ुआं",
+     "ाएगी", "ाएगा", "ाओगी", "ाओगे", "एंगी", "ेंगी", "एंगे", "ेंगे",
+     "ूंगी", "ूंगा", "ातीं", "नाओं", "नाएं", "ताओं", "ताएं", "ियाँ",
+     "ियों", "ियां",
+     "ाएंगी", "ाएंगे", "ाऊंगी", "ाऊंगा", "ाइयाँ", "ाइयों", "ाइयां"],
+    key=len, reverse=True,
+)
+
+
+def _hindi_stem_uncached(word: str) -> str:
+    for suf in _HI_SUFFIXES:
+        if word.endswith(suf) and len(word) > len(suf) + 1:
+            return word[: -len(suf)]
+    return word
+
+
+hindi_stem = lru_cache(maxsize=1 << 16)(_hindi_stem_uncached)
+
+
+# ---------------------------------------------------------------------------
+# Bulgarian: the published light stemmer (Nakov's BulStem family,
+# rendered in Lucene as BulgarianStemmer): drop the definite article
+# and plural endings, then normalize the residue.
+# ---------------------------------------------------------------------------
+
+_BG_ARTICLES = sorted(
+    ["ият", "ията", "ът", "ят", "та", "то", "те"], key=len, reverse=True
+)
+_BG_PLURALS = sorted(
+    ["ове", "еве", "ища", "овци", "ишта", "и", "е", "а"],
+    key=len, reverse=True,
+)
+
+
+def _bulgarian_stem_uncached(word: str) -> str:
+    w = word
+    if len(w) < 4:
+        return w
+    for suf in _BG_ARTICLES:
+        if w.endswith(suf) and len(w) - len(suf) >= 3:
+            w = w[: -len(suf)]
+            break
+    for suf in _BG_PLURALS:
+        keep = 4 if len(suf) == 1 else 3
+        if w.endswith(suf) and len(w) - len(suf) >= keep:
+            w = w[: -len(suf)]
+            break
+    # residue normalization per the published rules
+    if w.endswith("ен") and len(w) >= 5:
+        w = w[:-2] + "н"  # -ен adjectives: прекрасен ~ прекрасна
+    if len(w) >= 5 and w[-2] == "ъ" and w[-1] not in "аеиоуъ":
+        w = w[:-2] + w[-1]  # fleeting ъ: добър ~ добра
+    return w
+
+
+bulgarian_stem = lru_cache(maxsize=1 << 16)(_bulgarian_stem_uncached)
+
+
+# ---------------------------------------------------------------------------
 # Stopword-only analyzers. The reference wires full Lucene analyzers for
 # ~30 more locales (TermAnalyzers.java:50-81); locales below ship the
 # Snowball stop set with Standard tokenization. ru/ar/fi/tr gained
@@ -1426,10 +1561,11 @@ def _identity_stem(word: str) -> str:
 # locale -> (stopword set, stemmer). Resolution strips `_` suffixes like
 # TermAnalyzers.findAnalyzer (so pt_BR -> pt_br -> explicit entry,
 # de_AT -> de). The full 31-entry reference map (TermAnalyzers.java:43-75)
-# is wired: 10 locales carry stemmers (en de fr es pt it + r4's ru ar fi
-# tr), the rest are stopword-only (documented scope reduction; a
-# mis-specified stemmer is worse than none). en_ie maps to the English
-# stop set exactly like the reference
+# is wired: 17 locale codes carry stemmers (en de fr es pt pt_br it +
+# r4's ru ar fi tr sv da nb nn id hi bg); fa is unstemmed by design
+# (PersianAnalyzer parity); the rest are stopword-only (documented
+# scope reduction; a mis-specified stemmer is worse than none). en_ie
+# maps to the English stop set exactly like the reference
 # (IrishAnalyzer built over EnStopwords); pt_br shares the pt light
 # stemmer (BrazilianAnalyzer analog); nb/nn share the Norwegian set.
 _LOCALE_ANALYZERS: dict[str, tuple[frozenset, object]] = {
@@ -1452,17 +1588,19 @@ _LOCALE_ANALYZERS: dict[str, tuple[frozenset, object]] = {
     "fi": (FINNISH_STOPWORDS, finnish_light_stem),
     "tr": (TURKISH_STOPWORDS, turkish_light_stem),
     "ro": (ROMANIAN_STOPWORDS, _identity_stem),
-    "id": (INDONESIAN_STOPWORDS, _identity_stem),
+    "id": (INDONESIAN_STOPWORDS, indonesian_stem),
     "cs": (CZECH_STOPWORDS, _identity_stem),
     "ca": (CATALAN_STOPWORDS, _identity_stem),
     "gl": (GALICIAN_STOPWORDS, _identity_stem),
     "eu": (BASQUE_STOPWORDS, _identity_stem),
     "lv": (LATVIAN_STOPWORDS, _identity_stem),
-    "bg": (BULGARIAN_STOPWORDS, _identity_stem),
+    "bg": (BULGARIAN_STOPWORDS, bulgarian_stem),
     "gr": (GREEK_STOPWORDS, _identity_stem),
     "ar": (ARABIC_STOPWORDS, arabic_stem),
+    # fa stays unstemmed BY DESIGN: Lucene's PersianAnalyzer carries no
+    # stemmer either (normalization + stop only)
     "fa": (PERSIAN_STOPWORDS, _identity_stem),
-    "hi": (HINDI_STOPWORDS, _identity_stem),
+    "hi": (HINDI_STOPWORDS, hindi_stem),
     "hy": (ARMENIAN_STOPWORDS, _identity_stem),
     "ku": (SORANI_STOPWORDS, _identity_stem),
     "th": (THAI_STOPWORDS, _identity_stem),

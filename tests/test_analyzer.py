@@ -265,7 +265,7 @@ GOLDEN_NEW_LOCALES = {
     "gl": ("o libro e a mesa", ["libro", "mesa"]),
     "eu": ("liburua eta mahaia da", ["liburua", "mahaia"]),
     "lv": ("un grāmata ir uz galda", ["grāmata", "galda"]),
-    "bg": ("и книгата е на масата", ["книгата", "масата"]),
+    "bg": ("и книгата е на масата", ["книг", "маса"]),
     "gr": ("ο σκύλος και η γάτα", ["σκύλος", "γάτα"]),
     "ar": ("هذا كتاب جديد من المكتبة", ["كتاب", "جديد", "مكتب"]),
     "fa": ("این کتاب جدید است و خوب", ["کتاب", "جدید", "خوب"]),
@@ -308,4 +308,4 @@ def test_compound_locale_resolution_matches_reference():
     assert analyze("as casas", "pt_BR") == ["casa"]
     # unknown compound strips to its base
     assert analyze("ve bir kitap", "tr_CY") == ["kitap"]
-    assert analyze("и книгата", "bg_BG") == ["книгата"]
+    assert analyze("и книгата", "bg_BG") == ["книг"]

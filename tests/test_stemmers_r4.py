@@ -229,3 +229,54 @@ def test_danish_undouble_and_igst():
     assert danish_stem("gulddrengen")[-1] != danish_stem(
         "gulddrengen"
     )[-2:-1] * 2
+
+
+# -- Indonesian / Hindi / Bulgarian light stemmers (r4 continued) ------------
+
+
+def test_id_hi_bg_conflation():
+    from miru_spark.analyzer import (
+        bulgarian_stem,
+        hindi_stem,
+        indonesian_stem,
+    )
+
+    id_fams = {
+        "makan": ["makan", "makanan"],
+        "jalan": ["jalan", "berjalan"],
+        "baca": ["membaca", "dibaca", "bacaan", "dibacakan",
+                 "membacakan"],
+        "bijak": ["bijak", "kebijakan"],  # ke-...-an circumfix
+        "buku": ["buku", "bukunya", "bukuku"],
+    }
+    hi_fams = {
+        "लड़क": ["लड़का", "लड़के", "लड़कों"],
+        "किताब": ["किताब", "किताबें"],
+        "चल": ["चलता", "चलती"],
+    }
+    bg_fams = {
+        "книг": ["книга", "книгата", "книги", "книгите"],
+        "град": ["градът", "града", "градове", "градовете"],
+        "прекрасн": ["прекрасен", "прекрасна"],  # -ен residue rule
+        "добр": ["добър", "добра"],              # fleeting-ъ rule
+    }
+    for stem, fams in (
+        (indonesian_stem, id_fams),
+        (hindi_stem, hi_fams),
+        (bulgarian_stem, bg_fams),
+    ):
+        for head, members in fams.items():
+            for m in members:
+                assert stem(m) == head, f"{m} -> {stem(m)} != {head}"
+
+
+def test_indonesian_syllable_guard():
+    from miru_spark.analyzer import indonesian_stem
+
+    # two-syllable roots never strip (the published numSyllables > 2
+    # guard); fa has no stemmer by design (PersianAnalyzer parity)
+    assert indonesian_stem("makan") == "makan"
+    assert indonesian_stem("ku") == "ku"
+    from miru_spark.analyzer import _LOCALE_ANALYZERS, _identity_stem
+
+    assert _LOCALE_ANALYZERS["fa"][1] is _identity_stem
