@@ -1234,6 +1234,67 @@ bulgarian_stem = lru_cache(maxsize=1 << 16)(_bulgarian_stem_uncached)
 
 
 # ---------------------------------------------------------------------------
+# Czech: the Dolamic & Savoy light stemmer (the algorithm Lucene
+# renders as CzechStemmer inside the CzechAnalyzer the reference wires
+# for "cs"): case-ending removal with palatalization -- the ending's
+# first character stays as context so knize/kniha normalize to the same
+# knih stem -- then possessive removal.
+# ---------------------------------------------------------------------------
+
+_CS_VOWEL_ENDINGS = frozenset("aeiouůyáéíýě")
+
+
+def _cs_palatalize(w: str) -> str:
+    """Normalize a palatalized stem boundary and drop the context
+    char: ci/ce/či/če -> k, zi/ze/ži/že -> h, čtě/čti/čtí -> ck,
+    ště/šti/ští -> sk, else just drop the final char."""
+    for ends, rep in (
+        (("čtě", "čti", "čtí"), "ck"),
+        (("ště", "šti", "ští"), "sk"),
+        (("ci", "ce", "či", "če"), "k"),
+        (("zi", "ze", "ži", "že"), "h"),
+    ):
+        for e in ends:
+            if w.endswith(e):
+                return w[: -len(e)] + rep
+    return w[:-1]
+
+
+def _czech_stem_uncached(word: str) -> str:
+    w = word
+    n = len(w)
+    # case endings (longest first, with the published length guards)
+    if n > 7 and w.endswith("atech"):
+        w = w[:-5]
+    elif n > 6 and w.endswith("ětem"):
+        w = _cs_palatalize(w[:-3])
+    elif n > 6 and w.endswith("atům"):
+        w = w[:-4]
+    elif n > 5 and w[-3:] in (
+        "ech", "ich", "ích", "ého", "ěmi", "emi", "ému", "ěte", "ěti",
+        "iho", "ího", "ími", "imu", "ímu", "ách", "ata", "aty", "ých",
+        "ama", "ami", "ové", "ovi", "ými",
+    ):
+        w = _cs_palatalize(w[:-2])
+    elif n > 4 and w[-2:] in ("em", "es", "ém", "ím"):
+        # keep the ending's first char as palatalization context
+        w = _cs_palatalize(w[:-1])
+    elif n > 4 and w[-2:] in (
+        "ům", "at", "ám", "os", "us", "ým", "mi", "ou",
+    ):
+        w = w[:-2]
+    elif n > 3 and w[-1] in _CS_VOWEL_ENDINGS:
+        w = _cs_palatalize(w)
+    # possessives
+    if len(w) > 5 and w[-2:] in ("ov", "in", "ův"):
+        w = w[:-2]
+    return w
+
+
+czech_stem = lru_cache(maxsize=1 << 16)(_czech_stem_uncached)
+
+
+# ---------------------------------------------------------------------------
 # Stopword-only analyzers. The reference wires full Lucene analyzers for
 # ~30 more locales (TermAnalyzers.java:50-81); locales below ship the
 # Snowball stop set with Standard tokenization. ru/ar/fi/tr gained
@@ -1561,8 +1622,8 @@ def _identity_stem(word: str) -> str:
 # locale -> (stopword set, stemmer). Resolution strips `_` suffixes like
 # TermAnalyzers.findAnalyzer (so pt_BR -> pt_br -> explicit entry,
 # de_AT -> de). The full 31-entry reference map (TermAnalyzers.java:43-75)
-# is wired: 17 locale codes carry stemmers (en de fr es pt pt_br it +
-# r4's ru ar fi tr sv da nb nn id hi bg); fa is unstemmed by design
+# is wired: 18 locale codes carry stemmers (en de fr es pt pt_br it +
+# r4's ru ar fi tr sv da nb nn id hi bg cs); fa is unstemmed by design
 # (PersianAnalyzer parity); the rest are stopword-only (documented
 # scope reduction; a mis-specified stemmer is worse than none). en_ie
 # maps to the English stop set exactly like the reference
@@ -1589,7 +1650,7 @@ _LOCALE_ANALYZERS: dict[str, tuple[frozenset, object]] = {
     "tr": (TURKISH_STOPWORDS, turkish_light_stem),
     "ro": (ROMANIAN_STOPWORDS, _identity_stem),
     "id": (INDONESIAN_STOPWORDS, indonesian_stem),
-    "cs": (CZECH_STOPWORDS, _identity_stem),
+    "cs": (CZECH_STOPWORDS, czech_stem),
     "ca": (CATALAN_STOPWORDS, _identity_stem),
     "gl": (GALICIAN_STOPWORDS, _identity_stem),
     "eu": (BASQUE_STOPWORDS, _identity_stem),

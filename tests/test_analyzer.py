@@ -260,7 +260,7 @@ GOLDEN_NEW_LOCALES = {
     "tr": ("ve bir kitap okudum ama", ["kitap", "okud"]),
     "ro": ("și o carte în casa", ["carte", "casa"]),
     "id": ("yang buku ini dan itu", ["buku"]),
-    "cs": ("a je to kniha na stole", ["kniha", "stole"]),
+    "cs": ("a je to kniha na stole", ["knih", "stol"]),
     "ca": ("el llibre i la taula", ["llibre", "taula"]),
     "gl": ("o libro e a mesa", ["libro", "mesa"]),
     "eu": ("liburua eta mahaia da", ["liburua", "mahaia"]),

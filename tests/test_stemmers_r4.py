@@ -280,3 +280,21 @@ def test_indonesian_syllable_guard():
     from miru_spark.analyzer import _LOCALE_ANALYZERS, _identity_stem
 
     assert _LOCALE_ANALYZERS["fa"][1] is _identity_stem
+
+
+def test_czech_palatalization():
+    from miru_spark.analyzer import czech_stem
+
+    # the case-ending's first char stays as context, so the k~c~č and
+    # h~z~ž alternations fold back (Dolamic & Savoy): kniha ~ knize
+    fams = {
+        "knih": ["kniha", "knihy", "knize", "knihu", "knihou",
+                 "knihách", "knihám"],
+        "měst": ["město", "města", "městě", "městem", "městech"],
+        "prah": ["praha", "praze"],
+    }
+    for head, members in fams.items():
+        for m in members:
+            assert czech_stem(m) == head, f"{m} -> {czech_stem(m)}"
+    # possessive strip
+    assert czech_stem("matčin") == "matč"
