@@ -1099,6 +1099,163 @@ norwegian_stem = lru_cache(maxsize=1 << 16)(_norwegian_stem_uncached)
 
 
 # ---------------------------------------------------------------------------
+# Dutch: the full Snowball Dutch stemmer, implemented from the
+# published specification (snowballstem.org/algorithms/dutch/stemmer)
+# -- the algorithm inside Lucene's DutchAnalyzer, which the reference
+# binds for `nl` (TermAnalyzers.java). Scheme: fold accents, mark
+# consonantal i/y as uppercase I/Y, compute R1 (start >= 3) and R2,
+# then the 4 suffix steps (en/s plural, e, heid + d-suffixes,
+# vowel undouble), and lowercase the markers back.
+# ---------------------------------------------------------------------------
+
+_NL_VOWELS = frozenset("aeiouyè")
+_NL_ACCENT_FOLD = str.maketrans(
+    "äëïöüáéíóú",
+    "aeiouaeiou",
+)
+
+
+def _nl_is_vowel(c: str) -> bool:
+    return c in _NL_VOWELS
+
+
+def _nl_regions(w: str) -> tuple[int, int]:
+    n = len(w)
+    r1 = n
+    for i in range(1, n):
+        if w[i] not in _NL_VOWELS and w[i - 1] in _NL_VOWELS:
+            r1 = i + 1
+            break
+    r1 = max(r1, 3)
+    r2 = n
+    for i in range(r1 + 1, n):
+        if w[i] not in _NL_VOWELS and w[i - 1] in _NL_VOWELS:
+            r2 = i + 1
+            break
+    return r1, r2
+
+
+def _nl_undouble(w: str) -> str:
+    if w.endswith(("kk", "dd", "tt")):
+        return w[:-1]
+    return w
+
+
+def _nl_valid_en(w: str, cut: int) -> bool:
+    """Preceded by a non-vowel, and not the 'gem' exception."""
+    stem = w[:cut]
+    if not stem or stem[-1] in _NL_VOWELS:
+        return False
+    return not stem.endswith("gem")
+
+
+def _dutch_stem_uncached(word: str) -> str:
+    w = word.translate(_NL_ACCENT_FOLD)
+    if len(w) < 3:
+        return w
+    chars = list(w)
+    if chars[0] == "y":
+        chars[0] = "Y"
+    for i in range(1, len(chars)):
+        if chars[i] == "y" and chars[i - 1] in _NL_VOWELS:
+            chars[i] = "Y"
+        elif (
+            chars[i] == "i"
+            and chars[i - 1] in _NL_VOWELS
+            and i + 1 < len(chars)
+            and chars[i + 1] in _NL_VOWELS
+        ):
+            chars[i] = "I"
+    w = "".join(chars)
+    r1, r2 = _nl_regions(w)
+
+    # step 1: heden -> heid | en/ene (valid en-ending) | s/se (valid
+    # s-ending: non-vowel other than j). Snowball among() semantics:
+    # the LONGEST matching suffix is chosen first and its condition
+    # either fires or the whole step fails -- no fallback to a shorter
+    # suffix (e.g. a bare R1-failing "heden" must not shed "en").
+    if w.endswith("heden"):
+        if len(w) - 5 >= r1:
+            w = w[:-5] + "heid"
+    elif w.endswith("ene"):
+        if len(w) - 3 >= r1 and _nl_valid_en(w, -3):
+            w = _nl_undouble(w[:-3])
+    elif w.endswith("en"):
+        if len(w) - 2 >= r1 and _nl_valid_en(w, -2):
+            w = _nl_undouble(w[:-2])
+    elif w.endswith("se"):
+        if (
+            len(w) - 2 >= r1
+            and len(w) >= 3 and w[-3] not in _NL_VOWELS and w[-3] != "j"
+        ):
+            w = w[:-2]
+    elif w.endswith("s"):
+        if (
+            len(w) - 1 >= r1
+            and len(w) >= 2 and w[-2] not in _NL_VOWELS and w[-2] != "j"
+        ):
+            w = w[:-1]
+
+    # step 2: drop -e after a non-vowel, in R1
+    e_found = False
+    if (
+        w.endswith("e") and len(w) - 1 >= r1
+        and len(w) >= 2 and w[-2] not in _NL_VOWELS
+    ):
+        e_found = True
+        w = _nl_undouble(w[:-1])
+
+    # step 3a: -heid (R2, not after c), then another -en pass
+    if w.endswith("heid") and len(w) - 4 >= r2 and (
+        len(w) < 5 or w[-5] != "c"
+    ):
+        w = w[:-4]
+        if w.endswith("en") and len(w) - 2 >= r1 and _nl_valid_en(w, -2):
+            w = _nl_undouble(w[:-2])
+
+    # step 3b: d-suffixes, longest match
+    if w.endswith(("end", "ing")) and len(w) - 3 >= r2:
+        w = w[:-3]
+        if (
+            w.endswith("ig") and len(w) - 2 >= r2
+            and (len(w) < 3 or w[-3] != "e")
+        ):
+            w = w[:-2]
+        else:
+            w = _nl_undouble(w)
+    elif w.endswith("baar") and len(w) - 4 >= r2:
+        w = w[:-4]
+    elif w.endswith("lijk") and len(w) - 4 >= r2:
+        w = w[:-4]
+        # repeat step 2
+        if (
+            w.endswith("e") and len(w) - 1 >= r1
+            and len(w) >= 2 and w[-2] not in _NL_VOWELS
+        ):
+            w = _nl_undouble(w[:-1])
+    elif w.endswith("ig") and len(w) - 2 >= r2 and (
+        len(w) < 3 or w[-3] != "e"
+    ):
+        w = w[:-2]
+    elif w.endswith("bar") and len(w) - 3 >= r2 and e_found:
+        w = w[:-3]
+
+    # step 4: undouble vowel in C-VV-C (final consonant not I)
+    if (
+        len(w) >= 4
+        and w[-1] not in _NL_VOWELS and w[-1] != "I"
+        and w[-2] == w[-3] and w[-2] in "aeou"
+        and w[-4] not in _NL_VOWELS
+    ):
+        w = w[:-2] + w[-1]
+
+    return w.lower()
+
+
+dutch_stem = lru_cache(maxsize=1 << 16)(_dutch_stem_uncached)
+
+
+# ---------------------------------------------------------------------------
 # Indonesian: light affix stripper in the shape of the published
 # Nazief/Tala approach Lucene renders as IndonesianStemmer --
 # inflectional particles and possessives first, then one derivational
@@ -1622,8 +1779,8 @@ def _identity_stem(word: str) -> str:
 # locale -> (stopword set, stemmer). Resolution strips `_` suffixes like
 # TermAnalyzers.findAnalyzer (so pt_BR -> pt_br -> explicit entry,
 # de_AT -> de). The full 31-entry reference map (TermAnalyzers.java:43-75)
-# is wired: 18 locale codes carry stemmers (en de fr es pt pt_br it +
-# r4's ru ar fi tr sv da nb nn id hi bg cs); fa is unstemmed by design
+# is wired: 19 locale codes carry stemmers (en de fr es pt pt_br it +
+# r4's ru ar fi tr sv da nb nn id hi bg cs nl); fa is unstemmed by design
 # (PersianAnalyzer parity); the rest are stopword-only (documented
 # scope reduction; a mis-specified stemmer is worse than none). en_ie
 # maps to the English stop set exactly like the reference
@@ -1636,7 +1793,7 @@ _LOCALE_ANALYZERS: dict[str, tuple[frozenset, object]] = {
     "es": (SPANISH_STOPWORDS, spanish_light_stem),
     "pt": (PORTUGUESE_STOPWORDS, portuguese_light_stem),
     "it": (ITALIAN_STOPWORDS, italian_light_stem),
-    "nl": (DUTCH_STOPWORDS, _identity_stem),
+    "nl": (DUTCH_STOPWORDS, dutch_stem),
     # r4 stemmers (VERDICT r3 item 4, highest-value locales first):
     # ru = full Snowball Russian; ar = light10; fi/tr = documented
     # light stemmers (the reference's analyzers stem via Snowball)

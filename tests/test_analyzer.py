@@ -225,17 +225,16 @@ def test_italian_analyzer_stops():
     assert got == ["amici", "amic", "banca"]
 
 
-# -- Stopword-only locales (nl: documented no-stemmer scope) ---------------
+# -- Stemmed-locale spot checks through the analyze() pipeline -------------
 
 def test_stopword_only_locales():
-    assert analyze("de huizen en de katten", "nl") == ["huizen", "katten"]
+    # nl stems since r4 (full Snowball Dutch)
+    assert analyze("de huizen en de katten", "nl") == ["huiz", "kat"]
     # ru/sv/da stem since r4 (Snowball)
     assert analyze("и в не что он на я банки", "ru") == ["банк"]
     assert analyze("och det att banker", "sv") == ["bank"]
     assert analyze("og i jeg bankerne", "da") == ["bank"]
     assert analyze("bankerna", "sv") == ["bank"]
-    # nl stays verbatim (no stemmer)
-    assert analyze("huizen", "nl") == ["huizen"]
 
 
 def test_use_stopwords_flag():

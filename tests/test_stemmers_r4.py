@@ -298,3 +298,54 @@ def test_czech_palatalization():
             assert czech_stem(m) == head, f"{m} -> {czech_stem(m)}"
     # possessive strip
     assert czech_stem("matčin") == "matč"
+
+
+def test_dutch_snowball_goldens():
+    from miru_spark.analyzer import dutch_stem
+
+    # Golden pairs from the published Snowball Dutch sample vocabulary
+    # (snowballstem.org/algorithms/dutch/stemmer) -- the algorithm
+    # inside Lucene's DutchAnalyzer, which the reference binds for nl.
+    goldens = {
+        # plural -en with undoubling
+        "lichamen": "licham",
+        "bedden": "bed",
+        # heden -> heid, then heid/lijk shed in R2
+        "lichamelijkheden": "licham",
+        "mogelijkheden": "mogelijk",
+        # -s plural with the j guard (ja-words keep their s context)
+        "doods": "dod",
+        # step-2 e after a non-vowel; e after a vowel stays
+        "politie": "politie",
+        "grote": "grot",
+        # d-suffixes: ing in R2, then undouble the kk ending
+        "uitdrukking": "uitdruk",
+        "belangrijkste": "belangrijkst",
+        # accent folding; the folded e then blocks the s-ending
+        # (valid s-ending is a non-vowel other than j)
+        "cafés": "cafes",
+        "café": "caf",  # folded, then step-2 e-deletion in R1
+        # consonantal y/i marking: i between vowels never counts as
+        # a vowel for region/undouble purposes
+        "draaien": "draai",
+    }
+    for word, want in goldens.items():
+        assert dutch_stem(word) == want, f"{word} -> {dutch_stem(word)}"
+
+
+def test_dutch_among_longest_match_no_fallback():
+    from miru_spark.analyzer import dutch_stem
+
+    # Snowball among() picks the LONGEST suffix and never falls back:
+    # a word where "heden" matches but is outside R1 must NOT shed a
+    # bare "en" instead ("heden" itself: r1 = 3, cut = 0 < 3).
+    assert dutch_stem("heden") == "heden"
+
+
+def test_dutch_wired_in_analyzer():
+    from miru_spark.analyzer import analyze, dutch_stem, _LOCALE_ANALYZERS
+
+    assert _LOCALE_ANALYZERS["nl"][1] is dutch_stem
+    # stopword (de, het, een) drop + stemming through the nl pipeline;
+    # nl_NL suffix-strips to nl like TermAnalyzers.findAnalyzer
+    assert analyze("de lichamen en het bed", "nl_NL") == ["licham", "bed"]
