@@ -1452,6 +1452,232 @@ czech_stem = lru_cache(maxsize=1 << 16)(_czech_stem_uncached)
 
 
 # ---------------------------------------------------------------------------
+# Romanian: a light stemmer built from the plural/definite-article
+# removal step of the published Snowball Romanian algorithm
+# (snowballstem.org/algorithms/romanian/stemmer, step 0) plus a final
+# light vowel reduction -- the same scope-reduced "light" treatment as
+# fi/tr (the reference binds Lucene's RomanianAnalyzer, which runs the
+# full Snowball algorithm; TermAnalyzers.java). Also folds the two
+# Unicode encodings of s/t-comma (U+015F/U+0163 cedilla legacy forms
+# vs the correct U+0219/U+021B), which RomanianAnalyzer normalizes too
+# -- real-world Romanian text mixes both.
+# ---------------------------------------------------------------------------
+
+_RO_FOLD = str.maketrans({"ş": "ș", "ţ": "ț"})
+
+# step-0 replacement pairs, longest-first (Snowball Romanian step 0)
+_RO_STEP0 = (
+    ("iilor", "i"), ("ului", ""), ("elor", "e"), ("iile", "i"),
+    ("atei", "at"), ("ație", "ați"), ("ația", "ați"),
+    ("aua", "a"), ("ele", "e"), ("iua", "i"), ("iei", "i"),
+    ("ile", "i"), ("ilor", "i"), ("ul", ""), ("ii", "i"), ("ea", "e"),
+)
+
+
+def _romanian_light_stem_uncached(word: str) -> str:
+    w = word.translate(_RO_FOLD)
+    if len(w) < 4:
+        return w
+    step0 = False
+    for suf, rep in _RO_STEP0:
+        if w.endswith(suf) and len(w) - len(suf) + len(rep) >= 3:
+            # the published "ile -> i" exception: not after ab (abile)
+            if suf == "ile" and w.endswith("abile"):
+                continue
+            w = w[: -len(suf)] + rep
+            step0 = True
+            break
+    # light plural: -uri (trenuri -> tren)
+    if w.endswith("uri") and len(w) - 3 >= 3:
+        w = w[:-3]
+    # final inflectional vowel (Snowball step 4 analog, light):
+    # only on words step 0 left alone (its replacements are already
+    # normal forms -- informați must keep its i); -ie kept intact
+    elif (
+        not step0
+        and len(w) >= 4
+        and w[-1] in ("a", "e", "i", "ă")
+        and not w.endswith("ie")
+    ):
+        w = w[:-1]
+    return w
+
+
+romanian_light_stem = lru_cache(maxsize=1 << 16)(
+    _romanian_light_stem_uncached
+)
+
+
+# ---------------------------------------------------------------------------
+# Greek: GreekLowerCaseFilter-parity folding (accent removal + final
+# sigma normalization, the exact character treatment of Lucene's
+# GreekAnalyzer, which the reference binds for `gr`) + a light
+# inflectional suffix stemmer over the folded form. The full Lucene
+# GreekStemmer (Ntais 2006, ~160 rules) is a documented scope
+# reduction; the light list below covers the regular noun/adjective
+# declension endings, which carry most of the retrieval win.
+# ---------------------------------------------------------------------------
+
+_EL_FOLD = str.maketrans({
+    "ά": "α",  # ά -> α
+    "έ": "ε",  # έ -> ε
+    "ή": "η",  # ή -> η
+    "ί": "ι",  # ί -> ι
+    "ό": "ο",  # ό -> ο
+    "ύ": "υ",  # ύ -> υ
+    "ώ": "ω",  # ώ -> ω
+    "ϊ": "ι",  # ϊ -> ι
+    "ϋ": "υ",  # ϋ -> υ
+    "ΐ": "ι",  # ΐ -> ι
+    "ΰ": "υ",  # ΰ -> υ
+    "ς": "σ",  # final ς -> σ
+})
+
+# folded-form endings, longest-first; σ here covers original ς. The
+# case endings deliberately do NOT absorb a stem-final ι (no ιων/ιου
+# forms): βιβλίο / βιβλίου / βιβλίων must all land on βιβλι, not split
+# between βιβλι and βιβλ.
+_EL_SUFFIXES = sorted(
+    [
+        "εων", "εισ", "ουσ",      # εων εις ους
+        "ων", "ου", "ησ",         # ων ου ης
+        "ασ", "οσ", "εσ",         # ας ος ες
+        "οι", "αι", "ον",         # οι αι ον
+        "α", "η", "ο", "ι", "ε",  # α η ο ι ε
+    ],
+    key=len, reverse=True,
+)
+
+
+def greek_fold(text: str) -> str:
+    """Accent + final-sigma folding (GreekLowerCaseFilter parity)."""
+    return text.translate(_EL_FOLD)
+
+
+def _greek_light_stem_uncached(word: str) -> str:
+    w = greek_fold(word)
+    if len(w) < 4:
+        return w
+    for suf in _EL_SUFFIXES:
+        if w.endswith(suf) and len(w) - len(suf) >= 3:
+            return w[: -len(suf)]
+    return w
+
+
+greek_light_stem = lru_cache(maxsize=1 << 16)(_greek_light_stem_uncached)
+
+
+# ---------------------------------------------------------------------------
+# Latvian: a light declension-table stemmer in the shape of Lucene's
+# LatvianStemmer (a light rendition of Kreslins' Latvian algorithm;
+# the reference binds LatvianAnalyzer): strip the FIRST (longest)
+# matching inflectional affix whose removal leaves a stem with at
+# least the affix's required vowel count. The table is the standard
+# Latvian noun/adjective declension set; the original's palatalization
+# fold-back is a documented omission.
+# ---------------------------------------------------------------------------
+
+_LV_VOWELS = frozenset("aeiouāēīū")
+
+# (affix, min vowels in the remaining stem), longest-first
+_LV_AFFIXES = sorted(
+    [
+        ("ajiem", 3), ("ajai", 3), ("ajam", 2), ("ajām", 2),
+        ("ajos", 2), ("ajās", 2), ("iem", 2), ("ajā", 2),
+        ("ais", 2), ("ai", 2), ("ei", 2), ("ām", 1), ("am", 1),
+        ("ēm", 1), ("īm", 1), ("im", 1), ("um", 1),
+        ("us", 1), ("as", 1), ("ās", 1), ("es", 1), ("os", 1),
+        ("ij", 1), ("īs", 1), ("ēs", 1), ("is", 1),
+        ("ie", 1), ("u", 1), ("a", 1), ("i", 1), ("e", 1),
+        ("ā", 1), ("ē", 1), ("ī", 1), ("ū", 1),
+        ("o", 1), ("s", 0), ("š", 0),
+    ],
+    key=lambda p: len(p[0]), reverse=True,
+)
+
+
+def _latvian_light_stem_uncached(word: str) -> str:
+    w = word
+    if len(w) < 4:
+        return w
+    for suf, vc in _LV_AFFIXES:
+        rest = len(w) - len(suf)
+        if rest >= 3 and w.endswith(suf):
+            if sum(1 for c in w[:rest] if c in _LV_VOWELS) >= vc:
+                return w[:rest]
+    return w
+
+
+latvian_light_stem = lru_cache(maxsize=1 << 16)(
+    _latvian_light_stem_uncached
+)
+
+
+# ---------------------------------------------------------------------------
+# Sorani Kurdish: character normalization + light suffix cascade in
+# the shape of Lucene's SoraniNormalizer + SoraniStemmer (the
+# reference binds SoraniAnalyzer for `ku`): fold Arabic-presentation
+# yeh/kaf to their Farsi forms, strip tatweel and harakat, then shed
+# postposition -> possessive -> izafe/definiteness/plural endings,
+# each guarded by a minimum remaining stem of 3 letters.
+# ---------------------------------------------------------------------------
+
+_CKB_FOLD = str.maketrans({
+    "ي": "ی",  # Arabic yeh -> Farsi yeh
+    "ى": "ی",  # alef maksura -> Farsi yeh
+    "ك": "ک",  # Arabic kaf -> keheh
+    "ـ": None,       # tatweel
+})
+
+# izafe / definiteness / plural endings, longest-first (one strips)
+_CKB_ENDINGS = (
+    "ەکان",          # ەکان definite plural
+    "یەکی",          # یەکی indefinite ezafe
+    "یانی",          # یانی plural ezafe
+    "یانە",          # یانە demonstrative plural
+    "کان",                # کان definite plural
+    "ەکە",                # ەکە definite singular
+    "یەک",                # یەک indefinite singular
+    "انی",                # انی plural ezafe
+    "انە",                # انە demonstrative plural
+    "یان",                # یان indefinite plural
+    "ئێک",                # ئێک
+    "ێکی",                # ێکی indefinite ezafe
+    "ایە",                # ایە demonstrative singular
+    "ەیە",                # ەیە demonstrative singular
+    "ێک",                      # ێک indefinite singular
+    "کە",                      # کە definite singular
+    "ان",                      # ان indefinite plural
+    "ە",                            # ە demonstrative singular
+    "ی",                            # ی absolute ezafe
+)
+
+
+def _sorani_stem_uncached(word: str) -> str:
+    w = word.translate(_CKB_FOLD)
+    # strip harakat / Quranic diacritics
+    w = "".join(c for c in w if not ("ً" <= c <= "ٟ"))
+    # postpositions: دا / ەوە
+    if w.endswith("دا") and len(w) - 2 >= 3:
+        w = w[:-2]
+    elif w.endswith("ەوە") and len(w) - 3 >= 3:
+        w = w[:-3]
+    # possessive pronouns: مان / یان / تان
+    for suf in ("مان", "یان",
+                "تان"):
+        if w.endswith(suf) and len(w) - 3 >= 4:
+            w = w[:-3]
+            break
+    for suf in _CKB_ENDINGS:
+        if w.endswith(suf) and len(w) - len(suf) >= 3:
+            return w[: -len(suf)]
+    return w
+
+
+sorani_stem = lru_cache(maxsize=1 << 16)(_sorani_stem_uncached)
+
+
+# ---------------------------------------------------------------------------
 # Stopword-only analyzers. The reference wires full Lucene analyzers for
 # ~30 more locales (TermAnalyzers.java:50-81); locales below ship the
 # Snowball stop set with Standard tokenization. ru/ar/fi/tr gained
@@ -1779,8 +2005,9 @@ def _identity_stem(word: str) -> str:
 # locale -> (stopword set, stemmer). Resolution strips `_` suffixes like
 # TermAnalyzers.findAnalyzer (so pt_BR -> pt_br -> explicit entry,
 # de_AT -> de). The full 31-entry reference map (TermAnalyzers.java:43-75)
-# is wired: 19 locale codes carry stemmers (en de fr es pt pt_br it +
-# r4's ru ar fi tr sv da nb nn id hi bg cs nl); fa is unstemmed by design
+# is wired: 23 locale codes carry stemmers (en de fr es pt pt_br it +
+# r4's ru ar fi tr sv da nb nn id hi bg cs nl ro gr lv ku); fa is
+# unstemmed by design
 # (PersianAnalyzer parity); the rest are stopword-only (documented
 # scope reduction; a mis-specified stemmer is worse than none). en_ie
 # maps to the English stop set exactly like the reference
@@ -1805,22 +2032,22 @@ _LOCALE_ANALYZERS: dict[str, tuple[frozenset, object]] = {
     "nn": (NORWEGIAN_STOPWORDS, norwegian_stem),
     "fi": (FINNISH_STOPWORDS, finnish_light_stem),
     "tr": (TURKISH_STOPWORDS, turkish_light_stem),
-    "ro": (ROMANIAN_STOPWORDS, _identity_stem),
+    "ro": (ROMANIAN_STOPWORDS, romanian_light_stem),
     "id": (INDONESIAN_STOPWORDS, indonesian_stem),
     "cs": (CZECH_STOPWORDS, czech_stem),
     "ca": (CATALAN_STOPWORDS, _identity_stem),
     "gl": (GALICIAN_STOPWORDS, _identity_stem),
     "eu": (BASQUE_STOPWORDS, _identity_stem),
-    "lv": (LATVIAN_STOPWORDS, _identity_stem),
+    "lv": (LATVIAN_STOPWORDS, latvian_light_stem),
     "bg": (BULGARIAN_STOPWORDS, bulgarian_stem),
-    "gr": (GREEK_STOPWORDS, _identity_stem),
+    "gr": (GREEK_STOPWORDS, greek_light_stem),
     "ar": (ARABIC_STOPWORDS, arabic_stem),
     # fa stays unstemmed BY DESIGN: Lucene's PersianAnalyzer carries no
     # stemmer either (normalization + stop only)
     "fa": (PERSIAN_STOPWORDS, _identity_stem),
     "hi": (HINDI_STOPWORDS, hindi_stem),
     "hy": (ARMENIAN_STOPWORDS, _identity_stem),
-    "ku": (SORANI_STOPWORDS, _identity_stem),
+    "ku": (SORANI_STOPWORDS, sorani_stem),
     "th": (THAI_STOPWORDS, _identity_stem),
     "en_ie": (ENGLISH_STOPWORDS, _identity_stem),
     "pt_br": (PORTUGUESE_STOPWORDS, portuguese_light_stem),

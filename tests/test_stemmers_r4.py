@@ -349,3 +349,93 @@ def test_dutch_wired_in_analyzer():
     # stopword (de, het, een) drop + stemming through the nl pipeline;
     # nl_NL suffix-strips to nl like TermAnalyzers.findAnalyzer
     assert analyze("de lichamen en het bed", "nl_NL") == ["licham", "bed"]
+
+
+def test_romanian_light_goldens():
+    from miru_spark.analyzer import romanian_light_stem as st
+
+    fams = {
+        # definite articles / plurals (Snowball step-0 shapes)
+        "tren": ["trenul", "trenului", "trenuri", "trenurile"],
+        "copil": ["copilul", "copilului"],
+        "stea": ["steaua"],
+        # the ație ~ ația ~ ații conflation
+        "informați": ["informația", "informație", "informații"],
+        # light final-vowel reduction
+        "frumoas": ["frumoasă", "frumoase"],
+    }
+    for head, members in fams.items():
+        for m in members:
+            assert st(m) == head, f"{m} -> {st(m)} != {head}"
+    # cedilla-form fold: legacy U+0163 ţ lands on the same stem
+    assert st("informaţia") == "informați"
+    # short words untouched
+    assert st("cu") == "cu"
+
+
+def test_greek_fold_and_light_goldens():
+    from miru_spark.analyzer import greek_fold, greek_light_stem as st
+
+    # GreekLowerCaseFilter parity: accents fold, final sigma -> σ
+    assert greek_fold("της") == "τησ"
+    assert greek_fold("άνθρωπος") == "ανθρωποσ"
+    fams = {
+        "ανθρωπ": ["άνθρωπος", "ανθρώπου", "άνθρωποι", "ανθρώπων"],
+        "θαλασσ": ["θάλασσα", "θάλασσας", "θάλασσες"],
+        # stem-final ι kept intact across the whole declension
+        "βιβλι": ["βιβλίο", "βιβλία", "βιβλίου", "βιβλίων"],
+        "πολ": ["πόλη", "πόλης", "πόλεις", "πόλεων"],
+        "εργασι": ["εργασία", "εργασίας", "εργασίες"],
+    }
+    for head, members in fams.items():
+        for m in members:
+            assert st(m) == head, f"{m} -> {st(m)} != {head}"
+
+
+def test_latvian_light_goldens():
+    from miru_spark.analyzer import latvian_light_stem as st
+
+    fams = {
+        "grāmat": ["grāmata", "grāmatas", "grāmatai", "grāmatu",
+                   "grāmatām"],
+        "vīr": ["vīrs", "vīra", "vīram", "vīru"],
+        "māj": ["mājas", "mājās", "māju", "māja"],
+    }
+    for head, members in fams.items():
+        for m in members:
+            assert st(m) == head, f"{m} -> {st(m)} != {head}"
+    # the vowel-count guard: ajiem needs 3 stem vowels, so labajiem
+    # falls through to the iem affix (2 vowels in labaj)
+    assert st("labajiem") == "labaj"
+
+
+def test_sorani_goldens():
+    from miru_spark.analyzer import sorani_stem as st
+
+    # definite/indefinite/plural endings
+    assert st("پیاوەکان") == "پیاو"       # the men
+    assert st("کتێبەکە") == "کتێب"        # the book
+    assert st("شارێک") == "شار"           # a city
+    assert st("کوردان") == "کورد"         # Kurds
+    # possessive then plural cascade: our books -> book
+    assert st("کتێبەکانمان") == "کتێب"
+    # postposition then demonstrative
+    assert st("شارەدا") == "شار"
+    assert st("ماڵەوە") == "ماڵ"
+    # Arabic-presentation fold: ي/ك -> ی/ک
+    assert st("كتيب") == "کتیب"
+
+
+def test_r4b_locales_wired():
+    from miru_spark.analyzer import (
+        analyze, _LOCALE_ANALYZERS, romanian_light_stem,
+        greek_light_stem, latvian_light_stem, sorani_stem,
+    )
+
+    assert _LOCALE_ANALYZERS["ro"][1] is romanian_light_stem
+    assert _LOCALE_ANALYZERS["gr"][1] is greek_light_stem
+    assert _LOCALE_ANALYZERS["lv"][1] is latvian_light_stem
+    assert _LOCALE_ANALYZERS["ku"][1] is sorani_stem
+    # stop + stem through the pipeline
+    assert analyze("și trenurile din gară", "ro") == ["tren", "gar"]
+    assert analyze("και οι άνθρωποι", "gr") == ["ανθρωπ"]
