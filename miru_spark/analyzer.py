@@ -1678,15 +1678,151 @@ sorani_stem = lru_cache(maxsize=1 << 16)(_sorani_stem_uncached)
 
 
 # ---------------------------------------------------------------------------
-# Stopword-only analyzers. The reference wires full Lucene analyzers for
-# ~30 more locales (TermAnalyzers.java:50-81); locales below ship the
-# Snowball stop set with Standard tokenization. ru/ar/fi/tr gained
-# stemmers in r4 (Snowball Russian, Arabic light10, Finnish/Turkish
-# light); the rest stay stopword-only -- an explicit, documented scope
-# reduction (stopping captures most of the retrieval win; a wrong
-# stemmer would be worse than none). Remaining locales fall through to
-# the Standard analyzer exactly like findAnalyzer's fallback
-# (TermAnalyzers.java:117-136).
+# Catalan: a light plural + final-vowel stemmer in the Romance-light
+# family of the es/pt/it stemmers above (the reference binds Lucene's
+# CatalanAnalyzer = full Snowball Catalan; light scope documented).
+# Handles the -ques ~ -ca alternation (vaques/vaca) and the n-restoring
+# plural of oxytones (cançó/cançons) before the generic -s strip.
+# ---------------------------------------------------------------------------
+
+_CA_FOLD = str.maketrans("àáâäèéêëìíîïòóôöùúûüç", "aaaaeeeeiiiioooouuuuc")
+
+
+def _catalan_light_stem_uncached(word: str) -> str:
+    w = word.translate(_CA_FOLD)
+    if len(w) < 4:
+        return w
+    if w.endswith("ques") and len(w) - 4 >= 2:
+        w = w[:-4] + "ca"
+    elif w.endswith("ns") and len(w) - 2 >= 3:
+        w = w[:-2]
+    elif w.endswith("s") and len(w) - 1 >= 3:
+        w = w[:-1]
+    if len(w) >= 4 and w[-1] in ("a", "e", "o"):
+        w = w[:-1]
+    return w
+
+
+catalan_light_stem = lru_cache(maxsize=1 << 16)(
+    _catalan_light_stem_uncached
+)
+
+
+# ---------------------------------------------------------------------------
+# Galician: plural normalization in the shape of Lucene's
+# GalicianMinimalStemmer (the Orengo RSLP plural-reduction step adapted
+# to Galician; the reference binds GalicianAnalyzer, whose full RSLP
+# stemmer is a documented scope reduction) + the same light final-vowel
+# conflation as pt.
+# ---------------------------------------------------------------------------
+
+_GL_FOLD = str.maketrans("áàâäéèêëíìîïóòôöúùûü", "aaaaeeeeiiiioooouuuu")
+
+_GL_PLURAL = (  # suffix -> replacement, longest-first
+    ("ais", "al"), ("eis", "el"), ("ois", "ol"),
+    ("les", "l"), ("res", "r"), ("ns", "n"), ("s", ""),
+)
+
+
+def _galician_light_stem_uncached(word: str) -> str:
+    w = word.translate(_GL_FOLD)
+    if len(w) < 4:
+        return w
+    for suf, rep in _GL_PLURAL:
+        if w.endswith(suf) and len(w) - len(suf) + len(rep) >= 3:
+            w = w[: -len(suf)] + rep
+            break
+    if len(w) >= 4 and w[-1] in ("a", "e", "o"):
+        w = w[:-1]
+    return w
+
+
+galician_light_stem = lru_cache(maxsize=1 << 16)(
+    _galician_light_stem_uncached
+)
+
+
+# ---------------------------------------------------------------------------
+# Basque: a light case-ending stripper (the reference binds Lucene's
+# BasqueAnalyzer = Snowball Basque, which likewise sheds the stacked
+# nominal case endings; light scope documented). Longest matching
+# ending strips once -- the agglutinated local cases (-etan/-etako/
+# -etatik/-etara) before the simple article/case set.
+# ---------------------------------------------------------------------------
+
+_EU_ENDINGS = sorted(
+    [
+        "etakoak", "etakoa", "etako", "etatik", "etara", "etan",
+        "arekin", "aren", "ekin", "ari", "ak", "ek", "en", "an",
+        "tik", "ra", "ko", "ik", "a",
+    ],
+    key=len, reverse=True,
+)
+
+
+def _basque_light_stem_uncached(word: str) -> str:
+    w = word
+    if len(w) < 4:
+        return w
+    for suf in _EU_ENDINGS:
+        if w.endswith(suf) and len(w) - len(suf) >= 3:
+            return w[: -len(suf)]
+    return w
+
+
+basque_light_stem = lru_cache(maxsize=1 << 16)(
+    _basque_light_stem_uncached
+)
+
+
+# ---------------------------------------------------------------------------
+# Armenian (Eastern): a light nominal suffix stripper (the reference
+# binds Lucene's ArmenianAnalyzer = Snowball Armenian; light scope
+# documented): plural ներ/եր with their fused case endings, the
+# simple case endings, then the definite article (ը always; ն only
+# after a vowel -- տուն keeps its root ն, երեխան sheds the article).
+# ---------------------------------------------------------------------------
+
+_HY_VOWELS = frozenset("աեէիոօ")
+
+_HY_ENDINGS = sorted(
+    [
+        "ներից", "ներում", "ներին", "ներով", "ները", "ներ",
+        "երից", "երում", "երին", "երով", "երը", "եր",
+        "ում", "ով", "ից", "ին", "ի", "ը",
+    ],
+    key=len, reverse=True,
+)
+
+
+def _armenian_light_stem_uncached(word: str) -> str:
+    w = word
+    if len(w) < 4:
+        return w
+    for suf in _HY_ENDINGS:
+        if w.endswith(suf) and len(w) - len(suf) >= 3:
+            w = w[: -len(suf)]
+            break
+    else:
+        if w.endswith("ն") and len(w) >= 4 and w[-2] in _HY_VOWELS:
+            w = w[:-1]
+    return w
+
+
+armenian_light_stem = lru_cache(maxsize=1 << 16)(
+    _armenian_light_stem_uncached
+)
+
+
+# ---------------------------------------------------------------------------
+# Stop sets for the remaining reference locales (TermAnalyzers.java:
+# 50-81), each the published Snowball/Lucene stop list. As of r4 every
+# locale code also carries a stemmer (full Snowball or a documented
+# light rendition -- see each stemmer's header) except the three whose
+# reference analyzers don't stem either: fa (PersianAnalyzer), th
+# (ThaiAnalyzer: segmentation only), en_ie (bound over the English
+# stop set). Unknown locales fall through to the Standard analyzer
+# exactly like findAnalyzer's fallback (TermAnalyzers.java:117-136).
 # ---------------------------------------------------------------------------
 
 DUTCH_STOPWORDS = frozenset(
@@ -2005,9 +2141,9 @@ def _identity_stem(word: str) -> str:
 # locale -> (stopword set, stemmer). Resolution strips `_` suffixes like
 # TermAnalyzers.findAnalyzer (so pt_BR -> pt_br -> explicit entry,
 # de_AT -> de). The full 31-entry reference map (TermAnalyzers.java:43-75)
-# is wired: 23 locale codes carry stemmers (en de fr es pt pt_br it +
-# r4's ru ar fi tr sv da nb nn id hi bg cs nl ro gr lv ku); fa is
-# unstemmed by design
+# is wired: 27 locale codes carry stemmers (en de fr es pt pt_br it +
+# r4's ru ar fi tr sv da nb nn id hi bg cs nl ro gr lv ku ca gl eu hy);
+# fa is unstemmed by design
 # (PersianAnalyzer parity); the rest are stopword-only (documented
 # scope reduction; a mis-specified stemmer is worse than none). en_ie
 # maps to the English stop set exactly like the reference
@@ -2035,9 +2171,9 @@ _LOCALE_ANALYZERS: dict[str, tuple[frozenset, object]] = {
     "ro": (ROMANIAN_STOPWORDS, romanian_light_stem),
     "id": (INDONESIAN_STOPWORDS, indonesian_stem),
     "cs": (CZECH_STOPWORDS, czech_stem),
-    "ca": (CATALAN_STOPWORDS, _identity_stem),
-    "gl": (GALICIAN_STOPWORDS, _identity_stem),
-    "eu": (BASQUE_STOPWORDS, _identity_stem),
+    "ca": (CATALAN_STOPWORDS, catalan_light_stem),
+    "gl": (GALICIAN_STOPWORDS, galician_light_stem),
+    "eu": (BASQUE_STOPWORDS, basque_light_stem),
     "lv": (LATVIAN_STOPWORDS, latvian_light_stem),
     "bg": (BULGARIAN_STOPWORDS, bulgarian_stem),
     "gr": (GREEK_STOPWORDS, greek_light_stem),
@@ -2046,7 +2182,7 @@ _LOCALE_ANALYZERS: dict[str, tuple[frozenset, object]] = {
     # stemmer either (normalization + stop only)
     "fa": (PERSIAN_STOPWORDS, _identity_stem),
     "hi": (HINDI_STOPWORDS, hindi_stem),
-    "hy": (ARMENIAN_STOPWORDS, _identity_stem),
+    "hy": (ARMENIAN_STOPWORDS, armenian_light_stem),
     "ku": (SORANI_STOPWORDS, sorani_stem),
     "th": (THAI_STOPWORDS, _identity_stem),
     "en_ie": (ENGLISH_STOPWORDS, _identity_stem),

@@ -260,9 +260,9 @@ GOLDEN_NEW_LOCALES = {
     "ro": ("și o carte în casa", ["cart", "cas"]),
     "id": ("yang buku ini dan itu", ["buku"]),
     "cs": ("a je to kniha na stole", ["knih", "stol"]),
-    "ca": ("el llibre i la taula", ["llibre", "taula"]),
-    "gl": ("o libro e a mesa", ["libro", "mesa"]),
-    "eu": ("liburua eta mahaia da", ["liburua", "mahaia"]),
+    "ca": ("el llibre i la taula", ["llibr", "taul"]),
+    "gl": ("o libro e a mesa", ["libr", "mes"]),
+    "eu": ("liburua eta mahaia da", ["liburu", "mahai"]),
     "lv": ("un grāmata ir uz galda", ["grāmat", "gald"]),
     "bg": ("и книгата е на масата", ["книг", "маса"]),
     "gr": ("ο σκύλος και η γάτα", ["σκυλ", "γατ"]),

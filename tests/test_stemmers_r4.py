@@ -439,3 +439,57 @@ def test_r4b_locales_wired():
     # stop + stem through the pipeline
     assert analyze("și trenurile din gară", "ro") == ["tren", "gar"]
     assert analyze("και οι άνθρωποι", "gr") == ["ανθρωπ"]
+
+
+def test_catalan_galician_basque_armenian_goldens():
+    from miru_spark.analyzer import (
+        armenian_light_stem,
+        basque_light_stem,
+        catalan_light_stem,
+        galician_light_stem,
+    )
+
+    ca = {
+        "llibr": ["llibre", "llibres"],
+        "taul": ["taula", "taules"],
+        "vac": ["vaca", "vaques"],      # -ques ~ -ca alternation
+        "canc": ["cançó", "cançons"],   # n-restoring oxytone plural
+    }
+    gl = {
+        "libr": ["libro", "libros"],
+        "mes": ["mesa", "mesas"],
+        "cancion": ["canción", "cancións"],  # ns -> n
+        "animal": ["animais"],               # ais -> al
+    }
+    eu = {
+        "liburu": ["liburua", "liburuak", "liburuaren"],
+        "mendi": ["mendian", "mendietan"],
+        "etxe": ["etxea", "etxera"],
+    }
+    hy = {
+        "գիրք": ["գիրքը"],
+        "երեխա": ["երեխան", "երեխաները"],   # article ն after vowel
+        "քաղաք": ["քաղաք", "քաղաքում"],
+    }
+    for stem, fams in (
+        (catalan_light_stem, ca), (galician_light_stem, gl),
+        (basque_light_stem, eu), (armenian_light_stem, hy),
+    ):
+        for head, members in fams.items():
+            for m in members:
+                assert stem(m) == head, f"{m} -> {stem(m)} != {head}"
+    # root-final ն is NOT the article after a consonant/ւ
+    assert armenian_light_stem("տուն") == "տուն"
+
+
+def test_every_locale_stems_or_is_by_design():
+    """r4 closes the stemmer matrix: every reference locale code either
+    carries a stemmer or its Lucene analyzer doesn't stem either
+    (PersianAnalyzer, ThaiAnalyzer, en_ie over the English stop set)."""
+    from miru_spark.analyzer import _LOCALE_ANALYZERS, _identity_stem
+
+    unstemmed = {
+        loc for loc, (_, st) in _LOCALE_ANALYZERS.items()
+        if st is _identity_stem
+    }
+    assert unstemmed == {"fa", "th", "en_ie"}
