@@ -806,6 +806,184 @@ def _make_kernel(
     return kernel
 
 
+def _decode_pdf_composite(pdf):
+    """Task-level composite decode: ALL of a task's posting rows ->
+    {term: (cids, tfs, dls)} with absolute composite (pid << 32 |
+    doc_id) ids, plus {term: df} when a `df` column rides (unpinned
+    vocabulary). ONE varint pass per term over the concatenated blobs
+    -- the kernel twin of SearchEngine._decode_posting_table, built
+    from the pandas chunk mapInPandas hands the task. Filter-only
+    terms arrive with nulled tf/dl blobs (shed before the exchange)
+    and reuse their id array as the sentinel, exactly like the
+    per-pid kernel's decode_terms."""
+    import pandas as pd
+
+    pdf = pdf.sort_values(["term", "pid", "blk"], kind="stable")
+    terms = pdf["term"].to_numpy()
+    pids = pdf["pid"].to_numpy().astype(np.int64)
+    ns = pdf["n"].to_numpy().astype(np.int64)
+    ids_bins = pdf["ids_bin"].to_numpy()
+    has_blobs = "tfs_bin" in pdf.columns
+    tfs_bins = pdf["tfs_bin"].to_numpy() if has_blobs else None
+    dls_bins = pdf["dls_bin"].to_numpy() if has_blobs else None
+    dfs = pdf["df"].to_numpy() if "df" in pdf.columns else None
+    dec: dict = {}
+    dfmap: dict = {}
+    bnd = np.flatnonzero(terms[1:] != terms[:-1]) + 1
+    starts = np.concatenate(([0], bnd, [len(terms)]))
+    for gi in range(len(starts) - 1):
+        s, e = int(starts[gi]), int(starts[gi + 1])
+        t = terms[s]
+        gaps = decode_varint(b"".join(ids_bins[s:e]))
+        acc = np.cumsum(gaps)
+        row_n = ns[s:e]
+        rs = np.zeros(e - s, dtype=np.int64)
+        np.cumsum(row_n[:-1], out=rs[1:])
+        base = acc[rs] - gaps[rs] - (pids[s:e] << 32)
+        cids = acc - np.repeat(base, row_n)
+        if not has_blobs or tfs_bins[s] is None:
+            dec[t] = (cids, cids, cids)
+        else:
+            dec[t] = (
+                cids,
+                decode_varint(b"".join(tfs_bins[s:e])),
+                decode_varint(b"".join(dls_bins[s:e])),
+            )
+        if dfs is not None and not pd.isna(dfs[s]):
+            dfmap[t] = int(dfs[s])
+    return dec, dfmap
+
+
+def _make_composite_kernel(
+    tree,
+    scoring_terms: list[str],
+    n_docs: int,
+    avgdl: float,
+    k: int,
+    pid_counts: dict,
+    expansions: dict,
+    time_bounds: dict | None,
+    time_spec: tuple | None,
+    removed_map: dict | None,
+    idf_map: dict | None,
+):
+    """Task-level composite-id kernel for the plain scoring search:
+    instead of looping the task's pids through the per-pid kernel
+    (O(pids x terms) small-array NumPy calls -- the latency floor of
+    wide queries at fine-grained time partitioning), decode the whole
+    task ONCE into composite (pid << 32 | doc_id) arrays and run ONE
+    _eval_tree + ONE sorted-term scoring pass + ONE top-k over all of
+    the task's pids. Composite ids are globally sorted per term, so
+    every evaluator step is the same code path the serving node runs
+    (_search_local) -- scores are bit-identical to the per-pid kernel
+    (same per-doc contributions in the same sorted-term order) and the
+    task's k best rows by (score desc, pid, doc_id) are exactly its
+    contribution to the global TakeOrdered merge.
+
+    Used when agg is None, strategy is score-ranked, no phrase members,
+    no match-all marker rows and no unpinned tombstones ride the
+    exchange; every other shape stays on the per-pid kernel."""
+    import pandas as pd
+
+    def run(batches):
+        dfs_ = [b for b in batches if len(b)]
+        if not dfs_:
+            return
+        pdf = pd.concat(dfs_, ignore_index=True)
+        trows = None
+        if "rk" in pdf.columns:
+            rk = pdf["rk"].to_numpy()
+            if (rk == "t").any():
+                trows = pdf[rk == "t"]
+            pdf = pdf[rk == "p"]
+        if not len(pdf):
+            return
+        dec, dfmap = _decode_pdf_composite(pdf)
+        idf = (
+            idf_map
+            if idf_map is not None
+            else {t: bm25_idf(n_docs, d) for t, d in dfmap.items()}
+        )
+        cmap = {t: v[0] for t, v in dec.items()}
+        matches = _eval_tree(
+            tree, cmap, expansions, np.empty(0, dtype=np.int64), None
+        )
+        # per-boundary-pid time bounds, applied to the matching span of
+        # the composite array (identical to the per-pid kernel's
+        # resolve_bounds + range filter; interior pids are unbounded)
+        if matches.size and (
+            time_bounds is not None or time_spec is not None
+        ):
+            if time_bounds is not None:
+                bpids = sorted(time_bounds)
+            else:
+                t0_us, t1_us, plo, phi = time_spec
+                bpids = sorted({plo, phi})
+            for p in bpids:
+                if not matches.size:
+                    break
+                lo_i = np.searchsorted(matches, p << 32)
+                hi_i = np.searchsorted(matches, (p + 1) << 32)
+                if hi_i <= lo_i:
+                    continue  # none of this task's matches are in p
+                n = int(pid_counts.get(p, 0))
+                if time_bounds is not None:
+                    lo, hi = time_bounds.get(p, (0, n))
+                else:
+                    tr = (
+                        trows[trows["pid"] == p]
+                        if trows is not None else None
+                    )
+                    if tr is None or not len(tr):
+                        lo, hi = 0, n
+                    else:
+                        tr = tr.sort_values("first_doc")
+                        warc = np.concatenate(
+                            [
+                                np.cumsum(decode_varint(b))
+                                for b in tr["ids_bin"]
+                            ]
+                        )
+                        lo = int(np.searchsorted(warc, t0_us, "left"))
+                        hi = int(np.searchsorted(warc, t1_us, "right"))
+                seg = matches[lo_i:hi_i] - (p << 32)
+                keep = np.ones(matches.size, dtype=bool)
+                keep[lo_i:hi_i] = (seg >= lo) & (seg < hi)
+                matches = matches[keep]
+        if removed_map and matches.size:
+            rem = np.concatenate(
+                [
+                    (np.int64(p) << 32) + removed_map[p]
+                    for p in sorted(removed_map)
+                ]
+            )
+            pos = np.minimum(np.searchsorted(rem, matches), rem.size - 1)
+            matches = matches[rem[pos] != matches]
+        if matches.size == 0:
+            return
+        scores = np.zeros(matches.size, dtype=np.float64)
+        for t in scoring_terms:  # sorted order fixes float summation
+            e = dec.get(t)
+            if e is None or e[0].size == 0:
+                continue
+            _accumulate_term(
+                scores, matches, e[0], e[1], e[2], idf[t], avgdl
+            )
+        order = np.lexsort((matches, -scores))
+        if k > 0:
+            order = order[:k]
+        cids = matches[order]
+        yield pd.DataFrame(
+            {
+                "pid": (cids >> np.int64(32)).astype(np.int64),
+                "doc_id": (cids & np.int64(0xFFFFFFFF)).astype(np.int64),
+                "score": scores[order],
+            }
+        )
+
+    return run
+
+
 class SearchEngine(FeatureOpsMixin):
     """Distributed BM25 search over a built index directory."""
 
@@ -1477,6 +1655,23 @@ class SearchEngine(FeatureOpsMixin):
         out_schema = _RESULT_SCHEMA + (
             ", cnt long" if agg in ("aggregate", "waveforms") else ""
         )
+        if (
+            agg is None
+            and strategy != "time"
+            and not phrase_terms
+            and not has_all_node
+            and not unpinned_removals
+        ):
+            # plain scoring search: the task-level composite kernel
+            # (one decode + one eval + one top-k per TASK) replaces the
+            # per-pid loop -- same scores bit-for-bit, O(terms) NumPy
+            # calls per task instead of O(pids x terms)
+            runner = _make_composite_kernel(
+                tree, scoring_terms, self.n_docs, self.avgdl, k,
+                self.pid_counts, expansions, time_bounds, time_spec,
+                self._removed_map, idf_map,
+            )
+            return src.mapInPandas(runner, out_schema)
         return src.mapInPandas(_per_pid_dispatch(kernel), out_schema)
 
     # -- serving-node local path -------------------------------------------

@@ -517,3 +517,50 @@ def test_newest_filtered_rank_identity(engine, oracle, query):
     finally:
         engine.local_max_postings = old
     assert got_d == want, (query, got_d, want)
+
+
+def test_composite_kernel_time_bounds_identity(engine, corpus):
+    """The task-level composite kernel (the plain-scoring distributed
+    path since r4) must stay exactly rank- and score-identical to the
+    serving node when boundary-pid time bounds resolve in-task from
+    't' rows."""
+    ts = sorted(r["warc_us"] for r in corpus)
+    t0, t1 = ts[len(ts) // 5], ts[4 * len(ts) // 5]
+    for q in ["w00004*", "w000001 OR w000009", "w000001 AND NOT w000002"]:
+        a = engine.search_collect(
+            q, k=10, time_range_us=(t0, t1), local=False
+        )
+        b = engine.search_collect(
+            q, k=10, time_range_us=(t0, t1), local=True
+        )
+        assert a == b, q
+        assert a, q  # bounds must not empty the match set
+
+
+def test_composite_kernel_pinned_tombstones_identity(
+    spark, corpus, tmp_path_factory
+):
+    """Pinned removals mask inside the composite kernel exactly as on
+    the serving node (the unpinned 'x'-row shape stays on the per-pid
+    kernel and is covered by test_removals)."""
+    from miru_spark.index.removals import remove_docs
+
+    index_dir = str(tmp_path_factory.mktemp("idx_comp_rm"))
+    wt = webtext_df(spark, N_DOCS, parallelism=4)
+    build_index(
+        spark, wt, index_dir,
+        partition_seconds=PARTITION_SECONDS, block_span=BLOCK_SPAN,
+    )
+    eng0 = SearchEngine(spark, index_dir)
+    victims = [
+        (p, d) for (p, d, _s, _u)
+        in eng0.search_collect("w000001 OR w000009", k=5)
+    ]
+    remove_docs(spark, index_dir, victims)
+    eng = SearchEngine(spark, index_dir)
+    assert eng._removed_map is not None  # pinned -> composite-eligible
+    for q in ["w000001 OR w000009", "w00004*"]:
+        a = eng.search_collect(q, k=10, local=False)
+        b = eng.search_collect(q, k=10, local=True)
+        assert a == b, q
+        assert not ({(r[0], r[1]) for r in a} & set(victims)), q
