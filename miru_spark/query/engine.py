@@ -2016,6 +2016,16 @@ class SearchEngine(FeatureOpsMixin):
             <= self.local_max_postings
         )
 
+        # mirror of kernel_frame's dispatch: plain scoring searches run
+        # the task-level composite kernel; every other shape loops pids
+        composite = (
+            not prep["has_all_node"]
+            and not phrase_members
+            and not (
+                self._removed_df is not None and self._removed_map is None
+            )
+        )
+
         rep = {
             "query": query,
             "tree": repr(prep["tree"]),
@@ -2030,6 +2040,10 @@ class SearchEngine(FeatureOpsMixin):
                 "storage is reachable, then 1 job)"
             ),
             "distributed_reasons": reasons,
+            "kernel": (
+                None if local
+                else "composite-task" if composite else "per-pid"
+            ),
             "n_fetch_terms": len(prep["fetch_terms"]),
             "n_scoring_terms": len(prep["scoring_terms"]),
             "prefix_expansions": {
@@ -2065,6 +2079,9 @@ class SearchEngine(FeatureOpsMixin):
                     f"(this query: {est:,})"
                 )
                 if local
+                else "composite-task kernel is exhaustive (one "
+                "vectorized pass; block-max not applicable)"
+                if composite
                 else (
                     "exact block-max kernel"
                     + (

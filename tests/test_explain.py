@@ -67,9 +67,18 @@ def test_explain_distributed_route_reasons(eng):
         assert rep["route"] == "distributed-kernel"
         assert rep["spark_jobs"] == 2
         assert any("serving budget" in r for r in rep["distributed_reasons"])
-        assert "block-max" in rep["blockmax"]
+        # plain scoring search: the composite task kernel (exhaustive)
+        assert rep["kernel"] == "composite-task"
+        assert "composite" in rep["blockmax"]
+        # match-all shapes stay on the per-pid kernel
+        rep_all = eng.explain(None, constraints="lang:de")
+        if rep_all["route"] == "distributed-kernel":
+            assert rep_all["kernel"] == "per-pid"
+            assert "block-max" in rep_all["blockmax"]
     finally:
         eng.local_max_postings = old
+    # serving-node route: no kernel flavor
+    assert eng.explain("w000001", k=10)["kernel"] is None
 
 
 def test_explain_time_pruning_and_match_all(eng):
