@@ -212,8 +212,14 @@ def main() -> None:
                 "de", item_field="site", stream_field="lang", count=10
             )
             extras["plugin_inbox_ms"] = round((time.time() - t0) * 1e3, 1)
+            t0 = time.time()
+            sp = eng.stumptown("w000017", bucket_seconds=86400, k=10)
+            extras["plugin_stumptown_ms"] = round(
+                (time.time() - t0) * 1e3, 1
+            )
             extras["plugin_sizes"] = [
-                len(gf), len(st), len(rc), len(ib["page"])
+                len(gf), len(st), len(rc), len(ib["page"]),
+                len(sp["waveform"]) + len(sp["results"]),
             ]
 
         # batched qps: all queries in ONE Spark job (stress-harness shape)

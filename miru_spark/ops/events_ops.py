@@ -457,7 +457,9 @@ QUERIES = {
     "ev_aggregate_counts": (ev_aggregate_counts, EV_AGGREGATE_COUNTS_SQL),
     "ev_analytics_waveform": (ev_analytics_waveform, EV_ANALYTICS_WAVEFORM_SQL),
     "ev_metrics": (ev_metrics, EV_METRICS_SQL),
-    "ev_anomaly_newest": (ev_anomaly_newest, EV_ANOMALY_NEWEST_SQL),
+    # ev_anomaly_newest retired: driver-gated by ft_engine_stumptown
+    # (the engine's one-pass waveform + newest-k); pytest-gated in
+    # tests/test_entry_oracle.py.
     "ev_trending_slope": (ev_trending_slope, EV_TRENDING_SLOPE_SQL),
     "ev_trending_peaks": (ev_trending_peaks, EV_TRENDING_PEAKS_SQL),
     # ev_reco_cofilter retired: driver-gated by ft_engine_reco (the

@@ -715,6 +715,50 @@ ORDER BY warc_us DESC, value ASC LIMIT 10
 """
 
 
+def ft_engine_stumptown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stumptown (log-aggregation plugin) through the REAL engine: the
+    per-600s-bucket waveform AND the newest-5 matching docs from ONE
+    pass over the match set (Stumptown.stumptowning, Stumptown.java:
+    37-73). Emitted as tagged rows so one DataFrame carries both
+    answers: ('wf', bucket_start_us, count) + ('doc', warc_us, doc_id).
+    DuckDB recomputes both from doc_id (the index stamps doc_id seconds
+    onto a fixed epoch, see _engine_for)."""
+    eng = _engine_for(spark, sf_dir)
+    st = eng.stumptown("spark AND join", bucket_seconds=600, k=5)
+    rows = [
+        ("wf", int(b), int(c)) for b, c in st["waveform"]
+    ] + [
+        ("doc", int(w), int(d)) for _u, w, _p, d in st["results"]
+    ]
+    return spark.createDataFrame(
+        rows, "kind string, key_us long, val long"
+    ).orderBy("kind", "key_us")
+
+
+FT_ENGINE_STUMPTOWN_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+), m AS (
+  SELECT doc_id FROM toks
+  WHERE list_contains(ts, 'spark') AND list_contains(ts, 'join')
+)
+SELECT kind, key_us, val FROM (
+  SELECT 'wf' AS kind,
+         ((1704067200000000 + doc_id * 1000000) // 600000000)
+           * 600000000 AS key_us,
+         CAST(count(*) AS BIGINT) AS val
+  FROM m GROUP BY key_us
+  UNION ALL
+  SELECT * FROM (
+    SELECT 'doc' AS kind,
+           1704067200000000 + doc_id * 1000000 AS key_us,
+           CAST(doc_id AS BIGINT) AS val
+    FROM m ORDER BY doc_id DESC LIMIT 5
+  )
+) ORDER BY kind, key_us
+"""
+
+
 QUERIES = {
     "ft_term_stats": (ft_term_stats, FT_TERM_STATS_SQL),
     "ft_bm25_and_topk": (ft_bm25_and_topk, FT_BM25_AND_SQL),
@@ -743,4 +787,8 @@ QUERIES = {
     "ft_engine_reco": (ft_engine_reco, FT_ENGINE_RECO_SQL),
     "ft_engine_strut": (ft_engine_strut, FT_ENGINE_STRUT_SQL),
     "ft_engine_inbox": (ft_engine_inbox, FT_ENGINE_INBOX_SQL),
+    # r4 (late): stumptown through the REAL engine -- its slot comes
+    # from the retired event-table ev_anomaly_newest (pytest-gated in
+    # tests/test_entry_oracle.py).
+    "ft_engine_stumptown": (ft_engine_stumptown, FT_ENGINE_STUMPTOWN_SQL),
 }

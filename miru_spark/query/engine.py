@@ -333,6 +333,22 @@ def _tuple_counts(matches, postings, groups: list):
     return np.unique(keys, return_counts=True)
 
 
+def _interp_buckets(
+    out: list[tuple[int, float]], bucket_us: int
+) -> list[tuple[int, float]]:
+    """Fill interior gap buckets of an avg waveform by linear
+    interpolation between non-empty neighbors (Anomaly.metricingAvg,
+    Anomaly.java:35-95: commons-math LinearInterpolator over the
+    non-empty points; np.interp IS that interpolator)."""
+    if len(out) < 2:
+        return out
+    bs = np.array([b for b, _ in out], dtype=np.int64) // bucket_us
+    vs = np.array([v for _, v in out], dtype=np.float64)
+    full = np.arange(bs[0], bs[-1] + 1, dtype=np.int64)
+    iv = np.interp(full, bs, vs)
+    return [(int(b) * bucket_us, float(v)) for b, v in zip(full, iv)]
+
+
 def _make_kernel(
     tree,
     scoring_terms: list[str],
@@ -699,6 +715,43 @@ def _make_kernel(
                         "pid": pid,
                         "doc_id": np.array(out_idx, dtype=np.int64),
                         "score": np.array(out_cnt, dtype=np.float64),
+                    }
+                )
+            if agg == "stumptown":
+                # ONE pass over this pid's match set yields BOTH outputs
+                # (Stumptown.stumptowning, Stumptown.java:37-73: newest-k
+                # activities off the answer's descending iterator + the
+                # same answer's boundedCardinalities waveform): bucket
+                # rows tagged pid=-1, newest-k candidate rows with the
+                # real pid (score 0, TIME semantics -- docIDs are
+                # time-ordered within a pid)
+                if ids.size == 0:
+                    return pd.DataFrame(
+                        columns=["pid", "doc_id", "score"]
+                    )
+                out_pid: list = []
+                out_doc: list = []
+                out_sc: list = []
+                if trows is not None and len(trows):
+                    tr = trows.sort_values("first_doc")
+                    warc = np.concatenate(
+                        [np.cumsum(decode_varint(b)) for b in tr["ids_bin"]]
+                    )
+                    b_idx, cnt = np.unique(
+                        warc[ids] // bucket_us, return_counts=True
+                    )
+                    out_pid.extend([-1] * b_idx.size)
+                    out_doc.extend(b_idx.tolist())
+                    out_sc.extend(cnt.astype(np.float64).tolist())
+                newest = ids[-k:] if k > 0 else ids[:0]
+                out_pid.extend([pid] * newest.size)
+                out_doc.extend(newest.tolist())
+                out_sc.extend([0.0] * newest.size)
+                return pd.DataFrame(
+                    {
+                        "pid": np.array(out_pid, dtype=np.int64),
+                        "doc_id": np.array(out_doc, dtype=np.int64),
+                        "score": np.array(out_sc, dtype=np.float64),
                     }
                 )
             if agg == "waveform":
@@ -1548,7 +1601,7 @@ class SearchEngine(FeatureOpsMixin):
             blocks = blocks.join(F.broadcast(tstats), "term", "left")
 
         blocks = _pad_cols(blocks, kcols, "p")
-        if agg in ("waveform", "metrics", "waveforms"):
+        if agg in ("waveform", "metrics", "waveforms", "stumptown"):
             # every relevant pid's time rows ride to its kernel task so
             # matched docIDs bucket in-task (boundary pids reuse the same
             # rows for their exact [lo, hi) interval)
@@ -1633,8 +1686,9 @@ class SearchEngine(FeatureOpsMixin):
         # repartition bounded by the pids touched
         plain = (
             not boundary_pids
-            # waveform/metrics/waveforms union time-index rows
-            and agg not in ("waveform", "metrics", "waveforms")
+            # waveform/metrics/waveforms/stumptown union time-index rows
+            and agg not in ("waveform", "metrics", "waveforms",
+                            "stumptown")
             and not (has_all_node and relevant_pids)
             and not unpinned_removals
             # phrase queries read the uncached pos-bearing view, which
@@ -2371,6 +2425,97 @@ class SearchEngine(FeatureOpsMixin):
             (int(r["doc_id"]) * bucket_us, int(r["c"])) for r in rows
         ]
 
+    def stumptown(
+        self,
+        query: str | None,
+        bucket_seconds: int = 86400,
+        k: int = 10,
+        locale: str | None = None,
+        time_range_us: tuple[int, int] | None = None,
+        constraints=None,
+        authz=None,
+        local: bool | None = None,
+    ) -> dict:
+        """Stumptown (log-aggregation plugin): the per-bucket waveform
+        AND the newest-k matching docs from ONE pass over the match set
+        -- the reference's Stumptown.stumptowning (Stumptown.java:37-73:
+        desiredNumberOfResults activities off the answer bitmap's
+        descending iterator + boundedCardinalities over the same answer;
+        StumptownQuestion builds the filtered answer once and hands it to
+        both). Returns {"waveform": [(bucket_start_us, count)]
+        ascending, "results": [(url, warc_ts_us, pid, doc_id)]
+        newest-first}.
+
+        Serving path: zero Spark jobs -- one `_local_match_ids` pass
+        feeds both the time-bucket histogram and the top-k composite ids
+        (composite (pid << 32 | doc_id) descending IS global time order),
+        then a forward-index point gather resolves the k display rows.
+        Distributed path: ONE kernel job with `agg="stumptown"` -- each
+        pid's task emits its bucket rows (tagged pid=-1) and its own
+        newest-k candidates; only O(buckets + k) rows per task leave the
+        exchange, never the match set."""
+        if int(self.meta.get("format", 1)) < 2:
+            raise ValueError(
+                "stumptown requires a format>=2 index (per-block 't' "
+                "time rows)"
+            )
+        bucket_us = int(bucket_seconds) * 1_000_000
+        prep = self._prep_query(
+            query, locale, time_range_us, constraints, authz
+        )
+        if local is None:
+            local = self._local_eligible(prep)
+        elif local and not self._local_eligible(prep):
+            raise ValueError(
+                "local=True forced but this query is not eligible for "
+                "the serving-node path; use local=None for auto-routing"
+            )
+        if local:
+            matches = self._local_match_ids(prep)
+            if matches.size == 0:
+                return {"waveform": [], "results": []}
+            times = self._pid_times(np.unique(matches >> 32))
+            ts = self._times_of(matches, times)
+            b, c = np.unique(ts // bucket_us, return_counts=True)
+            wf = [(int(x) * bucket_us, int(n)) for x, n in zip(b, c)]
+            newest = np.sort(matches)[::-1][: max(k, 0)]
+            rows = self._gather_rows(
+                self._dataset(),
+                newest >> 32,
+                newest & 0xFFFFFFFF,
+                np.zeros(newest.size, dtype=np.float64),
+            )
+        else:
+            krows = self.kernel_frame(
+                query, k=k, locale=locale, time_range_us=time_range_us,
+                prep=prep, agg="stumptown", bucket_us=bucket_us,
+            ).collect()
+            buckets: dict[int, int] = {}
+            cands: list[tuple[int, int]] = []
+            for r in krows:
+                if int(r["pid"]) < 0:
+                    bkt = int(r["doc_id"])
+                    buckets[bkt] = buckets.get(bkt, 0) + int(r["score"])
+                else:
+                    cands.append((int(r["pid"]), int(r["doc_id"])))
+            wf = [
+                (b * bucket_us, n) for b, n in sorted(buckets.items())
+            ]
+            cands.sort(reverse=True)
+            cands = cands[: max(k, 0)]
+            rows = self._gather_rows(
+                self._dataset(),
+                np.array([p for p, _ in cands], dtype=np.int64),
+                np.array([d for _, d in cands], dtype=np.int64),
+                np.zeros(len(cands), dtype=np.float64),
+            )
+        return {
+            "waveform": wf,
+            "results": [
+                (u, int(w), int(p), int(d)) for u, w, p, d, _s in rows
+            ],
+        }
+
     def waveform_many(
         self,
         queries: dict,
@@ -2795,6 +2940,7 @@ class SearchEngine(FeatureOpsMixin):
         constraints=None,
         authz=None,
         local: bool | None = None,
+        interpolate: bool = False,
     ) -> list[tuple]:
         """Per-time-bucket SUM or AVG of a numeric field over the docs
         matching a query -- the reference's metrics plugin
@@ -2811,13 +2957,25 @@ class SearchEngine(FeatureOpsMixin):
         Returns [(bucket_start_us, value)] ascending; value is an int
         for kind="sum", a float (sum / matched-doc count, the reference's
         rawCardinality division) for kind="avg". Buckets with zero
-        matched docs are absent. Serving path zero jobs; distributed ONE
-        job for sum (per-task (bucket, partial-sum) rows only), plus the
-        waveform job for avg's denominator."""
+        matched docs are absent -- unless `interpolate=True` (avg only),
+        which fills every interior gap bucket by linear interpolation
+        between its non-empty neighbors, the anomaly plugin's
+        metricingAvg shape (miru-anomaly-plugins/.../Anomaly.java:35-95:
+        commons-math LinearInterpolator over the non-empty (x, y) points
+        with flat edge padding; its long[] waveform quantizes the
+        interpolated values, this engine keeps them as floats). Serving
+        path zero jobs; distributed ONE job for sum (per-task (bucket,
+        partial-sum) rows only), plus the waveform job for avg's
+        denominator."""
         from ..fields import FIELD_SEP, NUMERIC_FIELDS, decode_num
 
         if kind not in ("sum", "avg"):
             raise ValueError("kind must be 'sum' or 'avg'")
+        if interpolate and kind != "avg":
+            raise ValueError(
+                "interpolate applies to kind='avg' only (Anomaly."
+                "metricingAvg; metricingSum never interpolates)"
+            )
         if field not in NUMERIC_FIELDS:
             raise ValueError(
                 f"metrics requires a numeric field, got {field!r} "
@@ -2880,10 +3038,11 @@ class SearchEngine(FeatureOpsMixin):
                     for b in nz
                 ]
             denom = np.bincount(m_bucket - bmin, minlength=span)
-            return [
+            out = [
                 ((bmin + int(b)) * bucket_us, float(sums_b[b] / denom[b]))
                 for b in nz
             ]
+            return _interp_buckets(out, bucket_us) if interpolate else out
         rows = (
             self.kernel_frame(
                 query, k=0, locale=locale, time_range_us=time_range_us,
@@ -2906,11 +3065,12 @@ class SearchEngine(FeatureOpsMixin):
                 constraints, authz, local=False,
             )
         )
-        return [
+        out = [
             (int(r["doc_id"]) * bucket_us,
              float(r["s"]) / denom[int(r["doc_id"]) * bucket_us])
             for r in rows
         ]
+        return _interp_buckets(out, bucket_us) if interpolate else out
 
     def distincts(
         self,

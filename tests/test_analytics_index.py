@@ -239,6 +239,55 @@ def test_metrics_sum_avg_both_paths_match_oracle(eng):
         eng.metrics("site", "w000001", kind="max")  # reference TODO too
 
 
+def test_metrics_avg_interpolate_fills_gaps(eng):
+    """interpolate=True = the anomaly plugin's metricingAvg
+    (Anomaly.java:35-95): interior buckets with zero matched docs are
+    linearly interpolated between non-empty neighbors."""
+    import math
+    import re
+
+    import numpy as np
+
+    site = lambda u: int(  # noqa: E731
+        re.match(r"^https?://[a-z]*?(\d+)\.", u).group(1)
+    )
+    # 60s buckets over a rare-ish term leave genuine gaps
+    term, b_us = "w000041", 60 * 1_000_000
+    sums: dict = {}
+    cnts: dict = {}
+    for r in _expected(term):
+        b = (r["warc_us"] // b_us) * b_us
+        sums[b] = sums.get(b, 0) + site(r["url"])
+        cnts[b] = cnts.get(b, 0) + 1
+    pts = sorted((b, sums[b] / cnts[b]) for b in sums)
+    assert len(pts) >= 2
+    bs = np.array([b for b, _ in pts]) // b_us
+    span = int(bs[-1] - bs[0]) + 1
+    assert span > len(pts), "corpus must leave gap buckets for this test"
+    full = np.arange(bs[0], bs[-1] + 1)
+    want = [
+        (int(b) * b_us, float(v))
+        for b, v in zip(full, np.interp(full, bs, [v for _, v in pts]))
+    ]
+    for got in (
+        eng.metrics("site", term, 60, "avg", interpolate=True),
+        eng.metrics(
+            "site", term, 60, "avg", local=False, interpolate=True
+        ),
+    ):
+        assert len(got) == span
+        assert all(
+            b1 == b2 and math.isclose(v1, v2)
+            for (b1, v1), (b2, v2) in zip(got, want)
+        )
+    # non-empty buckets keep their exact averages
+    plain = dict(eng.metrics("site", term, 60, "avg"))
+    interp = dict(eng.metrics("site", term, 60, "avg", interpolate=True))
+    assert all(math.isclose(interp[b], v) for b, v in plain.items())
+    with pytest.raises(ValueError):
+        eng.metrics("site", term, 60, "sum", interpolate=True)
+
+
 def test_trending_strategies_match_oracle(eng):
     import math
 
@@ -301,6 +350,44 @@ def test_trending_strategies_match_oracle(eng):
     assert eng.trending("lang", "zzzznotaterm") == []
 
 
+def test_stumptown_both_paths_match_pure_python(eng):
+    """Stumptown = waveform + newest-k from ONE match pass
+    (Stumptown.java:37-73); both routes identical and equal to a pure
+    recomputation + the standalone waveform()/newest() answers."""
+    sl = eng.stumptown("w000001 AND w000004", bucket_seconds=3600, k=7)
+    sd = eng.stumptown(
+        "w000001 AND w000004", bucket_seconds=3600, k=7, local=False
+    )
+    assert sl == sd
+    assert sl["waveform"] == eng.waveform(
+        "w000001 AND w000004", bucket_seconds=3600
+    )
+    exp = sorted(
+        _expected("w000001"), key=lambda r: -r["warc_us"]
+    )
+    both = [
+        r for r in exp if "w000004" in r["text"].split()
+    ][:7]
+    assert [u for u, _w, _p, _d in sl["results"]] == [
+        r["url"] for r in both
+    ]
+    assert [w for _u, w, _p, _d in sl["results"]] == [
+        r["warc_us"] for r in both
+    ]
+    # newest() agrees row-for-row
+    nw = eng.newest(7, "w000001 AND w000004").collect()
+    assert [(r["url"], r["pid"], r["doc_id"]) for r in nw] == [
+        (u, p, d) for u, _w, p, d in sl["results"]
+    ]
+    # match-all covers the whole corpus; empty query yields empties
+    st_all = eng.stumptown(None, bucket_seconds=3600, k=3)
+    assert sum(c for _b, c in st_all["waveform"]) == N
+    assert len(st_all["results"]) == 3
+    assert eng.stumptown("zzzznotaterm", k=5) == {
+        "waveform": [], "results": [],
+    }
+
+
 def test_serving_analytics_run_zero_spark_jobs(eng, spark):
     """The serving-node analytics paths answer in-process: no Spark job
     may start for any of them (same guarantee search_collect gives)."""
@@ -320,6 +407,7 @@ def test_serving_analytics_run_zero_spark_jobs(eng, spark):
     eng.metrics("site", "w000009", 3600, "sum")
     eng.trending("lang", "w000009", bucket_seconds=3600)
     eng.aggregate_counts("site", "w000009", 0, 5)
+    eng.stumptown("w000001 AND w000009", bucket_seconds=3600, k=5)
     after = len(tracker.getJobIdsForGroup(None) or [])
     assert after == before
 

@@ -140,6 +140,10 @@ def _retired_pairs():
             go.ev_inbox_aggregate_counts, go.EV_INBOX_AGG_COUNTS_SQL),
         "ev_reco_cofilter": (
             eo.ev_reco_cofilter, eo.EV_RECO_COFILTER_SQL),
+        # retired r4 (late): slot given to ft_engine_stumptown (the
+        # engine's one-pass waveform + newest-k)
+        "ev_anomaly_newest": (
+            eo.ev_anomaly_newest, eo.EV_ANOMALY_NEWEST_SQL),
     }
 
 
