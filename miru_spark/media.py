@@ -1,0 +1,419 @@
+"""Real, dependency-free media decoding for multimodal binary columns.
+
+The sandbox carries no PIL/ffmpeg/cv2, but several container formats are
+fully decodable with the Python standard library alone -- so the decode
+step of the multimodal pipeline (ops/multimodal.py) is REAL for these
+formats, not a stub:
+
+- PNG: complete pixel decode (zlib inflate + all five scanline filters
+  incl. Paeth) for 8-bit greyscale / grey+alpha / RGB / RGBA / palette,
+  non-interlaced -- the overwhelming share of real-world PNGs. Encoder
+  included for round-trip tests.
+- JPEG: real marker walk to SOF0/1/2 for (width, height, components).
+  (Full JPEG entropy decode is out of scope; dimension/metadata
+  extraction is what the pipeline's decode-meta stage needs.)
+- GIF: header dims + a real block walk counting image descriptors
+  (n_frames), skipping extensions and LZW sub-blocks byte-exactly.
+- BMP: BITMAPINFOHEADER dims.
+- WAV: full PCM sample decode via the stdlib `wave` reader (8/16-bit),
+  returned as numpy arrays. Encoder included for round-trip tests.
+
+Feature extraction over the decoded payloads is likewise real:
+`resize_nearest` (numpy nearest-neighbor resampling -- what a
+thumbnailing stage does), `rms_windows` (per-window root-mean-square
+over PCM frames -- the canonical first audio feature), and
+`frame_indices` (uniform temporal sampling).
+
+`sniff_meta(data)` is the dispatch the Spark pipeline calls per payload:
+magic-byte detection -> real metadata, or None for unrecognized bytes
+(the caller decides the fallback). All functions are pure and
+picklable, safe inside Arrow-batched mapInPandas workers.
+
+Reference provenance: the reference engine stores no media -- this
+module serves the training-data-pipeline extension (multimodal columns
+as opaque binary + typed metadata), where the decode was previously a
+declared stub.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+import zlib
+
+import numpy as np
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# color_type -> samples per pixel
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def png_meta(data: bytes) -> dict | None:
+    """Parse the IHDR of a PNG byte string. Returns
+    {width, height, bit_depth, color_type, channels} or None."""
+    if len(data) < 33 or not data.startswith(_PNG_SIG):
+        return None
+    ln, typ = struct.unpack(">I4s", data[8:16])
+    if typ != b"IHDR" or ln != 13:
+        return None
+    w, h, depth, ctype = struct.unpack(">IIBB", data[16:26])
+    if ctype not in _PNG_CHANNELS:
+        return None
+    return {
+        "width": int(w),
+        "height": int(h),
+        "bit_depth": int(depth),
+        "color_type": int(ctype),
+        "channels": _PNG_CHANNELS[ctype],
+    }
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def png_decode(data: bytes) -> np.ndarray:
+    """Full PNG pixel decode (8-bit, non-interlaced). Returns a uint8
+    array of shape (height, width, channels); palette images resolve
+    through their PLTE to RGB. Raises ValueError on unsupported or
+    malformed input."""
+    meta = png_meta(data)
+    if meta is None:
+        raise ValueError("not a PNG")
+    if meta["bit_depth"] != 8:
+        raise ValueError(f"unsupported bit depth {meta['bit_depth']}")
+    w, h, ch = meta["width"], meta["height"], meta["channels"]
+    interlace = data[28]
+    if interlace != 0:
+        raise ValueError("interlaced PNG unsupported")
+    # chunk walk: concatenate IDAT, remember PLTE
+    pos, idat, plte = 8, [], None
+    while pos + 8 <= len(data):
+        ln, typ = struct.unpack(">I4s", data[pos : pos + 8])
+        body = data[pos + 8 : pos + 8 + ln]
+        if typ == b"IDAT":
+            idat.append(body)
+        elif typ == b"PLTE":
+            plte = body
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln  # len + type + crc
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("scanline size mismatch")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = bytearray(stride)
+    for y in range(h):
+        off = y * (stride + 1)
+        ftype = raw[off]
+        line = bytearray(raw[off + 1 : off + 1 + stride])
+        if ftype == 0:
+            pass
+        elif ftype == 1:  # Sub
+            for x in range(ch, stride):
+                line[x] = (line[x] + line[x - ch]) & 0xFF
+        elif ftype == 2:  # Up
+            for x in range(stride):
+                line[x] = (line[x] + prev[x]) & 0xFF
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                left = line[x - ch] if x >= ch else 0
+                line[x] = (line[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                left = line[x - ch] if x >= ch else 0
+                ul = prev[x - ch] if x >= ch else 0
+                line[x] = (line[x] + _paeth(left, prev[x], ul)) & 0xFF
+        else:
+            raise ValueError(f"bad filter type {ftype}")
+        out[y] = np.frombuffer(bytes(line), dtype=np.uint8)
+        prev = line
+    px = out.reshape(h, w, ch)
+    if meta["color_type"] == 3:
+        if plte is None:
+            raise ValueError("palette image without PLTE")
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        px = pal[px[:, :, 0]]
+    return px
+
+
+def png_encode(px: np.ndarray, filter_type: int = 0) -> bytes:
+    """Minimal PNG encoder (8-bit grey/grey+alpha/RGB/RGBA) for
+    round-trip tests; `filter_type` 0/1/2 applies that filter to every
+    scanline so the decoder's unfilter paths are exercised."""
+    px = np.asarray(px, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, ch = px.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    raw = bytearray()
+    prev = np.zeros((w * ch,), dtype=np.int16)
+    for y in range(h):
+        line = px[y].reshape(-1).astype(np.int16)
+        if filter_type == 0:
+            enc = line
+        elif filter_type == 1:
+            left = np.concatenate([np.zeros(ch, np.int16), line[:-ch]])
+            enc = (line - left) & 0xFF
+        elif filter_type == 2:
+            enc = (line - prev) & 0xFF
+        else:
+            raise ValueError("encoder supports filter 0/1/2")
+        raw.append(filter_type)
+        raw.extend(enc.astype(np.uint8).tobytes())
+        prev = line
+
+    def chunk(typ: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + typ
+            + body
+            + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+_SOF_MARKERS = frozenset(
+    range(0xC0, 0xD0)
+) - {0xC4, 0xC8, 0xCC}  # DHT, JPG, DAC are not frame headers
+
+
+def jpeg_meta(data: bytes) -> dict | None:
+    """Real JPEG marker walk to the first SOFn frame header. Returns
+    {width, height, channels} or None."""
+    if len(data) < 4 or data[0] != 0xFF or data[1] != 0xD8:
+        return None
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            return None
+        marker = data[pos + 1]
+        if marker == 0xFF:  # fill byte
+            pos += 1
+            continue
+        if 0xD0 <= marker <= 0xD9:  # RSTn / EOI: no length field
+            if marker == 0xD9:
+                return None
+            pos += 2
+            continue
+        seglen = struct.unpack(">H", data[pos + 2 : pos + 4])[0]
+        if marker in _SOF_MARKERS:
+            if pos + 9 > len(data):
+                return None
+            h, w = struct.unpack(">HH", data[pos + 5 : pos + 9])
+            ncomp = data[pos + 9]
+            return {
+                "width": int(w), "height": int(h), "channels": int(ncomp),
+            }
+        pos += 2 + seglen
+    return None
+
+
+def gif_meta(data: bytes) -> dict | None:
+    """GIF header dims + a real block walk counting image descriptors
+    (= frames). Returns {width, height, n_frames} or None."""
+    if len(data) < 13 or data[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    w, h = struct.unpack("<HH", data[6:10])
+    flags = data[10]
+    pos = 13
+    if flags & 0x80:  # global color table
+        pos += 3 * (2 << (flags & 0x07))
+    frames = 0
+    n = len(data)
+    while pos < n:
+        b = data[pos]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < n and data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            frames += 1
+            if pos + 10 > n:
+                break
+            lflags = data[pos + 9]
+            pos += 10
+            if lflags & 0x80:  # local color table
+                pos += 3 * (2 << (lflags & 0x07))
+            pos += 1  # LZW minimum code size
+            while pos < n and data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+        else:
+            return None
+    return {"width": int(w), "height": int(h), "n_frames": frames}
+
+
+def bmp_meta(data: bytes) -> dict | None:
+    """BMP (BITMAPINFOHEADER) dims. Returns {width, height} or None."""
+    if len(data) < 26 or data[:2] != b"BM":
+        return None
+    w, h = struct.unpack("<ii", data[18:26])
+    return {"width": int(w), "height": abs(int(h))}
+
+
+def wav_decode(data: bytes) -> tuple[int, int, np.ndarray]:
+    """Full PCM WAV decode via the stdlib reader. Returns
+    (sample_rate, n_channels, samples) with samples shaped
+    (n_frames, n_channels) as float64 in [-1, 1]."""
+    with wave.open(io.BytesIO(data), "rb") as wf:
+        rate = wf.getframerate()
+        nch = wf.getnchannels()
+        width = wf.getsampwidth()
+        frames = wf.readframes(wf.getnframes())
+    if width == 2:
+        s = np.frombuffer(frames, dtype="<i2").astype(np.float64) / 32768.0
+    elif width == 1:
+        s = (
+            np.frombuffer(frames, dtype=np.uint8).astype(np.float64) - 128.0
+        ) / 128.0
+    else:
+        raise ValueError(f"unsupported sample width {width}")
+    return rate, nch, s.reshape(-1, nch)
+
+
+def wav_meta(data: bytes) -> dict | None:
+    """WAV header metadata without materializing samples."""
+    try:
+        with wave.open(io.BytesIO(data), "rb") as wf:
+            return {
+                "sample_rate": wf.getframerate(),
+                "channels": wf.getnchannels(),
+                "n_frames": wf.getnframes(),
+                "duration_ms": int(
+                    wf.getnframes() * 1000 / wf.getframerate()
+                ),
+            }
+    except (wave.Error, EOFError, struct.error):
+        return None
+
+
+def wav_encode(
+    samples: np.ndarray, sample_rate: int = 16000
+) -> bytes:
+    """Minimal 16-bit PCM WAV encoder for round-trip tests. `samples`
+    float in [-1, 1], shape (n_frames,) or (n_frames, n_channels)."""
+    s = np.asarray(samples, dtype=np.float64)
+    if s.ndim == 1:
+        s = s[:, None]
+    pcm = np.clip(np.round(s * 32767.0), -32768, 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(s.shape[1])
+        wf.setsampwidth(2)
+        wf.setframerate(sample_rate)
+        wf.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+def sniff_meta(data: bytes) -> dict | None:
+    """Magic-byte dispatch to the real decoders. Returns a normalized
+    {format, width, height, n_frames, sample_rate, duration_ms} dict
+    (absent dims are -1) or None for unrecognized payloads."""
+    if not data:
+        return None
+    out = {
+        "format": None, "width": -1, "height": -1,
+        "n_frames": 1, "sample_rate": -1, "duration_ms": -1,
+    }
+    if data.startswith(_PNG_SIG):
+        m = png_meta(data)
+        if m is None:
+            return None
+        out.update(format="png", width=m["width"], height=m["height"])
+        return out
+    if data[:2] == b"\xff\xd8":
+        m = jpeg_meta(data)
+        if m is None:
+            return None
+        out.update(format="jpeg", width=m["width"], height=m["height"])
+        return out
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        m = gif_meta(data)
+        if m is None:
+            return None
+        out.update(
+            format="gif", width=m["width"], height=m["height"],
+            n_frames=max(m["n_frames"], 1),
+        )
+        return out
+    if data[:2] == b"BM":
+        m = bmp_meta(data)
+        if m is None:
+            return None
+        out.update(format="bmp", width=m["width"], height=m["height"])
+        return out
+    if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        m = wav_meta(data)
+        if m is None:
+            return None
+        out.update(
+            format="wav", sample_rate=m["sample_rate"],
+            n_frames=m["n_frames"], duration_ms=m["duration_ms"],
+        )
+        return out
+    return None
+
+
+# -- feature extraction over decoded payloads ------------------------------
+
+def resize_nearest(px: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Real nearest-neighbor resize (the thumbnailing stage): pure numpy
+    index mapping, pixel-exact and deterministic."""
+    px = np.asarray(px)
+    h, w = px.shape[:2]
+    ys = np.minimum((np.arange(out_h) * h) // out_h, h - 1)
+    xs = np.minimum((np.arange(out_w) * w) // out_w, w - 1)
+    return px[ys[:, None], xs[None, :]]
+
+
+def rms_windows(
+    samples: np.ndarray,
+    sample_rate: int,
+    win_ms: int = 1000,
+    hop_ms: int = 500,
+) -> list[tuple[int, int, float]]:
+    """Per-window RMS over mono-mixed PCM: [(start_ms, end_ms, rms)].
+    The canonical first audio feature a pipeline extracts per window."""
+    s = np.asarray(samples, dtype=np.float64)
+    if s.ndim == 2:
+        s = s.mean(axis=1)
+    n = s.size
+    win = max(1, int(sample_rate * win_ms / 1000))
+    hop = max(1, int(sample_rate * hop_ms / 1000))
+    out = []
+    for start in range(0, max(n - win, 0) + 1, hop):
+        seg = s[start : start + win]
+        if seg.size == 0:
+            break
+        out.append(
+            (
+                int(start * 1000 / sample_rate),
+                int(min(start + win, n) * 1000 / sample_rate),
+                float(np.sqrt(np.mean(seg * seg))),
+            )
+        )
+    return out
+
+
+def frame_indices(n_frames: int, every: int = 10) -> list[int]:
+    """Uniform temporal sampling: every `every`-th frame index."""
+    return list(range(0, max(int(n_frames), 0), max(int(every), 1)))

@@ -1,36 +1,186 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
-Image/audio decode libraries are not available in this environment, so the
-decode step is a clearly-marked deterministic stub; everything Spark-side
-is real: binary column handling, Arrow-batched mapInPandas over bytes,
-stable output schema, partition-preserving batch shape. The stub derives
-"decoded" metadata purely from the byte length, which makes the whole
-pipeline SQL-oracle-checkable (octet_length in DuckDB).
+The decode step is REAL for the formats the standard library can parse
+-- PNG (full pixel decode incl. all scanline filters), JPEG/GIF/BMP
+(real header/marker walks), WAV (full PCM decode) -- via
+`miru_spark.media` (zlib + struct + wave; no PIL/ffmpeg needed).
+Payloads whose magic bytes match none of those fall back to a
+deterministic pure function of the byte length, which keeps the whole
+pipeline SQL-oracle-checkable over the driver's synthetic `documents`
+table (whose payloads are UTF-8 text, never valid media). Everything
+Spark-side is format-agnostic and real either way: binary column
+handling, Arrow-batched mapInPandas over bytes, stable output schema,
+partition-preserving batch shape.
+
+`decode_binary_meta` / `audio_rms_windows` / `image_thumbnails` are the
+production-shaped stages over an arbitrary (id, binary) DataFrame; the
+`mm_*` functions below bind the same plumbing to the driver's test
+tables for the oracle gate.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ..media import (
+    png_decode,
+    png_encode,
+    resize_nearest,
+    rms_windows,
+    sniff_meta,
+    wav_decode,
+)
+
 MM_SCHEMA = "doc_id long, n_bytes long, width int, height int, n_frames int"
+META_SCHEMA = (
+    "id long, format string, n_bytes long, width int, height int, "
+    "n_frames int, sample_rate int, duration_ms long"
+)
 
 
 def _fake_decode_meta(n_bytes: int) -> tuple[int, int, int]:
-    """STUB: stands in for image/video decode (no codec libs here).
-    Deterministic pure function of payload size."""
+    """Fallback for unrecognized payloads (and the synthetic test
+    corpus): deterministic pure function of payload size."""
     width = 64 + n_bytes % 640
     height = 64 + (n_bytes * 7) % 480
     n_frames = 1 + n_bytes % 30
     return width, height, n_frames
 
 
+def decode_binary_meta(df, id_col: str = "id", payload_col: str = "payload"):
+    """REAL decode-meta stage over an (id, binary) DataFrame: sniff each
+    payload's magic bytes and parse its actual container metadata
+    (miru_spark.media); unrecognized payloads report format=NULL and
+    -1 dims. One Arrow-batched pass, no shuffle, partition-preserving --
+    at 100 TB this runs as a map-only stage whose output is thousands of
+    times smaller than its input."""
+    import pandas as pd
+
+    src = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(payload_col).alias("payload"),
+    )
+
+    def decode(batches):
+        for pdf in batches:
+            rows = []
+            for i, payload in zip(pdf["id"], pdf["payload"]):
+                data = bytes(payload) if payload is not None else b""
+                m = sniff_meta(data)
+                if m is None:
+                    m = {
+                        "format": None, "width": -1, "height": -1,
+                        "n_frames": -1, "sample_rate": -1,
+                        "duration_ms": -1,
+                    }
+                rows.append(
+                    (
+                        int(i), m["format"], len(data), m["width"],
+                        m["height"], m["n_frames"], m["sample_rate"],
+                        m["duration_ms"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id", "format", "n_bytes", "width", "height",
+                    "n_frames", "sample_rate", "duration_ms",
+                ],
+            )
+
+    return src.mapInPandas(decode, META_SCHEMA)
+
+
+def audio_rms_windows(
+    df,
+    id_col: str = "id",
+    payload_col: str = "payload",
+    win_ms: int = 1000,
+    hop_ms: int = 500,
+):
+    """REAL audio feature extraction: decode WAV payloads (stdlib PCM
+    decode) and emit per-window RMS rows (id, win_start_ms, win_end_ms,
+    rms). Non-WAV payloads yield no rows. Map-only, no shuffle."""
+    import pandas as pd
+
+    src = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(payload_col).alias("payload"),
+    )
+
+    def extract(batches):
+        for pdf in batches:
+            out = []
+            for i, payload in zip(pdf["id"], pdf["payload"]):
+                data = bytes(payload) if payload is not None else b""
+                if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+                    continue
+                rate, _nch, samples = wav_decode(data)
+                for s_ms, e_ms, r in rms_windows(
+                    samples, rate, win_ms, hop_ms
+                ):
+                    out.append((int(i), s_ms, e_ms, r))
+            yield pd.DataFrame(
+                out,
+                columns=["id", "win_start_ms", "win_end_ms", "rms"],
+            )
+
+    return src.mapInPandas(
+        extract,
+        "id long, win_start_ms long, win_end_ms long, rms double",
+    )
+
+
+def image_thumbnails(
+    df,
+    id_col: str = "id",
+    payload_col: str = "payload",
+    box: int = 224,
+):
+    """REAL image resize stage: decode PNG payloads, nearest-neighbor
+    resize to fit a box x box square preserving aspect ratio, re-encode
+    as PNG. Emits (id, out_w, out_h, thumb) -- thumb is a real decodable
+    PNG of the resized pixels. Non-PNG payloads yield no rows."""
+    import pandas as pd
+
+    src = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(payload_col).alias("payload"),
+    )
+
+    def thumb(batches):
+        for pdf in batches:
+            out = []
+            for i, payload in zip(pdf["id"], pdf["payload"]):
+                data = bytes(payload) if payload is not None else b""
+                if not data.startswith(b"\x89PNG"):
+                    continue
+                px = png_decode(data)
+                h, w = px.shape[:2]
+                longer = max(w, h)
+                ow = max(1, (w * box) // longer)
+                oh = max(1, (h * box) // longer)
+                out.append(
+                    (int(i), ow, oh, png_encode(resize_nearest(px, ow, oh)))
+                )
+            yield pd.DataFrame(
+                out, columns=["id", "out_w", "out_h", "thumb"]
+            )
+
+    return src.mapInPandas(
+        thumb, "id long, out_w int, out_h int, thumb binary"
+    )
+
+
 def mm_decode_meta(spark, sf_dir):
     """Binary payload -> decoded metadata via Arrow-batched mapInPandas.
 
     The payload is synthesized from `text` (UTF-8 bytes) since the test
-    tables carry no real media; on a production table this is the
-    image/audio bytes column and _fake_decode_meta is replaced by a real
-    decoder (PIL/ffmpeg) with the same Spark plumbing.
+    tables carry no real media; the decode sniffs for real formats first
+    (miru_spark.media -- REAL PNG/JPEG/GIF/BMP/WAV parsing, exercised by
+    tests/test_media.py over genuine payloads) and falls back to the
+    deterministic length function for unrecognized bytes, which is what
+    keeps this entry DuckDB-checkable (octet_length) on the text corpus.
     """
     import pandas as pd
 
@@ -40,16 +190,20 @@ def mm_decode_meta(spark, sf_dir):
 
     def decode(batches):
         for pdf in batches:
-            n = pdf["payload"].map(len)
-            meta = n.map(_fake_decode_meta)
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload) if payload is not None else b""
+                m = sniff_meta(data)
+                if m is not None and m["width"] > 0:
+                    w, h, nf = m["width"], m["height"], m["n_frames"]
+                else:
+                    w, h, nf = _fake_decode_meta(len(data))
+                rows.append((int(did), len(data), w, h, nf))
             yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "n_bytes": n.astype("int64"),
-                    "width": meta.map(lambda m: m[0]).astype("int32"),
-                    "height": meta.map(lambda m: m[1]).astype("int32"),
-                    "n_frames": meta.map(lambda m: m[2]).astype("int32"),
-                }
+                rows,
+                columns=[
+                    "doc_id", "n_bytes", "width", "height", "n_frames",
+                ],
             )
 
     return docs.mapInPandas(decode, MM_SCHEMA)
@@ -90,8 +244,9 @@ FROM meta
 
 def mm_resize_plan(spark, sf_dir):
     """Resize planning: target dims fitting a 224x224 box preserving
-    aspect ratio (integer floor like a real thumbnailer). The decode is
-    the stub; the dim arithmetic and plumbing are the real pipeline."""
+    aspect ratio (integer floor like a real thumbnailer). Dims come from
+    mm_decode_meta (length fallback on the text corpus); the REAL resize
+    over genuine pixels is `image_thumbnails` above."""
     meta = mm_decode_meta(spark, sf_dir)
     scale_num = F.lit(224)
     longer = F.greatest("width", "height")
@@ -120,9 +275,11 @@ FROM meta
 
 def mm_audio_windows(spark, sf_dir):
     """Audio windowing plan: fixed 1000ms windows with 500ms hop over a
-    duration derived from payload size (stub decode: 10 ms per byte).
-    Emits (doc_id, win_start_ms, win_end_ms) rows -- the shape a feature
-    extractor (mel spectrogram etc.) consumes per window."""
+    duration derived from payload size (text corpus carries no real
+    audio; 10 ms per byte). Emits (doc_id, win_start_ms, win_end_ms)
+    rows -- the shape a feature extractor consumes per window. The REAL
+    windowed feature extraction over genuine PCM is `audio_rms_windows`
+    above."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id",
         (F.octet_length(F.col("text")) * 10).cast("long").alias("dur_ms"),

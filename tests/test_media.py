@@ -1,0 +1,298 @@
+"""Real media decode (miru_spark.media) + the multimodal pipeline over
+GENUINE payloads.
+
+The decode step of the multimodal pipeline was a declared stub while no
+codec libs existed in the sandbox; these tests pin that it is now REAL
+for every format the standard library can parse: PNG round-trips
+pixel-exactly through encode -> decode across all implemented scanline
+filters, JPEG/GIF/BMP metadata comes from real marker/block walks over
+hand-constructed byte streams, WAV PCM round-trips through the stdlib
+reader, and the Spark stages (decode_binary_meta / audio_rms_windows /
+image_thumbnails) produce the same answers over a binary column as the
+pure functions do locally. Unrecognized payloads still take the
+deterministic fallback, preserving the DuckDB oracle for mm_pipeline.
+"""
+
+import os
+import struct
+import sys
+import zlib
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from miru_spark import media
+
+
+def _rng(seed=7):
+    return np.random.default_rng(seed)
+
+
+# -- PNG ---------------------------------------------------------------------
+
+@pytest.mark.parametrize("ch", [1, 2, 3, 4])
+@pytest.mark.parametrize("ftype", [0, 1, 2])
+def test_png_roundtrip_pixel_exact(ch, ftype):
+    px = _rng(ch * 10 + ftype).integers(0, 256, (13, 17, ch), dtype=np.uint8)
+    data = media.png_encode(px, filter_type=ftype)
+    meta = media.png_meta(data)
+    assert (meta["width"], meta["height"], meta["channels"]) == (17, 13, ch)
+    out = media.png_decode(data)
+    assert out.shape == px.shape
+    assert np.array_equal(out, px)
+
+
+def test_png_average_and_paeth_filters_decode():
+    """Rows filtered with Average (3) and Paeth (4) -- built by hand so
+    the decoder's full unfilter matrix is exercised, not just what our
+    encoder emits."""
+    w, h, ch = 5, 4, 3
+    px = _rng(42).integers(0, 256, (h, w, ch), dtype=np.int16)
+    stride = w * ch
+    raw = bytearray()
+    prev = np.zeros(stride, dtype=np.int16)
+    for y, ftype in zip(range(h), (0, 3, 4, 3)):
+        line = px[y].reshape(-1)
+        enc = np.zeros(stride, dtype=np.int16)
+        rec = np.zeros(stride, dtype=np.int16)
+        for x in range(stride):
+            left = rec[x - ch] if x >= ch else 0
+            up = prev[x]
+            ul = prev[x - ch] if x >= ch else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 3:
+                pred = (left + up) >> 1
+            else:
+                pred = media._paeth(int(left), int(up), int(ul))
+            enc[x] = (line[x] - pred) & 0xFF
+            rec[x] = line[x]
+        raw.append(ftype)
+        raw.extend(enc.astype(np.uint8).tobytes())
+        prev = line.copy()
+
+    def chunk(typ, body):
+        return (
+            struct.pack(">I", len(body)) + typ + body
+            + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    data = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(media.png_decode(data), px.astype(np.uint8))
+
+
+def test_png_palette_resolves_to_rgb():
+    pal = _rng(3).integers(0, 256, (4, 3), dtype=np.uint8)
+    idx = _rng(4).integers(0, 4, (6, 7), dtype=np.uint8)
+
+    def chunk(typ, body):
+        return (
+            struct.pack(">I", len(body)) + typ + body
+            + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF)
+        )
+
+    raw = bytearray()
+    for y in range(6):
+        raw.append(0)
+        raw.extend(idx[y].tobytes())
+    ihdr = struct.pack(">IIBBBBB", 7, 6, 8, 3, 0, 0, 0)
+    data = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"PLTE", pal.tobytes())
+        + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+    )
+    out = media.png_decode(data)
+    assert out.shape == (6, 7, 3)
+    assert np.array_equal(out, pal[idx])
+
+
+def test_png_rejects_garbage():
+    assert media.png_meta(b"not a png") is None
+    with pytest.raises(ValueError):
+        media.png_decode(b"\x89PNG\r\n\x1a\n" + b"\x00" * 40)
+
+
+# -- JPEG / GIF / BMP headers --------------------------------------------------
+
+def _tiny_jpeg(w, h, ncomp=3):
+    """SOI + APP0 + DQT(fake) + SOF0 header bytes (no entropy data)."""
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    dqt = b"\xff\xdb" + struct.pack(">H", 5) + b"\x00\x01\x02"
+    sof = (
+        b"\xff\xc0"
+        + struct.pack(">H", 8 + 3 * ncomp)
+        + b"\x08"
+        + struct.pack(">HH", h, w)
+        + bytes([ncomp])
+        + b"\x01\x11\x00" * ncomp
+    )
+    return b"\xff\xd8" + app0 + dqt + sof
+
+
+def test_jpeg_meta_real_marker_walk():
+    m = media.jpeg_meta(_tiny_jpeg(640, 480))
+    assert (m["width"], m["height"], m["channels"]) == (640, 480, 3)
+    m = media.jpeg_meta(_tiny_jpeg(31, 7, ncomp=1))
+    assert (m["width"], m["height"], m["channels"]) == (31, 7, 1)
+    assert media.jpeg_meta(b"\xff\xd8\xff\xd9") is None  # EOI before SOF
+    assert media.jpeg_meta(b"GIF89a??") is None
+
+
+def _tiny_gif(w, h, n_frames):
+    out = b"GIF89a" + struct.pack("<HH", w, h) + bytes([0x00, 0, 0])
+    for _ in range(n_frames):
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+        out += b"\x02"  # LZW min code size
+        out += b"\x01\x00"  # one 1-byte sub-block
+        out += b"\x00"  # block terminator
+    return out + b"\x3b"
+
+
+def test_gif_meta_counts_frames():
+    m = media.gif_meta(_tiny_gif(12, 34, 3))
+    assert (m["width"], m["height"], m["n_frames"]) == (12, 34, 3)
+    m = media.gif_meta(_tiny_gif(1, 1, 1))
+    assert m["n_frames"] == 1
+    assert media.gif_meta(b"GIF00a" + b"\x00" * 20) is None
+
+
+def test_bmp_meta():
+    hdr = b"BM" + b"\x00" * 16 + struct.pack("<ii", 320, -240) + b"\x00" * 4
+    m = media.bmp_meta(hdr)
+    assert (m["width"], m["height"]) == (320, 240)
+
+
+# -- WAV -----------------------------------------------------------------------
+
+def test_wav_roundtrip_and_rms():
+    rate = 8000
+    t = np.arange(rate * 3) / rate  # 3 s
+    sig = 0.5 * np.sin(2 * np.pi * 440 * t)
+    data = media.wav_encode(sig, rate)
+    meta = media.wav_meta(data)
+    assert meta["sample_rate"] == rate
+    assert meta["duration_ms"] == 3000
+    r2, nch, out = media.wav_decode(data)
+    assert (r2, nch) == (rate, 1)
+    assert np.allclose(out[:, 0], sig, atol=1.0 / 32767)
+    wins = media.rms_windows(out, rate, 1000, 500)
+    # 3 s, 1 s window, 0.5 s hop -> starts at 0..2000 ms
+    assert [(s, e) for s, e, _ in wins] == [
+        (0, 1000), (500, 1500), (1000, 2000), (1500, 2500), (2000, 3000)
+    ]
+    # RMS of a 0.5-amplitude sine is 0.5/sqrt(2)
+    for _s, _e, r in wins:
+        assert abs(r - 0.5 / np.sqrt(2)) < 1e-3
+
+
+def test_sniff_meta_dispatch():
+    png = media.png_encode(np.zeros((2, 3, 3), np.uint8))
+    assert media.sniff_meta(png)["format"] == "png"
+    assert media.sniff_meta(_tiny_jpeg(9, 9))["format"] == "jpeg"
+    assert media.sniff_meta(_tiny_gif(2, 2, 2))["format"] == "gif"
+    wav = media.wav_encode(np.zeros(100), 1000)
+    m = media.sniff_meta(wav)
+    assert m["format"] == "wav" and m["n_frames"] == 100
+    assert media.sniff_meta(b"plain text payload") is None
+    assert media.sniff_meta(b"") is None
+
+
+def test_resize_nearest_exact():
+    px = np.arange(24, dtype=np.uint8).reshape(4, 6)
+    out = media.resize_nearest(px, 3, 2)
+    assert out.shape == (2, 3)
+    assert np.array_equal(out, px[[0, 2]][:, [0, 2, 4]])
+    up = media.resize_nearest(px, 12, 8)
+    assert up.shape == (8, 12)
+    assert np.array_equal(up[::2, ::2], px)
+
+
+# -- Spark stages over genuine payloads ----------------------------------------
+
+def test_spark_decode_binary_meta_real_payloads(spark):
+    from miru_spark.ops.multimodal import decode_binary_meta
+
+    png = media.png_encode(
+        _rng(1).integers(0, 256, (48, 64, 3), dtype=np.uint8)
+    )
+    wav = media.wav_encode(np.zeros(16000), 16000)
+    gif = _tiny_gif(10, 20, 4)
+    rows = [
+        (1, bytearray(png)),
+        (2, bytearray(wav)),
+        (3, bytearray(gif)),
+        (4, bytearray(b"not media at all")),
+    ]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    got = {
+        r["id"]: r.asDict()
+        for r in decode_binary_meta(df).collect()
+    }
+    assert got[1]["format"] == "png"
+    assert (got[1]["width"], got[1]["height"]) == (64, 48)
+    assert got[2]["format"] == "wav"
+    assert got[2]["duration_ms"] == 1000
+    assert got[2]["sample_rate"] == 16000
+    assert got[3]["format"] == "gif"
+    assert got[3]["n_frames"] == 4
+    assert got[4]["format"] is None and got[4]["width"] == -1
+    assert got[4]["n_bytes"] == len(b"not media at all")
+
+
+def test_spark_audio_rms_and_thumbnails(spark):
+    from miru_spark.ops.multimodal import (
+        audio_rms_windows,
+        image_thumbnails,
+    )
+
+    rate = 8000
+    t = np.arange(rate * 2) / rate
+    wav = media.wav_encode(0.25 * np.sin(2 * np.pi * 220 * t), rate)
+    px = _rng(9).integers(0, 256, (30, 60, 3), dtype=np.uint8)
+    png = media.png_encode(px)
+    df = spark.createDataFrame(
+        [(1, bytearray(wav)), (2, bytearray(png)), (3, bytearray(b"x"))],
+        "id long, payload binary",
+    )
+    rms = audio_rms_windows(df, win_ms=1000, hop_ms=500).collect()
+    assert {r["id"] for r in rms} == {1}
+    want = media.rms_windows(
+        media.wav_decode(wav)[2], rate, 1000, 500
+    )
+    got = sorted((r["win_start_ms"], r["win_end_ms"], r["rms"]) for r in rms)
+    assert [(s, e) for s, e, _ in got] == [(s, e) for s, e, _ in want]
+    assert all(abs(a[2] - b[2]) < 1e-12 for a, b in zip(got, want))
+
+    th = image_thumbnails(df, box=20).collect()
+    assert {r["id"] for r in th} == {2}
+    r = th[0]
+    assert (r["out_w"], r["out_h"]) == (20, 10)
+    decoded = media.png_decode(bytes(r["thumb"]))
+    assert np.array_equal(decoded, media.resize_nearest(px, 20, 10))
+
+
+def test_mm_decode_meta_fallback_preserved(spark, tmp_path):
+    """The oracle contract: text payloads are not valid media, so
+    mm_decode_meta still reports the deterministic length-derived
+    metadata DuckDB recomputes (octet_length)."""
+    import pandas as pd
+
+    from miru_spark.ops.multimodal import _fake_decode_meta, mm_decode_meta
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pd.DataFrame(
+        {"doc_id": [0, 1, 2], "text": ["alpha beta", "x", "hello world!"]}
+    ).to_parquet(sf / "documents.parquet")
+    got = {
+        r["doc_id"]: (r["width"], r["height"], r["n_frames"])
+        for r in mm_decode_meta(spark, str(sf)).collect()
+    }
+    for did, txt in ((0, "alpha beta"), (1, "x"), (2, "hello world!")):
+        assert got[did] == _fake_decode_meta(len(txt.encode()))
