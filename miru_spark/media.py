@@ -373,6 +373,214 @@ def sniff_meta(data: bytes) -> dict | None:
     return None
 
 
+def _lzw_decode(mcs: int, data: bytes, n_pixels: int) -> list[int]:
+    """GIF-variant LZW decode (LSB-first variable-width codes, clear /
+    end codes, 12-bit table cap with deferred-clear tolerance)."""
+    clear = 1 << mcs
+    end = clear + 1
+    base = [[i] for i in range(clear)] + [None, None]
+    table = list(base)
+    code_size = mcs + 1
+    out: list[int] = []
+    prev: list[int] | None = None
+    bitpos = 0
+    nbits = len(data) * 8
+    while bitpos + code_size <= nbits and len(out) < n_pixels:
+        byte = bitpos >> 3
+        window = int.from_bytes(data[byte : byte + 4], "little")
+        code = (window >> (bitpos & 7)) & ((1 << code_size) - 1)
+        bitpos += code_size
+        if code == clear:
+            table = list(base)
+            code_size = mcs + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code >= clear:
+                raise ValueError("bad first LZW code")
+            prev = table[code]
+            out.extend(prev)
+            continue
+        if code < len(table) and table[code] is not None:
+            entry = table[code]
+        elif code == len(table):
+            entry = prev + [prev[0]]
+        else:
+            raise ValueError("LZW code out of range")
+        out.extend(entry)
+        if len(table) < 4096:
+            table.append(prev + [entry[0]])
+            if len(table) == (1 << code_size) and code_size < 12:
+                code_size += 1
+        prev = entry
+    return out
+
+
+def _lzw_encode(mcs: int, indices) -> bytes:
+    """GIF-variant LZW encode (the decoder's exact inverse; emits a
+    clear when the table fills). For round-trip tests and the GIF
+    writer below."""
+    clear = 1 << mcs
+    end = clear + 1
+    out = bytearray()
+    acc = 0
+    accbits = 0
+
+    def emit(code: int, size: int):
+        nonlocal acc, accbits
+        acc |= code << accbits
+        accbits += size
+        while accbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            accbits -= 8
+
+    code_size = mcs + 1
+    table: dict[tuple, int] = {(i,): i for i in range(clear)}
+    next_code = end + 1
+    emit(clear, code_size)
+    prev: tuple = ()
+    for raw in indices:
+        idx = int(raw)
+        cur = prev + (idx,)
+        if cur in table:
+            prev = cur
+            continue
+        emit(table[prev], code_size)
+        if next_code < 4096:
+            table[cur] = next_code
+            next_code += 1
+            if next_code == (1 << code_size) + 1 and code_size < 12:
+                code_size += 1
+        else:
+            emit(clear, code_size)
+            table = {(i,): i for i in range(clear)}
+            next_code = end + 1
+            code_size = mcs + 1
+        prev = (idx,)
+    if prev:
+        emit(table[prev], code_size)
+    emit(end, code_size)
+    if accbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+_GIF_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def gif_decode(data: bytes) -> list[dict]:
+    """REAL GIF pixel decode: full LZW decompression of every image
+    descriptor, local/global palette resolution, deinterlacing. Returns
+    one dict per frame: {x, y, width, height, pixels} with pixels a
+    uint8 (h, w, 3) array of that frame's own rect (frame composition /
+    disposal is presentation policy, left to the caller)."""
+    if len(data) < 13 or data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    flags = data[10]
+    pos = 13
+    gpal = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gpal = np.frombuffer(data[pos : pos + 3 * n], dtype=np.uint8)
+        gpal = gpal.reshape(-1, 3)
+        pos += 3 * n
+    frames: list[dict] = []
+    n = len(data)
+    while pos < n:
+        b = data[pos]
+        if b == 0x3B:
+            break
+        if b == 0x21:  # extension
+            pos += 2
+            while pos < n and data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+        elif b == 0x2C:
+            x, y, w, h = struct.unpack("<HHHH", data[pos + 1 : pos + 9])
+            lflags = data[pos + 9]
+            pos += 10
+            pal = gpal
+            if lflags & 0x80:
+                cnt = 2 << (lflags & 0x07)
+                pal = np.frombuffer(
+                    data[pos : pos + 3 * cnt], dtype=np.uint8
+                ).reshape(-1, 3)
+                pos += 3 * cnt
+            mcs = data[pos]
+            pos += 1
+            lzw = bytearray()
+            while pos < n and data[pos] != 0:
+                ln = data[pos]
+                lzw.extend(data[pos + 1 : pos + 1 + ln])
+                pos += 1 + ln
+            pos += 1
+            idx = _lzw_decode(mcs, bytes(lzw), w * h)
+            if len(idx) < w * h:
+                raise ValueError("truncated LZW pixel data")
+            grid = np.array(idx[: w * h], dtype=np.int32).reshape(h, w)
+            if lflags & 0x40:  # interlaced: rows arrive in 4 passes
+                order = [
+                    r
+                    for start, step in _GIF_PASSES
+                    for r in range(start, h, step)
+                ]
+                de = np.empty_like(grid)
+                de[order] = grid
+                grid = de
+            if pal is None:
+                raise ValueError("no palette for frame")
+            frames.append(
+                {
+                    "x": int(x), "y": int(y),
+                    "width": int(w), "height": int(h),
+                    "pixels": pal[grid],
+                }
+            )
+        else:
+            raise ValueError(f"bad GIF block 0x{b:02x}")
+    return frames
+
+
+def gif_encode_indexed(
+    frames, palette, width: int, height: int, interlace: bool = False
+) -> bytes:
+    """Minimal GIF89a writer over palette-indexed frames (each a uint8
+    (h, w) array positioned at (0, 0)) for round-trip tests."""
+    pal = np.asarray(palette, dtype=np.uint8).reshape(-1, 3)
+    bits = max(1, int(np.ceil(np.log2(max(len(pal), 2)))))
+    padded = np.zeros((2 << (bits - 1), 3), dtype=np.uint8)
+    padded[: len(pal)] = pal
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", width, height)
+    out.append(0x80 | (bits - 1))  # global palette present
+    out += b"\x00\x00"
+    out += padded.tobytes()
+    mcs = max(2, bits)
+    for fr in frames:
+        g = np.asarray(fr, dtype=np.uint8)
+        h, w = g.shape
+        out.append(0x2C)
+        out += struct.pack("<HHHH", 0, 0, w, h)
+        out.append(0x40 if interlace else 0x00)
+        if interlace:
+            order = [
+                r for start, step in _GIF_PASSES for r in range(start, h, step)
+            ]
+            g = g[order]
+        out.append(mcs)
+        lzw = _lzw_encode(mcs, g.reshape(-1))
+        for off in range(0, len(lzw), 255):
+            blk = lzw[off : off + 255]
+            out.append(len(blk))
+            out += blk
+        out.append(0)
+    out.append(0x3B)
+    return bytes(out)
+
+
 # -- feature extraction over decoded payloads ------------------------------
 
 def resize_nearest(px: np.ndarray, out_w: int, out_h: int) -> np.ndarray:

@@ -137,11 +137,14 @@ def image_thumbnails(
     payload_col: str = "payload",
     box: int = 224,
 ):
-    """REAL image resize stage: decode PNG payloads, nearest-neighbor
-    resize to fit a box x box square preserving aspect ratio, re-encode
-    as PNG. Emits (id, out_w, out_h, thumb) -- thumb is a real decodable
-    PNG of the resized pixels. Non-PNG payloads yield no rows."""
+    """REAL image resize stage: decode PNG payloads (or a GIF's first
+    frame), nearest-neighbor resize to fit a box x box square preserving
+    aspect ratio, re-encode as PNG. Emits (id, out_w, out_h, thumb) --
+    thumb is a real decodable PNG of the resized pixels. Payloads of any
+    other format yield no rows."""
     import pandas as pd
+
+    from ..media import gif_decode
 
     src = df.select(
         F.col(id_col).cast("long").alias("id"),
@@ -153,9 +156,15 @@ def image_thumbnails(
             out = []
             for i, payload in zip(pdf["id"], pdf["payload"]):
                 data = bytes(payload) if payload is not None else b""
-                if not data.startswith(b"\x89PNG"):
+                if data.startswith(b"\x89PNG"):
+                    px = png_decode(data)
+                elif data[:6] in (b"GIF87a", b"GIF89a"):
+                    frames = gif_decode(data)
+                    if not frames:
+                        continue
+                    px = frames[0]["pixels"]
+                else:
                     continue
-                px = png_decode(data)
                 h, w = px.shape[:2]
                 longer = max(w, h)
                 ow = max(1, (w * box) // longer)

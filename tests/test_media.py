@@ -118,6 +118,31 @@ def test_png_rejects_garbage():
         media.png_decode(b"\x89PNG\r\n\x1a\n" + b"\x00" * 40)
 
 
+def test_png_roundtrip_property():
+    """Property sweep: random dims x channels x filter types round-trip
+    pixel-exactly (hypothesis-style, deterministic seeds)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(1, 40),
+        h=st.integers(1, 25),
+        ch=st.sampled_from([1, 2, 3, 4]),
+        ftype=st.sampled_from([0, 1, 2]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def prop(w, h, ch, ftype, seed):
+        px = np.random.default_rng(seed).integers(
+            0, 256, (h, w, ch), dtype=np.uint8
+        )
+        assert np.array_equal(
+            media.png_decode(media.png_encode(px, filter_type=ftype)), px
+        )
+
+    prop()
+
+
 # -- JPEG / GIF / BMP headers --------------------------------------------------
 
 def _tiny_jpeg(w, h, ncomp=3):
@@ -166,6 +191,64 @@ def test_bmp_meta():
     hdr = b"BM" + b"\x00" * 16 + struct.pack("<ii", 320, -240) + b"\x00" * 4
     m = media.bmp_meta(hdr)
     assert (m["width"], m["height"]) == (320, 240)
+
+
+def test_gif_lzw_pixel_roundtrip():
+    """Full LZW decode: indexed frames -> GIF bytes -> pixel-exact RGB."""
+    pal = _rng(11).integers(0, 256, (7, 3), dtype=np.uint8)
+    f1 = _rng(12).integers(0, 7, (9, 14), dtype=np.uint8)
+    f2 = _rng(13).integers(0, 7, (9, 14), dtype=np.uint8)
+    data = media.gif_encode_indexed([f1, f2], pal, 14, 9)
+    m = media.gif_meta(data)
+    assert (m["width"], m["height"], m["n_frames"]) == (14, 9, 2)
+    frames = media.gif_decode(data)
+    assert len(frames) == 2
+    for fr, idx in zip(frames, (f1, f2)):
+        assert (fr["width"], fr["height"]) == (14, 9)
+        assert np.array_equal(fr["pixels"], pal[idx.astype(np.int32)])
+
+
+def test_gif_interlaced_deinterlaces():
+    pal = np.array([[0, 0, 0], [255, 255, 255]], dtype=np.uint8)
+    idx = (np.arange(80).reshape(10, 8) % 2).astype(np.uint8)
+    data = media.gif_encode_indexed([idx], pal, 8, 10, interlace=True)
+    fr = media.gif_decode(data)[0]
+    assert np.array_equal(fr["pixels"], pal[idx.astype(np.int32)])
+
+
+def test_gif_lzw_table_growth_and_clear():
+    """A long low-entropy stream forces code-width growth past 9 bits
+    and (at 4096 entries) a mid-stream clear; decode stays exact."""
+    pal = _rng(21).integers(0, 256, (4, 3), dtype=np.uint8)
+    idx = (
+        _rng(22).integers(0, 4, 70000, dtype=np.uint8).reshape(200, 350)
+    )
+    data = media.gif_encode_indexed([idx], pal, 350, 200)
+    fr = media.gif_decode(data)[0]
+    assert np.array_equal(fr["pixels"], pal[idx.astype(np.int32)])
+
+
+def test_gif_lzw_property_roundtrip():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        w=st.integers(1, 30),
+        h=st.integers(1, 20),
+        ncol=st.integers(2, 16),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def prop(w, h, ncol, seed):
+        rng = np.random.default_rng(seed)
+        pal = rng.integers(0, 256, (ncol, 3), dtype=np.uint8)
+        idx = rng.integers(0, ncol, (h, w), dtype=np.uint8)
+        fr = media.gif_decode(
+            media.gif_encode_indexed([idx], pal, w, h)
+        )[0]
+        assert np.array_equal(fr["pixels"], pal[idx.astype(np.int32)])
+
+    prop()
 
 
 # -- WAV -----------------------------------------------------------------------
@@ -275,6 +358,21 @@ def test_spark_audio_rms_and_thumbnails(spark):
     assert (r["out_w"], r["out_h"]) == (20, 10)
     decoded = media.png_decode(bytes(r["thumb"]))
     assert np.array_equal(decoded, media.resize_nearest(px, 20, 10))
+
+
+def test_spark_gif_thumbnail(spark):
+    from miru_spark.ops.multimodal import image_thumbnails
+
+    pal = _rng(31).integers(0, 256, (8, 3), dtype=np.uint8)
+    idx = _rng(32).integers(0, 8, (16, 40), dtype=np.uint8)
+    gif = media.gif_encode_indexed([idx], pal, 40, 16)
+    df = spark.createDataFrame(
+        [(7, bytearray(gif))], "id long, payload binary"
+    )
+    r = image_thumbnails(df, box=10).collect()[0]
+    assert (r["out_w"], r["out_h"]) == (10, 4)
+    want = media.resize_nearest(pal[idx.astype(np.int32)], 10, 4)
+    assert np.array_equal(media.png_decode(bytes(r["thumb"])), want)
 
 
 def test_mm_decode_meta_fallback_preserved(spark, tmp_path):
