@@ -9,9 +9,9 @@ formats, not a stub:
   incl. Paeth) for 8-bit greyscale / grey+alpha / RGB / RGBA / palette,
   non-interlaced -- the overwhelming share of real-world PNGs. Encoder
   included for round-trip tests.
-- JPEG: real marker walk to SOF0/1/2 for (width, height, components).
-  (Full JPEG entropy decode is out of scope; dimension/metadata
-  extraction is what the pipeline's decode-meta stage needs.)
+- JPEG: real marker walk to SOF0/1/2 for (width, height, components)
+  here; FULL baseline pixel decode (Huffman + dequant + IDCT + 4:2:0
+  upsampling + YCbCr) lives in the sibling `miru_spark.jpeg` module.
 - GIF: header dims + a real block walk counting image descriptors
   (n_frames), skipping extensions and LZW sub-blocks byte-exactly.
 - BMP: BITMAPINFOHEADER dims.
@@ -625,3 +625,46 @@ def rms_windows(
 def frame_indices(n_frames: int, every: int = 10) -> list[int]:
     """Uniform temporal sampling: every `every`-th frame index."""
     return list(range(0, max(int(n_frames), 0), max(int(every), 1)))
+
+
+def spectral_windows(
+    samples: np.ndarray,
+    sample_rate: int,
+    win_ms: int = 1000,
+    hop_ms: int = 500,
+) -> list[tuple[int, int, float, float, float]]:
+    """Per-window spectral features over mono-mixed PCM (real DSP, rFFT
+    with a Hann window): [(start_ms, end_ms, rms, centroid_hz,
+    dominant_hz)]. Centroid = magnitude-weighted mean frequency;
+    dominant = argmax-magnitude bin (DC excluded)."""
+    s = np.asarray(samples, dtype=np.float64)
+    if s.ndim == 2:
+        s = s.mean(axis=1)
+    n = s.size
+    win = max(1, int(sample_rate * win_ms / 1000))
+    hop = max(1, int(sample_rate * hop_ms / 1000))
+    hann = 0.5 - 0.5 * np.cos(
+        2 * np.pi * np.arange(win) / max(win - 1, 1)
+    )
+    freqs = np.fft.rfftfreq(win, d=1.0 / sample_rate)
+    out = []
+    for start in range(0, max(n - win, 0) + 1, hop):
+        seg = s[start : start + win]
+        if seg.size == 0:
+            break
+        rms = float(np.sqrt(np.mean(seg * seg)))
+        padded = np.zeros(win)
+        padded[: seg.size] = seg * hann[: seg.size]
+        mag = np.abs(np.fft.rfft(padded))
+        mag[0] = 0.0  # exclude DC from both features
+        total = mag.sum()
+        centroid = float((freqs * mag).sum() / total) if total > 0 else 0.0
+        dominant = float(freqs[int(np.argmax(mag))]) if total > 0 else 0.0
+        out.append(
+            (
+                int(start * 1000 / sample_rate),
+                int(min(start + win, n) * 1000 / sample_rate),
+                rms, centroid, dominant,
+            )
+        )
+    return out

@@ -97,16 +97,26 @@ def audio_rms_windows(
     payload_col: str = "payload",
     win_ms: int = 1000,
     hop_ms: int = 500,
+    spectral: bool = False,
 ):
     """REAL audio feature extraction: decode WAV payloads (stdlib PCM
-    decode) and emit per-window RMS rows (id, win_start_ms, win_end_ms,
-    rms). Non-WAV payloads yield no rows. Map-only, no shuffle."""
+    decode) and emit per-window rows (id, win_start_ms, win_end_ms,
+    rms) -- with `spectral=True`, also centroid_hz and dominant_hz from
+    a Hann-windowed rFFT (miru_spark.media.spectral_windows). Non-WAV
+    payloads yield no rows. Map-only, no shuffle."""
     import pandas as pd
+
+    from ..media import spectral_windows
 
     src = df.select(
         F.col(id_col).cast("long").alias("id"),
         F.col(payload_col).alias("payload"),
     )
+    cols = ["id", "win_start_ms", "win_end_ms", "rms"]
+    schema = "id long, win_start_ms long, win_end_ms long, rms double"
+    if spectral:
+        cols += ["centroid_hz", "dominant_hz"]
+        schema += ", centroid_hz double, dominant_hz double"
 
     def extract(batches):
         for pdf in batches:
@@ -116,19 +126,19 @@ def audio_rms_windows(
                 if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
                     continue
                 rate, _nch, samples = wav_decode(data)
-                for s_ms, e_ms, r in rms_windows(
-                    samples, rate, win_ms, hop_ms
-                ):
-                    out.append((int(i), s_ms, e_ms, r))
-            yield pd.DataFrame(
-                out,
-                columns=["id", "win_start_ms", "win_end_ms", "rms"],
-            )
+                if spectral:
+                    for s_ms, e_ms, r, c, d in spectral_windows(
+                        samples, rate, win_ms, hop_ms
+                    ):
+                        out.append((int(i), s_ms, e_ms, r, c, d))
+                else:
+                    for s_ms, e_ms, r in rms_windows(
+                        samples, rate, win_ms, hop_ms
+                    ):
+                        out.append((int(i), s_ms, e_ms, r))
+            yield pd.DataFrame(out, columns=cols)
 
-    return src.mapInPandas(
-        extract,
-        "id long, win_start_ms long, win_end_ms long, rms double",
-    )
+    return src.mapInPandas(extract, schema)
 
 
 def image_thumbnails(
@@ -137,13 +147,14 @@ def image_thumbnails(
     payload_col: str = "payload",
     box: int = 224,
 ):
-    """REAL image resize stage: decode PNG payloads (or a GIF's first
-    frame), nearest-neighbor resize to fit a box x box square preserving
-    aspect ratio, re-encode as PNG. Emits (id, out_w, out_h, thumb) --
-    thumb is a real decodable PNG of the resized pixels. Payloads of any
-    other format yield no rows."""
+    """REAL image resize stage: decode PNG / baseline JPEG payloads (or
+    a GIF's first frame), nearest-neighbor resize to fit a box x box
+    square preserving aspect ratio, re-encode as PNG. Emits (id, out_w,
+    out_h, thumb) -- thumb is a real decodable PNG of the resized
+    pixels. Payloads of any other format yield no rows."""
     import pandas as pd
 
+    from ..jpeg import decode as jpeg_decode
     from ..media import gif_decode
 
     src = df.select(
@@ -158,6 +169,8 @@ def image_thumbnails(
                 data = bytes(payload) if payload is not None else b""
                 if data.startswith(b"\x89PNG"):
                     px = png_decode(data)
+                elif data[:2] == b"\xff\xd8":
+                    px = jpeg_decode(data)
                 elif data[:6] in (b"GIF87a", b"GIF89a"):
                     frames = gif_decode(data)
                     if not frames:

@@ -274,6 +274,44 @@ def test_wav_roundtrip_and_rms():
         assert abs(r - 0.5 / np.sqrt(2)) < 1e-3
 
 
+def test_spectral_windows_find_the_tone():
+    """A 440 Hz sine's centroid and dominant bin land on 440 Hz."""
+    rate = 8000
+    t = np.arange(rate * 2) / rate
+    sig = 0.5 * np.sin(2 * np.pi * 440 * t)
+    wins = media.spectral_windows(sig, rate, 1000, 500)
+    assert len(wins) == 3
+    for _s, _e, rms, centroid, dominant in wins:
+        assert abs(rms - 0.5 / np.sqrt(2)) < 1e-3
+        assert abs(dominant - 440.0) < 2.0
+        assert abs(centroid - 440.0) < 10.0
+    # two tones: dominant picks the louder, centroid sits between
+    sig2 = 0.5 * np.sin(2 * np.pi * 300 * t) + 0.2 * np.sin(
+        2 * np.pi * 1200 * t
+    )
+    _s, _e, _r, centroid, dominant = media.spectral_windows(
+        sig2, rate, 1000, 1000
+    )[0]
+    assert abs(dominant - 300.0) < 2.0
+    assert 300.0 < centroid < 1200.0
+
+
+def test_spark_spectral_audio(spark):
+    from miru_spark.ops.multimodal import audio_rms_windows
+
+    rate = 8000
+    t = np.arange(rate * 2) / rate
+    wav = media.wav_encode(0.4 * np.sin(2 * np.pi * 660 * t), rate)
+    df = spark.createDataFrame(
+        [(1, bytearray(wav))], "id long, payload binary"
+    )
+    rows = audio_rms_windows(df, spectral=True).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert abs(r["dominant_hz"] - 660.0) < 2.0
+        assert abs(r["rms"] - 0.4 / np.sqrt(2)) < 1e-3
+
+
 def test_sniff_meta_dispatch():
     png = media.png_encode(np.zeros((2, 3, 3), np.uint8))
     assert media.sniff_meta(png)["format"] == "png"
