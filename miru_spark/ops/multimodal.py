@@ -98,12 +98,17 @@ def audio_rms_windows(
     win_ms: int = 1000,
     hop_ms: int = 500,
     spectral: bool = False,
+    errors: str = "skip",
 ):
     """REAL audio feature extraction: decode WAV payloads (stdlib PCM
     decode) and emit per-window rows (id, win_start_ms, win_end_ms,
     rms) -- with `spectral=True`, also centroid_hz and dominant_hz from
     a Hann-windowed rFFT (miru_spark.media.spectral_windows). Non-WAV
-    payloads yield no rows. Map-only, no shuffle."""
+    payloads yield no rows. Map-only, no shuffle.
+
+    `errors="skip"` (default) drops payloads whose header sniffs as WAV
+    but whose body fails to decode -- at web scale a handful of corrupt
+    blobs must not fail the task; `errors="raise"` propagates."""
     import pandas as pd
 
     from ..media import spectral_windows
@@ -125,7 +130,12 @@ def audio_rms_windows(
                 data = bytes(payload) if payload is not None else b""
                 if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
                     continue
-                rate, _nch, samples = wav_decode(data)
+                try:
+                    rate, _nch, samples = wav_decode(data)
+                except Exception:
+                    if errors == "raise":
+                        raise
+                    continue
                 if spectral:
                     for s_ms, e_ms, r, c, d in spectral_windows(
                         samples, rate, win_ms, hop_ms
@@ -146,12 +156,18 @@ def image_thumbnails(
     id_col: str = "id",
     payload_col: str = "payload",
     box: int = 224,
+    errors: str = "skip",
 ):
     """REAL image resize stage: decode PNG / baseline JPEG payloads (or
     a GIF's first frame), nearest-neighbor resize to fit a box x box
     square preserving aspect ratio, re-encode as PNG. Emits (id, out_w,
     out_h, thumb) -- thumb is a real decodable PNG of the resized
-    pixels. Payloads of any other format yield no rows."""
+    pixels. Payloads of any other format yield no rows.
+
+    `errors="skip"` (default) drops payloads whose magic matches but
+    whose body fails to decode (truncated / corrupt / unsupported
+    variant) -- at web scale a handful of bad blobs must not fail the
+    task; `errors="raise"` propagates for debugging."""
     import pandas as pd
 
     from ..jpeg import decode as jpeg_decode
@@ -167,16 +183,21 @@ def image_thumbnails(
             out = []
             for i, payload in zip(pdf["id"], pdf["payload"]):
                 data = bytes(payload) if payload is not None else b""
-                if data.startswith(b"\x89PNG"):
-                    px = png_decode(data)
-                elif data[:2] == b"\xff\xd8":
-                    px = jpeg_decode(data)
-                elif data[:6] in (b"GIF87a", b"GIF89a"):
-                    frames = gif_decode(data)
-                    if not frames:
+                try:
+                    if data.startswith(b"\x89PNG"):
+                        px = png_decode(data)
+                    elif data[:2] == b"\xff\xd8":
+                        px = jpeg_decode(data)
+                    elif data[:6] in (b"GIF87a", b"GIF89a"):
+                        frames = gif_decode(data)
+                        if not frames:
+                            continue
+                        px = frames[0]["pixels"]
+                    else:
                         continue
-                    px = frames[0]["pixels"]
-                else:
+                except Exception:
+                    if errors == "raise":
+                        raise
                     continue
                 h, w = px.shape[:2]
                 longer = max(w, h)

@@ -413,6 +413,36 @@ def test_spark_gif_thumbnail(spark):
     assert np.array_equal(media.png_decode(bytes(r["thumb"])), want)
 
 
+def test_spark_corrupt_payloads_skip_not_crash(spark):
+    """Valid magic + garbage body must not fail the task (errors='skip'
+    default); errors='raise' surfaces the decode error."""
+    from miru_spark.ops.multimodal import (
+        audio_rms_windows,
+        image_thumbnails,
+    )
+
+    good = media.png_encode(
+        _rng(55).integers(0, 256, (8, 8, 3), dtype=np.uint8)
+    )
+    bad_png = b"\x89PNG\r\n\x1a\n" + b"\x00" * 64
+    bad_jpg = b"\xff\xd8\xff\xc0\x00\x05garbage-without-sos"
+    bad_wav = b"RIFF\x00\x00\x00\x00WAVEjunk"
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(good)),
+            (2, bytearray(bad_png)),
+            (3, bytearray(bad_jpg)),
+            (4, bytearray(bad_wav)),
+        ],
+        "id long, payload binary",
+    )
+    th = image_thumbnails(df, box=4).collect()
+    assert {r["id"] for r in th} == {1}
+    assert audio_rms_windows(df).collect() == []
+    with pytest.raises(Exception):
+        image_thumbnails(df, box=4, errors="raise").collect()
+
+
 def test_mm_decode_meta_fallback_preserved(spark, tmp_path):
     """The oracle contract: text payloads are not valid media, so
     mm_decode_meta still reports the deterministic length-derived
