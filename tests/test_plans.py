@@ -148,3 +148,13 @@ def test_agg_kernel_plans_shed_all_blobs(engine):
     assert "BatchEvalPython" not in wplan
     assert "null AS tfs_bin" in wplan
     assert wplan.count("Exchange") == 1, wplan
+
+    # stumptown (waveform + newest-k in one pass) has the same shape:
+    # 't' rows ride along, blobs shed, one exchange, Arrow-batched
+    sdf = engine.kernel_frame(
+        "w000001", k=5, agg="stumptown", bucket_us=3600_000_000
+    )
+    splan = _plan(sdf)
+    assert "BatchEvalPython" not in splan
+    assert "null AS tfs_bin" in splan and "null AS dls_bin" in splan
+    assert splan.count("Exchange") == 1, splan
