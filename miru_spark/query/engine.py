@@ -367,6 +367,8 @@ def _make_kernel(
     strategy: str = "tfidf",
     agg: str | None = None,
     bucket_us: int = 0,
+    bucket_origin_us: int = 0,
+    bucket_count: int = 0,
     facet_terms: list | None = None,
     facet_values: list | None = None,
     facet_terms2: list | None = None,
@@ -398,6 +400,18 @@ def _make_kernel(
     import pandas as pd
 
     has_all = "all" in _tree_tags(tree)
+
+    def bucket_of(warc_vals: np.ndarray):
+        """Histogram timestamps into buckets: epoch-aligned (default) or
+        N equal segments from bucket_origin_us (the reference's
+        divideTimeRangeIntoNSegments shape -- StumptownQuestion.java
+        :115-129, AnalyticsQuery; segment tail beyond origin + N*dur is
+        truncated exactly like its closestId edge array)."""
+        if bucket_count:
+            rel = warc_vals - bucket_origin_us
+            rel = rel[(rel >= 0) & (rel < bucket_count * bucket_us)]
+            return np.unique(rel // bucket_us, return_counts=True)
+        return np.unique(warc_vals // bucket_us, return_counts=True)
 
     def resolve_bounds(pid: int, trows):
         """Per-pid [lo, hi) docID interval, or None when unbounded."""
@@ -676,9 +690,7 @@ def _make_kernel(
                     inter = c[ids[pos] == c]
                     if not inter.size:
                         continue
-                    ub, cnt = np.unique(
-                        warc[inter] // bucket_us, return_counts=True
-                    )
+                    ub, cnt = bucket_of(warc[inter])
                     for b, n in zip(ub, cnt):
                         acc[int(b)] = acc.get(int(b), 0.0) + v * int(n)
                 return pd.DataFrame(
@@ -737,9 +749,7 @@ def _make_kernel(
                     warc = np.concatenate(
                         [np.cumsum(decode_varint(b)) for b in tr["ids_bin"]]
                     )
-                    b_idx, cnt = np.unique(
-                        warc[ids] // bucket_us, return_counts=True
-                    )
+                    b_idx, cnt = bucket_of(warc[ids])
                     out_pid.extend([-1] * b_idx.size)
                     out_doc.extend(b_idx.tolist())
                     out_sc.extend(cnt.astype(np.float64).tolist())
@@ -763,9 +773,7 @@ def _make_kernel(
                 warc = np.concatenate(
                     [np.cumsum(decode_varint(b)) for b in tr["ids_bin"]]
                 )
-                b_idx, cnt = np.unique(
-                    warc[ids] // bucket_us, return_counts=True
-                )
+                b_idx, cnt = bucket_of(warc[ids])
                 return pd.DataFrame(
                     {
                         "pid": pid,
@@ -1493,6 +1501,8 @@ class SearchEngine(FeatureOpsMixin):
         authz=None,
         agg: str | None = None,
         bucket_us: int = 0,
+        bucket_origin_us: int = 0,
+        bucket_count: int = 0,
         facet_terms: list | None = None,
         facet_values: list | None = None,
         facet_terms2: list | None = None,
@@ -1666,6 +1676,8 @@ class SearchEngine(FeatureOpsMixin):
             strategy=strategy,
             agg=agg,
             bucket_us=bucket_us,
+            bucket_origin_us=bucket_origin_us,
+            bucket_count=bucket_count,
             facet_terms=facet_terms,
             facet_values=facet_values,
             facet_terms2=facet_terms2,
@@ -2373,24 +2385,33 @@ class SearchEngine(FeatureOpsMixin):
         constraints=None,
         authz=None,
         local: bool | None = None,
+        segments: int | None = None,
     ) -> list[tuple[int, int]]:
         """Analytics waveform over the INDEX: per-time-bucket counts of
         docs matching a query (+constraints/authz), straight from the
         inverted index + time index -- the reference's analytics plugin
         (Analytics.java:164-183 ANDs the constrained filter bitmap with
-        per-bucket time-range bitmaps; AnalyticsQuery divides the time
-        range into divideTimeRangeIntoNSegments buckets). Returns
-        [(bucket_start_us, count)] for non-empty epoch-aligned buckets,
-        ascending. Serving path: zero Spark jobs (matched composite ids
-        index the pinned-readable time arrays). Distributed path: ONE
-        job; each pid's kernel task buckets its own matches against its
-        own 't' rows, so only (bucket, count) rows leave the task."""
+        per-bucket time-range bitmaps). Returns [(bucket_start_us,
+        count)] for non-empty epoch-aligned `bucket_seconds` buckets,
+        ascending -- OR, with `segments=N` (requires `time_range_us`),
+        the reference's exact divideTimeRangeIntoNSegments shape
+        (StumptownQuestion.java:115-129, AnalyticsQuery): the range is
+        cut into N equal floor((t1-t0)/N) segments and the answer is
+        DENSE (exactly N tuples, zero counts included, like the
+        reference's long[N]; the remainder tail past origin + N*dur is
+        truncated exactly like its closestId edge array). Serving path:
+        zero Spark jobs (matched composite ids index the pinned-readable
+        time arrays). Distributed path: ONE job; each pid's kernel task
+        buckets its own matches against its own 't' rows, so only
+        (bucket, count) rows leave the task."""
         if int(self.meta.get("format", 1)) < 2:
             raise ValueError(
                 "waveform requires a format>=2 index (per-block 't' "
                 "time rows)"
             )
-        bucket_us = int(bucket_seconds) * 1_000_000
+        bucket_us, origin = self._bucket_spec(
+            bucket_seconds, segments, time_range_us
+        )
         prep = self._prep_query(
             query, locale, time_range_us, constraints, authz
         )
@@ -2404,25 +2425,71 @@ class SearchEngine(FeatureOpsMixin):
         if local:
             matches = self._local_match_ids(prep)
             if matches.size == 0:
-                return []
+                return self._dense_wf({}, bucket_us, origin, segments)
             times = self._pid_times(np.unique(matches >> 32))
             ts = self._times_of(matches, times)
-            b, c = np.unique(ts // bucket_us, return_counts=True)
-            return [
-                (int(x) * bucket_us, int(n)) for x, n in zip(b, c)
-            ]
+            if segments:
+                rel = ts - origin
+                rel = rel[(rel >= 0) & (rel < segments * bucket_us)]
+                b, c = np.unique(rel // bucket_us, return_counts=True)
+            else:
+                b, c = np.unique(ts // bucket_us, return_counts=True)
+            return self._dense_wf(
+                dict(zip(b.tolist(), c.tolist())), bucket_us, origin,
+                segments,
+            )
         rows = (
             self.kernel_frame(
                 query, k=0, locale=locale, time_range_us=time_range_us,
                 prep=prep, agg="waveform", bucket_us=bucket_us,
+                bucket_origin_us=origin, bucket_count=segments or 0,
             )
             .groupBy("doc_id")
             .agg(F.sum("score").alias("c"))
             .orderBy("doc_id")
             .collect()
         )
+        return self._dense_wf(
+            {int(r["doc_id"]): int(r["c"]) for r in rows},
+            bucket_us, origin, segments,
+        )
+
+    def _bucket_spec(
+        self,
+        bucket_seconds: int,
+        segments: int | None,
+        time_range_us: tuple[int, int] | None,
+    ) -> tuple[int, int]:
+        """(bucket_us, origin_us) for epoch-aligned or N-segment
+        bucketing (reference's divideTimeRangeIntoNSegments: duration =
+        floor(range / N), error when < 1us -- StumptownQuestion.java
+        :117-120)."""
+        if segments is None:
+            return int(bucket_seconds) * 1_000_000, 0
+        if time_range_us is None:
+            raise ValueError("segments=N requires time_range_us")
+        t0, t1 = time_range_us
+        dur = (int(t1) - int(t0)) // int(segments)
+        if dur < 1:
+            raise ValueError(
+                f"time range is insufficient to be divided into "
+                f"{segments} segments"
+            )
+        return dur, int(t0)
+
+    @staticmethod
+    def _dense_wf(
+        counts: dict, bucket_us: int, origin: int, segments: int | None
+    ) -> list[tuple[int, int]]:
+        """Sparse epoch buckets pass through; segment mode densifies to
+        exactly N rows (the reference's long[N])."""
+        if segments is None:
+            return [
+                (b * bucket_us, c) for b, c in sorted(counts.items())
+            ]
         return [
-            (int(r["doc_id"]) * bucket_us, int(r["c"])) for r in rows
+            (origin + i * bucket_us, int(counts.get(i, 0)))
+            for i in range(segments)
         ]
 
     def stumptown(
@@ -2435,6 +2502,7 @@ class SearchEngine(FeatureOpsMixin):
         constraints=None,
         authz=None,
         local: bool | None = None,
+        segments: int | None = None,
     ) -> dict:
         """Stumptown (log-aggregation plugin): the per-bucket waveform
         AND the newest-k matching docs from ONE pass over the match set
@@ -2459,7 +2527,9 @@ class SearchEngine(FeatureOpsMixin):
                 "stumptown requires a format>=2 index (per-block 't' "
                 "time rows)"
             )
-        bucket_us = int(bucket_seconds) * 1_000_000
+        bucket_us, origin = self._bucket_spec(
+            bucket_seconds, segments, time_range_us
+        )
         prep = self._prep_query(
             query, locale, time_range_us, constraints, authz
         )
@@ -2473,11 +2543,24 @@ class SearchEngine(FeatureOpsMixin):
         if local:
             matches = self._local_match_ids(prep)
             if matches.size == 0:
-                return {"waveform": [], "results": []}
+                return {
+                    "waveform": self._dense_wf(
+                        {}, bucket_us, origin, segments
+                    ),
+                    "results": [],
+                }
             times = self._pid_times(np.unique(matches >> 32))
             ts = self._times_of(matches, times)
-            b, c = np.unique(ts // bucket_us, return_counts=True)
-            wf = [(int(x) * bucket_us, int(n)) for x, n in zip(b, c)]
+            if segments:
+                rel = ts - origin
+                rel = rel[(rel >= 0) & (rel < segments * bucket_us)]
+                b, c = np.unique(rel // bucket_us, return_counts=True)
+            else:
+                b, c = np.unique(ts // bucket_us, return_counts=True)
+            wf = self._dense_wf(
+                dict(zip(b.tolist(), c.tolist())), bucket_us, origin,
+                segments,
+            )
             newest = np.sort(matches)[::-1][: max(k, 0)]
             rows = self._gather_rows(
                 self._dataset(),
@@ -2489,6 +2572,7 @@ class SearchEngine(FeatureOpsMixin):
             krows = self.kernel_frame(
                 query, k=k, locale=locale, time_range_us=time_range_us,
                 prep=prep, agg="stumptown", bucket_us=bucket_us,
+                bucket_origin_us=origin, bucket_count=segments or 0,
             ).collect()
             buckets: dict[int, int] = {}
             cands: list[tuple[int, int]] = []
@@ -2498,9 +2582,7 @@ class SearchEngine(FeatureOpsMixin):
                     buckets[bkt] = buckets.get(bkt, 0) + int(r["score"])
                 else:
                     cands.append((int(r["pid"]), int(r["doc_id"])))
-            wf = [
-                (b * bucket_us, n) for b, n in sorted(buckets.items())
-            ]
+            wf = self._dense_wf(buckets, bucket_us, origin, segments)
             cands.sort(reverse=True)
             cands = cands[: max(k, 0)]
             rows = self._gather_rows(
@@ -2941,6 +3023,7 @@ class SearchEngine(FeatureOpsMixin):
         authz=None,
         local: bool | None = None,
         interpolate: bool = False,
+        segments: int | None = None,
     ) -> list[tuple]:
         """Per-time-bucket SUM or AVG of a numeric field over the docs
         matching a query -- the reference's metrics plugin
@@ -2966,7 +3049,17 @@ class SearchEngine(FeatureOpsMixin):
         interpolated values, this engine keeps them as floats). Serving
         path zero jobs; distributed ONE job for sum (per-task (bucket,
         partial-sum) rows only), plus the waveform job for avg's
-        denominator."""
+        denominator.
+
+        `segments=N` (requires `time_range_us`) switches to the
+        reference's divideTimeRangeIntoNSegments bucketing
+        (MetricsQuery.java; same shape as waveform(segments=N)): N
+        equal floor((t1-t0)/N) buckets from t0, remainder truncated.
+        kind="sum" then answers DENSE (exactly N rows, zeros included,
+        the MetricsAnswer long[N]); kind="avg" keeps non-empty buckets
+        unless interpolate=True, which then answers dense with flat
+        edge extension exactly like Anomaly.metricingAvg's padded
+        interpolation."""
         from ..fields import FIELD_SEP, NUMERIC_FIELDS, decode_num
 
         if kind not in ("sum", "avg"):
@@ -2986,7 +3079,9 @@ class SearchEngine(FeatureOpsMixin):
                 "metrics requires a format>=2 index (per-block 't' "
                 "time rows)"
             )
-        bucket_us = int(bucket_seconds) * 1_000_000
+        bucket_us, origin = self._bucket_spec(
+            bucket_seconds, segments, time_range_us
+        )
         facet_terms = self.expand_prefix(f"{field}{FIELD_SEP}")
         facet_values = [
             float(decode_num(t.split(FIELD_SEP, 1)[1])) for t in facet_terms
@@ -3011,19 +3106,33 @@ class SearchEngine(FeatureOpsMixin):
         if local:
             matches = self._local_match_ids(prep)
             if matches.size == 0:
-                return []
+                return self._metrics_shape(
+                    [], bucket_us, origin, segments, kind, interpolate
+                )
             times = self._pid_times(np.unique(matches >> 32))
             # buckets aligned with matches, computed ONCE; facet hits
             # reuse them by position (one searchsorted pass total)
-            m_bucket = self._times_of(matches, times) // bucket_us
-            bmin = int(m_bucket.min())
-            span = int(m_bucket.max()) - bmin + 1
+            ts = self._times_of(matches, times)
+            if segments:
+                rel = ts - origin
+                valid = (rel >= 0) & (rel < segments * bucket_us)
+                m_bucket = np.where(valid, rel // bucket_us, -1)
+                bmin, span = 0, segments
+            else:
+                m_bucket = ts // bucket_us
+                valid = np.ones(m_bucket.size, dtype=bool)
+                bmin = int(m_bucket.min())
+                span = int(m_bucket.max()) - bmin + 1
             fmap, _tfs, _dls = self._postings_maps(
                 facet_terms, prep["pid_range"]
             )
             vh, mp = self._facet_hits(matches, facet_terms, fmap)
+            keep = valid[mp] if segments else slice(None)
+            vh, mp = vh[keep], mp[keep]
             if not vh.size:
-                return []
+                return self._metrics_shape(
+                    [], bucket_us, origin, segments, kind, interpolate
+                )
             vals_arr = np.asarray(facet_values, dtype=np.float64)
             rel_b = m_bucket[mp] - bmin
             sums_b = np.bincount(
@@ -3033,20 +3142,28 @@ class SearchEngine(FeatureOpsMixin):
             # exactly 0 -- e.g. value 0 -- still reports)
             nz = np.flatnonzero(np.bincount(rel_b, minlength=span))
             if kind == "sum":
-                return [
-                    ((bmin + int(b)) * bucket_us, int(round(sums_b[b])))
+                out = [
+                    (origin + (bmin + int(b)) * bucket_us,
+                     int(round(sums_b[b])))
                     for b in nz
                 ]
-            denom = np.bincount(m_bucket - bmin, minlength=span)
-            out = [
-                ((bmin + int(b)) * bucket_us, float(sums_b[b] / denom[b]))
-                for b in nz
-            ]
-            return _interp_buckets(out, bucket_us) if interpolate else out
+            else:
+                denom = np.bincount(
+                    m_bucket[valid] - bmin, minlength=span
+                )
+                out = [
+                    (origin + (bmin + int(b)) * bucket_us,
+                     float(sums_b[b] / denom[b]))
+                    for b in nz
+                ]
+            return self._metrics_shape(
+                out, bucket_us, origin, segments, kind, interpolate
+            )
         rows = (
             self.kernel_frame(
                 query, k=0, locale=locale, time_range_us=time_range_us,
                 prep=prep, agg="metrics", bucket_us=bucket_us,
+                bucket_origin_us=origin, bucket_count=segments or 0,
                 facet_terms=facet_terms, facet_values=facet_values,
             )
             .groupBy("doc_id")
@@ -3055,22 +3172,64 @@ class SearchEngine(FeatureOpsMixin):
             .collect()
         )
         if kind == "sum":
-            return [
-                (int(r["doc_id"]) * bucket_us, int(round(r["s"])))
+            out = [
+                (origin + int(r["doc_id"]) * bucket_us,
+                 int(round(r["s"])))
                 for r in rows
             ]
-        denom = dict(
-            self.waveform(
-                query, bucket_seconds, locale, time_range_us,
-                constraints, authz, local=False,
+        else:
+            denom = dict(
+                self.waveform(
+                    query, bucket_seconds, locale, time_range_us,
+                    constraints, authz, local=False, segments=segments,
+                )
             )
+            out = [
+                (origin + int(r["doc_id"]) * bucket_us,
+                 float(r["s"])
+                 / denom[origin + int(r["doc_id"]) * bucket_us])
+                for r in rows
+            ]
+        return self._metrics_shape(
+            out, bucket_us, origin, segments, kind, interpolate
         )
-        out = [
-            (int(r["doc_id"]) * bucket_us,
-             float(r["s"]) / denom[int(r["doc_id"]) * bucket_us])
-            for r in rows
+
+    @staticmethod
+    def _metrics_shape(
+        out: list,
+        bucket_us: int,
+        origin: int,
+        segments: int | None,
+        kind: str,
+        interpolate: bool,
+    ) -> list[tuple]:
+        """Final shaping: epoch mode keeps non-empty buckets (interior
+        interpolation opt-in); segment mode answers DENSE for sum (the
+        MetricsAnswer long[N]) and dense-with-flat-edges for
+        interpolated avg (Anomaly.metricingAvg's padded spline)."""
+        if segments is None:
+            if kind == "avg" and interpolate:
+                return _interp_buckets(out, bucket_us)
+            return out
+        if kind == "sum":
+            have = dict(out)
+            return [
+                (origin + i * bucket_us,
+                 int(have.get(origin + i * bucket_us, 0)))
+                for i in range(segments)
+            ]
+        if not interpolate or not out:
+            return out
+        bs = (
+            np.array([b for b, _ in out], dtype=np.int64) - origin
+        ) // bucket_us
+        vs = np.array([v for _, v in out], dtype=np.float64)
+        full = np.arange(segments, dtype=np.int64)
+        iv = np.interp(full, bs, vs)  # flat extension past the edges
+        return [
+            (origin + int(i) * bucket_us, float(v))
+            for i, v in zip(full, iv)
         ]
-        return _interp_buckets(out, bucket_us) if interpolate else out
 
     def distincts(
         self,

@@ -350,6 +350,109 @@ def test_trending_strategies_match_oracle(eng):
     assert eng.trending("lang", "zzzznotaterm") == []
 
 
+def test_waveform_segments_mode_matches_reference_shape(eng):
+    """segments=N = divideTimeRangeIntoNSegments (StumptownQuestion
+    .java:115-129): duration = floor(range/N), DENSE N-entry answer
+    with zero buckets, remainder tail truncated."""
+    t0 = ROWS[100]["warc_us"]
+    t1 = ROWS[2400]["warc_us"]
+    n = 7
+    dur = (t1 - t0) // n
+    exp = [0] * n
+    for r in _expected("w000001"):
+        rel = r["warc_us"] - t0
+        if 0 <= rel < n * dur:
+            exp[rel // dur] += 1
+    want = [(t0 + i * dur, exp[i]) for i in range(n)]
+    got_l = eng.waveform("w000001", time_range_us=(t0, t1), segments=n)
+    got_d = eng.waveform(
+        "w000001", time_range_us=(t0, t1), segments=n, local=False
+    )
+    assert got_l == want
+    assert got_d == want
+    assert len(got_l) == n  # dense, zeros included
+    # stumptown carries the same dense waveform + its newest-k page
+    st = eng.stumptown(
+        "w000001", time_range_us=(t0, t1), segments=n, k=5
+    )
+    assert st["waveform"] == want
+    assert len(st["results"]) == 5
+    assert st == eng.stumptown(
+        "w000001", time_range_us=(t0, t1), segments=n, k=5, local=False
+    )
+    # guard rails: segments without a range; sub-microsecond segments
+    with pytest.raises(ValueError):
+        eng.waveform("w000001", segments=4)
+    with pytest.raises(ValueError):
+        eng.waveform(
+            "w000001", time_range_us=(t0, t0 + 3), segments=10
+        )
+
+
+def test_metrics_segments_mode(eng):
+    """metrics(segments=N): dense long[N]-shaped sum; avg keeps
+    non-empty buckets, interpolate densifies with flat edges."""
+    import math
+    import re
+
+    site = lambda u: int(  # noqa: E731
+        re.match(r"^https?://[a-z]*?(\d+)\.", u).group(1)
+    )
+    t0 = ROWS[0]["warc_us"]
+    t1 = ROWS[2500]["warc_us"]
+    n = 5
+    dur = (t1 - t0) // n
+    sums = [0] * n
+    cnts = [0] * n
+    for r in _expected("w000001"):
+        rel = r["warc_us"] - t0
+        if 0 <= rel < n * dur:
+            sums[rel // dur] += site(r["url"])
+            cnts[rel // dur] += 1
+    want_sum = [(t0 + i * dur, sums[i]) for i in range(n)]
+    for got in (
+        eng.metrics(
+            "site", "w000001", kind="sum", time_range_us=(t0, t1),
+            segments=n,
+        ),
+        eng.metrics(
+            "site", "w000001", kind="sum", time_range_us=(t0, t1),
+            segments=n, local=False,
+        ),
+    ):
+        assert got == want_sum
+        assert len(got) == n
+    want_avg = [
+        (t0 + i * dur, sums[i] / cnts[i])
+        for i in range(n) if cnts[i]
+    ]
+    for got in (
+        eng.metrics(
+            "site", "w000001", kind="avg", time_range_us=(t0, t1),
+            segments=n,
+        ),
+        eng.metrics(
+            "site", "w000001", kind="avg", time_range_us=(t0, t1),
+            segments=n, local=False,
+        ),
+    ):
+        assert len(got) == len(want_avg)
+        assert all(
+            b1 == b2 and math.isclose(v1, v2)
+            for (b1, v1), (b2, v2) in zip(got, want_avg)
+        )
+    # interpolated avg is dense over all N segments
+    gi = eng.metrics(
+        "site", "w000001", kind="avg", time_range_us=(t0, t1),
+        segments=n, interpolate=True,
+    )
+    assert len(gi) == n
+    d_have = dict(want_avg)
+    assert all(
+        math.isclose(v, d_have[b]) for b, v in gi if b in d_have
+    )
+
+
 def test_stumptown_both_paths_match_pure_python(eng):
     """Stumptown = waveform + newest-k from ONE match pass
     (Stumptown.java:37-73); both routes identical and equal to a pure
