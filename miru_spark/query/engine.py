@@ -647,9 +647,7 @@ def _make_kernel(
                     inter = c[ids[pos] == c]
                     if not inter.size:
                         continue
-                    ub, cnt = np.unique(
-                        warc[inter] // bucket_us, return_counts=True
-                    )
+                    ub, cnt = bucket_of(warc[inter])
                     o_b.append(ub)
                     o_v.append(np.full(ub.size, i, dtype=np.int64))
                     o_c.append(cnt)
@@ -2606,6 +2604,7 @@ class SearchEngine(FeatureOpsMixin):
         time_range_us: tuple[int, int] | None = None,
         constraints=None,
         authz=None,
+        segments: int | None = None,
     ) -> dict:
         """N keyed waveforms in one call -- the reference's AnalyticsQuery
         carries a MAP of keyed filters and answers every waveform in one
@@ -2615,13 +2614,19 @@ class SearchEngine(FeatureOpsMixin):
         across the batch) and ONE time-index read for the union of their
         matched pids; oversized queries fall back to their own
         distributed waveform job. Returns {key: [(bucket_start_us,
-        count)]} -- each value identical to waveform(q) alone."""
+        count)]} -- each value identical to waveform(q) alone.
+        `segments=N` (requires `time_range_us`) answers every keyed
+        waveform in the reference's dense divideTimeRangeIntoNSegments
+        shape -- AnalyticsQuery's actual scoreset, one range + N
+        segments shared by the whole filter map."""
         if int(self.meta.get("format", 1)) < 2:
             raise ValueError(
                 "waveform requires a format>=2 index (per-block 't' "
                 "time rows)"
             )
-        bucket_us = int(bucket_seconds) * 1_000_000
+        bucket_us, origin = self._bucket_spec(
+            bucket_seconds, segments, time_range_us
+        )
         local_matches: dict = {}
         out: dict = {}
         for key, q in queries.items():
@@ -2633,7 +2638,7 @@ class SearchEngine(FeatureOpsMixin):
             else:
                 out[key] = self.waveform(
                     q, bucket_seconds, locale, time_range_us,
-                    constraints, authz, local=False,
+                    constraints, authz, local=False, segments=segments,
                 )
         need_pids = np.unique(
             np.concatenate(
@@ -2644,13 +2649,19 @@ class SearchEngine(FeatureOpsMixin):
         times = self._pid_times(need_pids) if need_pids.size else {}
         for key, matches in local_matches.items():
             if matches.size == 0:
-                out[key] = []
+                out[key] = self._dense_wf({}, bucket_us, origin, segments)
                 continue
             ts = self._times_of(matches, times)
-            b, c = np.unique(ts // bucket_us, return_counts=True)
-            out[key] = [
-                (int(x) * bucket_us, int(n)) for x, n in zip(b, c)
-            ]
+            if segments:
+                rel = ts - origin
+                rel = rel[(rel >= 0) & (rel < segments * bucket_us)]
+                b, c = np.unique(rel // bucket_us, return_counts=True)
+            else:
+                b, c = np.unique(ts // bucket_us, return_counts=True)
+            out[key] = self._dense_wf(
+                dict(zip(b.tolist(), c.tolist())), bucket_us, origin,
+                segments,
+            )
         return out
 
     def aggregate_counts(
@@ -2838,6 +2849,7 @@ class SearchEngine(FeatureOpsMixin):
         time_range_us: tuple[int, int] | None = None,
         constraints=None,
         authz=None,
+        segments: int | None = None,
     ) -> list[tuple]:
         """Trending over the INDEX -- the reference's trending plugin
         (TrendingInjectable.java:83-170): gather the distinct values of
@@ -2859,7 +2871,13 @@ class SearchEngine(FeatureOpsMixin):
         Every per-value waveform comes out of ONE pass over the match
         set (serving: one concatenated facet-hit probe; distributed: ONE
         kernel job emitting (value, bucket, count) rows) -- never a job
-        or scan per candidate value."""
+        or scan per candidate value.
+
+        `segments=N` (requires `time_range_us`) scores over the
+        reference's exact divideTimeRangeIntoNSegments waveform shape
+        (TrendingQueryScoreSet.java:18; dense long[N], so leading and
+        trailing empty segments DO count against the slope), instead of
+        the observed min..max epoch-bucket span."""
         from ..fields import FIELD_SEP, NUMERIC_FIELDS, decode_num
         from ..ops.events_ops import _peakdet_count, _r6_percentile
 
@@ -2873,7 +2891,9 @@ class SearchEngine(FeatureOpsMixin):
                 "trending requires a format>=2 index (per-block 't' "
                 "time rows)"
             )
-        bucket_us = int(bucket_seconds) * 1_000_000
+        bucket_us, origin = self._bucket_spec(
+            bucket_seconds, segments, time_range_us
+        )
         facet_terms = self.expand_prefix(f"{field}{FIELD_SEP}")
         if not facet_terms:
             return []
@@ -2900,11 +2920,20 @@ class SearchEngine(FeatureOpsMixin):
             if matches.size == 0:
                 return []
             times = self._pid_times(np.unique(matches >> 32))
-            m_bucket = self._times_of(matches, times) // bucket_us
+            ts = self._times_of(matches, times)
+            if segments:
+                rel = ts - origin
+                valid = (rel >= 0) & (rel < segments * bucket_us)
+                m_bucket = np.where(valid, rel // bucket_us, -1)
+            else:
+                m_bucket = ts // bucket_us
             fmap, _tfs, _dls = self._postings_maps(
                 facet_terms, prep["pid_range"]
             )
             vh, mp = self._facet_hits(matches, facet_terms, fmap)
+            if segments and vh.size:
+                keep = valid[mp]
+                vh, mp = vh[keep], mp[keep]
             if not vh.size:
                 return []
             keys = np.stack((vh, m_bucket[mp]))
@@ -2919,6 +2948,8 @@ class SearchEngine(FeatureOpsMixin):
                     query, k=0, locale=locale,
                     time_range_us=time_range_us,
                     prep=prep, agg="waveforms", bucket_us=bucket_us,
+                    bucket_origin_us=origin,
+                    bucket_count=segments or 0,
                     facet_terms=facet_terms,
                 )
                 .groupBy(
@@ -2942,11 +2973,16 @@ class SearchEngine(FeatureOpsMixin):
             leaders, key=lambda i: (-leaders[i], facet_terms[i])
         )[: int(max_candidates)]
         cand_set = set(cand_idx)
-        buckets = sorted(
-            {b for (i, b) in cell_counts if i in cand_set}
-        )
-        lo = buckets[0]
-        n = buckets[-1] - lo + 1
+        if segments:
+            # reference shape: the waveform IS the requested range --
+            # dense long[N] indexed from the range origin
+            lo, n = 0, int(segments)
+        else:
+            buckets = sorted(
+                {b for (i, b) in cell_counts if i in cand_set}
+            )
+            lo = buckets[0]
+            n = buckets[-1] - lo + 1
         arrays = {}
         for i in cand_idx:
             arr = np.zeros(int(n), dtype=np.float64)

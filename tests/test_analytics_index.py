@@ -371,6 +371,13 @@ def test_waveform_segments_mode_matches_reference_shape(eng):
     assert got_l == want
     assert got_d == want
     assert len(got_l) == n  # dense, zeros included
+    # waveform_many shares the scoreset (AnalyticsQuery's true shape)
+    wm = eng.waveform_many(
+        {"a": "w000001", "none": "zzzznotaterm"},
+        time_range_us=(t0, t1), segments=n,
+    )
+    assert wm["a"] == want
+    assert wm["none"] == [(t0 + i * dur, 0) for i in range(n)]
     # stumptown carries the same dense waveform + its newest-k page
     st = eng.stumptown(
         "w000001", time_range_us=(t0, t1), segments=n, k=5
@@ -489,6 +496,58 @@ def test_stumptown_both_paths_match_pure_python(eng):
     assert eng.stumptown("zzzznotaterm", k=5) == {
         "waveform": [], "results": [],
     }
+
+
+def test_trending_segments_mode(eng):
+    """trending(segments=N) scores over the dense N-segment waveform
+    (TrendingQueryScoreSet.divideTimeRangeIntoNSegments); serving and
+    distributed paths agree, and the slope math matches a pure
+    recompute over the dense arrays."""
+    import math
+
+    import numpy as np
+
+    t0 = ROWS[0]["warc_us"]
+    t1 = ROWS[2999]["warc_us"]
+    n = 6
+    dur = (t1 - t0) // n
+    cells: dict = {}
+    for r in _expected("w000009"):
+        rel = r["warc_us"] - t0
+        if 0 <= rel < n * dur:
+            key = (r["lang"], rel // dur)
+            cells[key] = cells.get(key, 0) + 1
+    langs = sorted({v for v, _b in cells})
+    x = np.arange(n, dtype=np.float64)
+    xc = x - x.mean()
+    den = float((xc * xc).sum())
+    want = []
+    for v in langs:
+        a = np.zeros(n)
+        for b in range(n):
+            a[b] = cells.get((v, b), 0)
+        want.append((v, float((xc * (a - a.mean())).sum() / den)))
+    want.sort(key=lambda t: (-round(t[1], 12), t[0]))
+    got = eng.trending(
+        "lang", "w000009", time_range_us=(t0, t1), segments=n
+    )
+    assert len(got) == len(want)
+    for (v1, s1), (v2, s2) in zip(got, want):
+        assert v1 == v2 and math.isclose(s1, s2)
+    # force the distributed waveforms kernel; identical answer
+    old = eng.local_max_postings
+    eng.local_max_postings = 0
+    try:
+        got_d = eng.trending(
+            "lang", "w000009", time_range_us=(t0, t1), segments=n
+        )
+    finally:
+        eng.local_max_postings = old
+    assert len(got_d) == len(want)
+    for (v1, s1), (v2, s2) in zip(got_d, want):
+        assert v1 == v2 and math.isclose(s1, s2)
+    with pytest.raises(ValueError):
+        eng.trending("lang", "w000009", segments=4)
 
 
 def test_serving_analytics_run_zero_spark_jobs(eng, spark):
