@@ -15,3 +15,4 @@ from .removals import (  # noqa: F401
     remove_urls,
     restore_docs,
 )
+from .sync import sync_index  # noqa: F401
