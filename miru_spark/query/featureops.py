@@ -50,6 +50,45 @@ __all__ = ["FeatureOpsMixin"]
 _STRATEGIES = ("unit_weighted", "regression_weighted", "max")
 
 
+def save_catwalk_model(spark, model: dict, path: str) -> None:
+    """Persist a catwalk_train model as parquet -- the catwalk
+    service's model store analog (miru-catwalk-shared CatwalkModel /
+    miru-catwalk-deployable's amza-backed repository; here a model IS a
+    small relation: one row per observed feature tuple). Values
+    round-trip exactly via JSON (int/float/str tuple members)."""
+    import json
+
+    rows = [
+        (int(fi), json.dumps(list(vals)),
+         [int(n) for n in nums], int(den))
+        for (fi, vals), (nums, den) in model.items()
+    ]
+    (
+        spark.createDataFrame(
+            rows,
+            "feature_idx long, values_json string, nums array<long>, "
+            "den long",
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def load_catwalk_model(spark, path: str) -> dict:
+    """Inverse of save_catwalk_model: parquet rows back to the
+    {(feature_idx, values_tuple): ((num_0, ...), denominator)} dict
+    `strut(model=...)` consumes."""
+    import json
+
+    return {
+        (int(r["feature_idx"]), tuple(json.loads(r["values_json"]))): (
+            tuple(int(n) for n in r["nums"]), int(r["den"])
+        )
+        for r in spark.read.parquet(path).collect()
+    }
+
+
 def _decode_value(field: str, term: str):
     v = term.split(FIELD_SEP, 1)[1]
     return decode_num(v) if field in NUMERIC_FIELDS else v

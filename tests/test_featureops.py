@@ -478,3 +478,30 @@ def test_catwalk_model_feeds_strut(fx_engine):
     # p3 itself must rank first: its docs' tuples have the highest
     # P(parent=p3 | tuple) by construction
     assert a[0][0] == "p3"
+
+
+def test_catwalk_model_roundtrips_through_parquet(
+    fx_engine, spark, tmp_path
+):
+    """Model persistence (the catwalk service's model store analog):
+    save -> load is exact, and the loaded model scores identically."""
+    from miru_spark.query.featureops import (
+        load_catwalk_model,
+        save_catwalk_model,
+    )
+
+    trained = fx_engine.catwalk_train(FEATS, ["parent:p3", "parent:p5"])
+    path = str(tmp_path / "model.parquet")
+    save_catwalk_model(spark, trained, path)
+    loaded = load_catwalk_model(spark, path)
+    assert loaded == trained
+    model = {k: (max(nums), den) for k, (nums, den) in loaded.items()}
+    want = fx_engine.strut(
+        "parent",
+        FEATS,
+        model={
+            k: (max(nums), den) for k, (nums, den) in trained.items()
+        },
+        k=7,
+    )
+    assert fx_engine.strut("parent", FEATS, model=model, k=7) == want
