@@ -3037,9 +3037,10 @@ class SearchEngine(FeatureOpsMixin):
         -- the uniques plugin (miru-reco-plugins/.../uniques/
         UniquesQuery.java:15-21: timeRange + gatherUniquesForField +
         constraintsFilter + optional value prefixes). `prefix` restricts
-        the counted values, matching the query's prefixes list --
-        applied term-side before any postings are probed. Built on the
-        same distincts pass; same routing."""
+        the counted values, matching the query's prefixes list -- a
+        single string or a LIST (any-prefix union), applied term-side
+        before any postings are probed. Built on the same distincts
+        pass; same routing."""
         return len(
             self.distincts(
                 field, query, locale, time_range_us, constraints, authz,
@@ -3288,9 +3289,11 @@ class SearchEngine(FeatureOpsMixin):
         values that EXIST in the index are probed. `prefix` restricts
         the gathered values (DistinctsQuery.prefixes, the typeahead
         path: Distincts.java:87-108,143-148 narrows the term range /
-        startsWith-filters term bytes) -- applied to the composed value
-        BEFORE any postings are probed, so a typeahead over a wide field
-        only touches the matching values' postings. Returns
+        startsWith-filters term bytes) -- a single string or a LIST of
+        strings (the reference field is List<MiruValue>; values matching
+        ANY prefix gather), applied to the composed value BEFORE any
+        postings are probed, so a typeahead over a wide field only
+        touches the matching values' postings. Returns
         [(value, count)] sorted by count desc then value asc; numeric
         fields decode back to ints.
 
@@ -3300,8 +3303,16 @@ class SearchEngine(FeatureOpsMixin):
         blobs shed) and each pid task emits only (value_idx, count)."""
         from ..fields import FIELD_SEP, NUMERIC_FIELDS, decode_num
 
-        facet_terms = self.expand_prefix(
-            f"{field}{FIELD_SEP}{prefix or ''}"
+        if prefix is None or isinstance(prefix, str):
+            pfx = [prefix or ""]
+        else:
+            pfx = list(prefix) or [""]
+        facet_terms = sorted(
+            {
+                t
+                for p in pfx
+                for t in self.expand_prefix(f"{field}{FIELD_SEP}{p}")
+            }
         )
         if not facet_terms:
             return []

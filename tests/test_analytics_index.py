@@ -200,6 +200,17 @@ def test_uniques(eng):
     # prefix restriction (UniquesQuery.prefixes)
     de = {v for v in langs if v.startswith("d")}
     assert eng.uniques("lang", "w000001", prefix="d") == len(de)
+    # a LIST of prefixes unions (the reference field is List<MiruValue>)
+    want = {v for v in langs if v[0] in ("d", "e")}
+    assert eng.uniques("lang", "w000001", prefix=["d", "e"]) == len(want)
+    dl = dict(eng.distincts("lang", "w000001", prefix=["d", "e"]))
+    assert set(dl) == want
+    assert dict(eng.distincts("lang", "w000001"))["de"] == dl["de"]
+    # duplicate/overlapping prefixes never double-count a value
+    assert (
+        eng.distincts("lang", "w000001", prefix=["d", "de", "d"])
+        == eng.distincts("lang", "w000001", prefix="d")
+    )
     assert eng.uniques("lang", "zzzznotaterm") == 0
 
 
