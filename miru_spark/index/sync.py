@@ -123,3 +123,20 @@ def _swap_in_file(src_file: str, dst_file: str) -> None:
     tmp = dst_file + ".sync_tmp"
     shutil.copyfile(src_file, tmp)
     os.replace(tmp, dst_file)
+
+
+def sync_tenants(
+    spark: SparkSession, src_root: str, dst_root: str
+) -> dict:
+    """Replicate every tenant index under a multi-tenant root
+    (tenancy.py's `<root>/t=<id>` layout) -- the reference's sync
+    senders walk all tenants the same way (MiruSyncSenderService
+    per-tenant progress). Returns {tenant: per-index sync report}."""
+    from ..tenancy import list_tenants, tenant_dir
+
+    out = {}
+    for t in list_tenants(src_root):
+        out[t] = sync_index(
+            spark, tenant_dir(src_root, t), tenant_dir(dst_root, t)
+        )
+    return out

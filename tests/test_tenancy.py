@@ -80,6 +80,29 @@ def test_tenant_isolation(engines, corpora):
     assert a is not b and a.paths.root != b.paths.root
 
 
+def test_sync_tenants_replicates_every_tenant(
+    engines, corpora, spark, tmp_path
+):
+    """sync_tenants walks the multi-tenant root like the reference's
+    per-tenant sync senders; each replica answers rank-identically and
+    a re-sync copies nothing."""
+    from miru_spark.index.sync import sync_tenants
+    from miru_spark.tenancy import TenantEngines
+
+    dst = str(tmp_path / "replica_root")
+    rep = sync_tenants(spark, engines.root, dst)
+    assert set(rep) == set(corpora)
+    assert all(r["copied"] for r in rep.values())
+    replica = TenantEngines(spark, dst)
+    for t in corpora:
+        assert replica.search_collect(
+            t, "w000001 OR w000002", k=10
+        ) == engines.search_collect(t, "w000001 OR w000002", k=10)
+    rep2 = sync_tenants(spark, engines.root, dst)
+    assert all(not r["copied"] and not r["removed"] for r in rep2.values())
+    replica.close()
+
+
 def test_unknown_tenant_raises(engines):
     with pytest.raises(KeyError):
         engines.engine("nosuch")
