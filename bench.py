@@ -130,12 +130,24 @@ def main() -> None:
         extras["n_partitions"] = len(report.pids_built)
 
         # -- 2. BM25 top-10 latencies -------------------------------------
+        # median of 3 runs per query: single-shot timings on a shared box
+        # conflate one JVM/GC hiccup with the engine (observed ±40% drift
+        # between otherwise-identical rounds); the median is the honest
+        # per-query latency estimate and still pays every query's full cost
+        REPS = int(os.environ.get("BENCH_QUERY_REPS", "3"))
+
+        def _median(xs: list[float]) -> float:
+            return sorted(xs)[len(xs) // 2]
+
         eng = SearchEngine(spark, index_dir).cache()
         eng.search("w000001", k=10).collect()  # warm cache + scan path once
         for name, q in BM25_QUERIES.items():
-            t0 = time.time()
-            rows = eng.search(q, k=10).collect()
-            timings[name] = time.time() - t0
+            runs = []
+            for _ in range(REPS):
+                t0 = time.time()
+                rows = eng.search(q, k=10).collect()
+                runs.append(time.time() - t0)
+            timings[name] = _median(runs)
             extras.setdefault("rows", {})[name] = len(rows)
         qtimes = [timings[n] for n in BM25_QUERIES]
         extras["query_p50_ms"] = round(sorted(qtimes)[len(qtimes) // 2] * 1000, 1)
@@ -150,9 +162,12 @@ def main() -> None:
         if os.environ.get("BENCH_SKIP_OPS", "0") != "1":
             ctimes = []
             for q in BM25_QUERIES.values():
-                t0 = time.time()
-                eng.search_collect(q, k=10)
-                ctimes.append(time.time() - t0)
+                runs = []
+                for _ in range(REPS):
+                    t0 = time.time()
+                    eng.search_collect(q, k=10)
+                    runs.append(time.time() - t0)
+                ctimes.append(_median(runs))
             extras["query_p50_servingnode_ms"] = round(
                 sorted(ctimes)[len(ctimes) // 2] * 1000, 1
             )
@@ -223,9 +238,12 @@ def main() -> None:
             ]
 
         # batched qps: all queries in ONE Spark job (stress-harness shape)
-        t0 = time.time()
-        eng.search_many(list(BM25_QUERIES.values()), k=10)
-        timings["q_batch_all"] = time.time() - t0
+        runs = []
+        for _ in range(REPS):
+            t0 = time.time()
+            eng.search_many(list(BM25_QUERIES.values()), k=10)
+            runs.append(time.time() - t0)
+        timings["q_batch_all"] = _median(runs)
         extras["query_qps_batched"] = round(
             len(BM25_QUERIES) / timings["q_batch_all"], 2
         )
