@@ -53,6 +53,9 @@ def sip_build(
     block_span: int = 4096,
     late: str = "error",
     batch_partitions: int | None = 8,
+    schema: str | None = None,
+    transform=None,
+    extra_fields: list[str] | None = None,
 ) -> list[dict]:
     """Consume all files not yet checkpointed and index them.
 
@@ -64,6 +67,16 @@ def sip_build(
     batches, so a bounded value keeps a later repair from rebuilding the
     entire micro-batch). None = fastest single-commit build, whole-batch
     blast radius.
+
+    `schema` + `transform` are the MiruSiphonPlugin contract
+    (miru-siphon-api: a plugin declares the feed schema and maps each
+    row batch to activities): `schema` overrides the default webtext
+    read schema and `transform` (DataFrame -> DataFrame of doc rows,
+    e.g. siphon.log_documents or siphon.edge_documents composed with
+    parse_edges) runs on the stream before pid assignment, so any
+    external feed sips into the index. `extra_fields` declares schema
+    fields on the FIRST batch of a fresh index (resume batches inherit
+    the declaration from the index meta).
     """
     assert late in ("error", "skip")
     reports: list[dict] = []
@@ -98,6 +111,7 @@ def sip_build(
             block_span=block_span,
             batch_partitions=batch_partitions,
             resume=True,
+            extra_fields=extra_fields,
         )
         reports.append(
             {
@@ -109,7 +123,11 @@ def sip_build(
             }
         )
 
-    stream = spark.readStream.schema(WEBTEXT_SCHEMA).parquet(input_dir)
+    stream = spark.readStream.schema(schema or WEBTEXT_SCHEMA).parquet(
+        input_dir
+    )
+    if transform is not None:
+        stream = transform(stream)
     q = (
         stream.writeStream.foreachBatch(handle)
         .trigger(availableNow=True)

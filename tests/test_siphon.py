@@ -1,0 +1,277 @@
+"""Feed siphons (miru_spark/siphon.py): the edge-siphon and stumptown
+LogMill analogs -- external feeds projected onto the document shape,
+indexed via extra_fields, answered by the real engine."""
+
+import json
+import os
+import sys
+from collections import Counter
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pytest
+from pyspark.sql import functions as F
+
+from miru_spark.index.build import build_index
+from miru_spark.query.engine import SearchEngine
+from miru_spark.siphon import (
+    EDGE_FIELDS,
+    LOG_FIELDS,
+    edge_documents,
+    level_counts,
+    log_documents,
+    parse_edges,
+)
+
+T0 = 1704067200_000  # epoch millis
+
+
+def _edge(i: int) -> dict:
+    return {
+        "id": 1000 + i,
+        "timestamp": T0 + i * 1000,
+        "tenant": "acme",
+        "user": f"u{i % 5}",
+        "name": f"call rpc{i % 3}",
+        "origin": f"svc{i % 4}",
+        "destination": f"svc{(i + 1) % 4}",
+        "tags": [f"t{i % 2}", "all"] if i % 7 else None,
+        "latency": 10 * i,
+    }
+
+
+N_EDGES = 60
+
+
+@pytest.fixture(scope="module")
+def edges_kv(spark):
+    # KV change-log shape: (key, value JSON bytes), like the amza rows
+    # the reference siphon tails
+    rows = [
+        (1000 + i, json.dumps(_edge(i)).encode()) for i in range(N_EDGES)
+    ]
+    return spark.createDataFrame(rows, "key long, value binary")
+
+
+@pytest.fixture(scope="module")
+def edge_engine(spark, edges_kv, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("edge_idx"))
+    docs = edge_documents(parse_edges(edges_kv, id_col="key"))
+    build_index(
+        spark, docs, d,
+        partition_seconds=10**9, block_span=64,
+        extra_fields=EDGE_FIELDS,
+    )
+    eng = SearchEngine(spark, d)
+    yield eng
+    eng.close()
+
+
+def test_parse_edges_types_and_id_override(spark, edges_kv):
+    rows = parse_edges(edges_kv, id_col="key").orderBy("id").collect()
+    assert len(rows) == N_EDGES
+    r = rows[8]
+    assert r["id"] == 1008 and r["latency"] == 80
+    assert r["origin"] == "svc0" and r["destination"] == "svc1"
+    assert r["tags"] == ["t0", "all"]
+    assert rows[7]["tags"] is None  # i=7: i%7==0 -> null tags
+
+
+def test_edge_documents_shape(spark, edges_kv):
+    docs = edge_documents(parse_edges(edges_kv, id_col="key"))
+    assert [f.name for f in docs.schema.fields[:6]] == [
+        "url", "warc_ts", "html", "text", "lang", "fields",
+    ]
+    r = docs.filter(F.col("edge_id") == 1000).collect()[0]
+    assert r["url"] == "edge://acme/1000"
+    assert r["warc_ts"].timestamp() == T0 / 1000
+    # null tags dropped from the fields map, never minted as terms
+    assert "tags" not in dict(r["fields"])
+    assert dict(r["fields"])["origin"] == ["svc0"]
+
+
+def test_edge_engine_filters_and_features(edge_engine):
+    # per-value counts via the composed field terms
+    origins = Counter(f"svc{i % 4}" for i in range(N_EDGES))
+    assert dict(edge_engine.distincts("origin")) == dict(origins)
+    assert edge_engine.count("origin:svc1") == origins["svc1"]
+    # multiTerm tags: every i%7!=0 edge carries "all"
+    n_tagged = sum(1 for i in range(N_EDGES) if i % 7)
+    assert edge_engine.count("tags:all") == n_tagged
+    # gatherFeatures over (origin, destination) == input co-occurrence
+    want = Counter(
+        (f"svc{i % 4}", f"svc{(i + 1) % 4}") for i in range(N_EDGES)
+    )
+    got = dict(edge_engine.gather_features(("origin", "destination")))
+    assert got == dict(want)
+    # ranked search over the name text relation composes with filters:
+    # name="call rpc{i%3}", origin=svc{i%4} -> matches are i == 10 mod 12
+    hits = edge_engine.search_collect("rpc1 AND origin:svc2", k=50)
+    assert len(hits) == sum(
+        1 for i in range(N_EDGES) if i % 3 == 1 and i % 4 == 2
+    )
+    assert {h[-1] for h in hits} == {
+        f"edge://acme/{1000 + i}"
+        for i in range(N_EDGES)
+        if i % 3 == 1 and i % 4 == 2
+    }
+
+
+def _log(i: int) -> dict:
+    levels = ["INFO", "WARN", "ERROR"]
+    return {
+        "datacenter": "dc1",
+        "cluster": f"c{i % 2}",
+        "host": f"h{i % 3}",
+        "service": "api",
+        "instance": str(i % 2),
+        "version": "1.0",
+        "level": levels[i % 3] if i % 5 else None,  # exercise defaults
+        "threadName": f"thread-{i % 4}",
+        "loggerName": "com.example.Api",
+        "methodName": "handle",
+        "lineNumber": str(40 + i % 3),
+        "message": f"request failed shard{i % 6}"
+        if i % 3 == 2
+        else f"request ok shard{i % 6}",
+        "timestamp": str(T0 + i * 60_000),
+        "exceptionClass": "java.io.IOException" if i % 3 == 2 else None,
+        "thrownStackTrace": ["at com.example.Api.handle(Api.java:42)"]
+        if i % 3 == 2
+        else None,
+    }
+
+
+N_LOGS = 90
+
+
+@pytest.fixture(scope="module")
+def log_events(spark):
+    return spark.createDataFrame(
+        [_log(i) for i in range(N_LOGS)],
+        "datacenter string, cluster string, host string, service string,"
+        "instance string, version string, level string, threadName string,"
+        "loggerName string, methodName string, lineNumber string,"
+        "message string, timestamp string, exceptionClass string,"
+        "thrownStackTrace array<string>",
+    )
+
+
+@pytest.fixture(scope="module")
+def log_engine(spark, log_events, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("log_idx"))
+    build_index(
+        spark, log_documents(log_events), d,
+        partition_seconds=3600, block_span=64,
+        extra_fields=LOG_FIELDS,
+    )
+    eng = SearchEngine(spark, d)
+    yield eng
+    eng.close()
+
+
+def test_log_documents_deterministic_and_defaulted(spark, log_events):
+    docs = log_documents(log_events)
+    r = docs.orderBy("warc_ts").collect()
+    assert len(r) == N_LOGS
+    # deterministic: re-projection yields byte-identical urls
+    again = log_documents(log_events).orderBy("warc_ts").collect()
+    assert [x["url"] for x in r] == [y["url"] for y in again]
+    assert len({x["url"] for x in r}) == N_LOGS
+    # i=0 has level=None -> "INFO" default rides into the fields map
+    assert dict(r[0]["fields"])["level"] == ["INFO"]
+    assert r[0]["warc_ts"].timestamp() == T0 / 1000
+    # stack trace text reaches the text relation
+    err = [x for x in r if "IOException" in x["text"]]
+    assert len(err) == sum(1 for i in range(N_LOGS) if i % 3 == 2)
+    assert "api.java" in err[0]["text"].lower()
+
+
+def test_log_engine_stumptown_page(log_engine):
+    # the stumptown product query: newest-k ERROR page + waveform,
+    # filter by level dimension, full-text over the message
+    n_err_lvl = sum(
+        1 for i in range(N_LOGS) if i % 5 and i % 3 == 2
+    )
+    assert log_engine.count("level:error") == n_err_lvl
+    sp = log_engine.stumptown(
+        "failed AND level:error", bucket_seconds=3600, k=5
+    )
+    n_match = log_engine.count("failed AND level:error")
+    assert sum(c for _, c in sp["waveform"]) == n_match
+    assert len(sp["results"]) == min(5, n_match)
+    # newest-first page (results rows are (url, warc_ts_us, pid, doc_id))
+    ts = [row[1] for row in sp["results"]]
+    assert ts == sorted(ts, reverse=True)
+    # tokenized exception text is searchable
+    assert log_engine.count("ioexception") == sum(
+        1 for i in range(N_LOGS) if i % 3 == 2
+    )
+
+
+def test_level_counts_matches_input(spark, log_events):
+    got: Counter = Counter()
+    for r in level_counts(log_events).collect():
+        got[(r["cluster"], r["level"])] += r["n"]
+    want: Counter = Counter()
+    for i in range(N_LOGS):
+        e = _log(i)
+        want[(e["cluster"], e["level"] or "INFO")] += 1
+    assert dict(got) == dict(want)
+
+
+def test_streaming_log_intake_sips_into_index(spark, log_events, tmp_path):
+    """The stumptown intake loop (MiruStumptownIntakeService.java:80:
+    log feed -> mill -> writer): log events land as files, sip_build
+    consumes them through the log_documents transform, the engine
+    answers; a second wave appends incrementally and a third call is a
+    no-op."""
+    from miru_spark.streaming.sip import sip_build
+
+    feed = str(tmp_path / "feed")
+    idx = str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ckpt")
+    schema = (
+        "datacenter string, cluster string, host string, service string,"
+        "instance string, version string, level string, threadName string,"
+        "loggerName string, methodName string, lineNumber string,"
+        "message string, timestamp string, exceptionClass string,"
+        "thrownStackTrace array<string>"
+    )
+    # waves split on the hourly pid boundary (events are minute-spaced):
+    # a completed pid is immutable, so each wave must bring NEW pids
+    cut = F.col("timestamp").cast("long") < T0 + 60 * 60_000
+    first = log_events.filter(cut)
+    n_first = first.count()
+    first.coalesce(1).write.mode("append").parquet(feed)
+    reps = sip_build(
+        spark, feed, idx, ckpt,
+        partition_seconds=3600, block_span=64,
+        schema=schema, transform=log_documents,
+        extra_fields=LOG_FIELDS,
+    )
+    assert sum(r["n_docs"] for r in reps) == n_first
+    eng = SearchEngine(spark, idx)
+    assert eng.count("request") == n_first
+    eng.close()
+
+    # wave 2: the rest of the feed lands in the next hour's pid
+    log_events.filter(~cut).coalesce(1).write.mode("append").parquet(feed)
+    sip_build(
+        spark, feed, idx, ckpt,
+        partition_seconds=3600, block_span=64,
+        schema=schema, transform=log_documents,
+    )
+    eng = SearchEngine(spark, idx)
+    assert eng.count("request") == N_LOGS
+    n_err = sum(1 for i in range(N_LOGS) if i % 5 and i % 3 == 2)
+    assert eng.count("level:error") == n_err
+    eng.close()
+
+    # no new files -> no-op
+    reps3 = sip_build(
+        spark, feed, idx, ckpt,
+        partition_seconds=3600, block_span=64,
+        schema=schema, transform=log_documents,
+    )
+    assert sum(r["n_docs"] for r in reps3) == 0
