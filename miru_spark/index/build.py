@@ -69,7 +69,7 @@ import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..analyzer import analyze, analyze_positions
+from ..analyzer import analyze, analyze_block, analyze_positions
 from ..codec import encode_postings_grouped, encode_varint, encode_varint_grouped
 from ..fields import doc_field_terms, extra_field_terms
 
@@ -317,7 +317,22 @@ def _block_rows_batch(
             pa.array(offs, type=pa.int64()).cast(pa.int32()),
             pa.array(pos_vals),
         )
-    flat = pa.table(cols)
+    return _block_rows_from_flat(pid, blk, pa.table(cols))
+
+
+def _block_rows_from_flat(
+    pid: int, blk: int, flat: pa.Table
+) -> pa.RecordBatch | None:
+    """Encode one (pid, blk) group's posting rows from FLAT
+    (term, doc_id, tf, dl[, pos]) columns -- (term, doc_id) unique per
+    row, any row order (the group sort here is the only order that
+    matters). Shared tail of `_block_rows_batch` (per-doc list inputs)
+    and the vectorized indexer path (block-level flat inputs)."""
+    import pyarrow.compute as pc
+
+    if flat.num_rows == 0:
+        return None
+    pos_flat = "pos" in flat.column_names
     order = pc.sort_indices(
         flat.select(["term", "doc_id"]),
         sort_keys=[("term", "ascending"), ("doc_id", "ascending")],
@@ -339,7 +354,7 @@ def _block_rows_batch(
     ends[:-1] = starts[1:]
     ends[-1] = n
     k = len(starts)
-    if pos_list is not None:
+    if pos_flat:
         # flatten positions in sorted row order; delta-gap with a reset
         # (absolute value) at each (doc, term) row start; one blob per
         # term run, sliced at position-space run boundaries
@@ -392,6 +407,92 @@ def _block_rows_batch(
         ],
         schema=_SEGMENT_PA_SCHEMA,
     )
+
+
+def _invert_group_flat(
+    pid: int,
+    blk: int,
+    did_slice: np.ndarray,
+    texts: list,
+    langs: list,
+    urls_g: list,
+    azs: list,
+    flds: list,
+    extra_fields: list[str] | None,
+):
+    """Invert one (pid, blk) doc-range group without per-token Python:
+    docs are batched per locale through `analyze_block` (Arrow
+    dictionary-encode -> unique-only stop/stem -> NumPy id mapping),
+    per-(doc, term) tf counting is ONE np.unique over packed
+    (doc, term-id) keys, and composed field terms (tf=1, filter-only)
+    join the same flat row space. Output rows are (term, doc_id) unique
+    in any order -- `_block_rows_from_flat` owns the canonical group
+    sort, so the result is bit-identical to the per-doc `analyze` path
+    (pinned by tests/test_build_vectorized.py).
+
+    Returns (posting RecordBatch | None, per-doc kept-token counts) --
+    doc_len counts TEXT tokens only, field terms never shift BM25
+    length norms."""
+    import pyarrow.compute as pc
+
+    ng = len(texts)
+    dl_doc = np.zeros(ng, dtype=np.int64)
+    by_loc: dict = {}
+    for i, lg in enumerate(langs):
+        by_loc.setdefault(lg, []).append(i)
+
+    term_chunks: list = []
+    doc_chunks: list = []
+    tf_chunks: list = []
+    for lg, idx_list in by_loc.items():
+        idx = np.asarray(idx_list, dtype=np.int64)
+        d_i, t_ids, t_dict, dls_grp = analyze_block(
+            [texts[i] for i in idx_list], lg
+        )
+        dl_doc[idx] = dls_grp
+        if not len(t_ids):
+            continue
+        # per-(doc, term) tf: one sort-based unique over packed keys
+        v = len(t_dict)
+        key = d_i * v + t_ids
+        uniq, tf = np.unique(key, return_counts=True)
+        term_chunks.append(
+            pc.take(t_dict, pa.array((uniq % v).astype(np.int64)))
+        )
+        doc_chunks.append(did_slice[idx[uniq // v]])
+        tf_chunks.append(tf.astype(np.int64))
+
+    # composed field terms (lang/site/doclen/authz + schema-declared
+    # extras): tiny per-doc lists, tf=1 each
+    ft_terms: list = []
+    ft_docs: list = []
+    for i in range(ng):
+        fts = doc_field_terms(urls_g[i], langs[i], int(dl_doc[i]), azs[i])
+        if extra_fields:
+            fts += extra_field_terms(flds[i], extra_fields)
+        ft_terms.extend(fts)
+        ft_docs.extend([i] * len(fts))
+    if ft_terms:
+        term_chunks.append(pa.array(ft_terms, type=pa.string()))
+        doc_chunks.append(did_slice[np.asarray(ft_docs, dtype=np.int64)])
+        tf_chunks.append(np.ones(len(ft_terms), dtype=np.int64))
+
+    dl_list = dl_doc.tolist()
+    if not term_chunks:
+        return None, dl_list
+    doc64 = np.concatenate(doc_chunks)
+    flat = pa.table(
+        {
+            "term": pa.concat_arrays(
+                [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+                 for c in term_chunks]
+            ),
+            "doc_id": pa.array(doc64),
+            "tf": pa.array(np.concatenate(tf_chunks)),
+            "dl": pa.array(dl_doc[np.searchsorted(did_slice, doc64)]),
+        }
+    )
+    return _block_rows_from_flat(pid, blk, flat), dl_list
 
 
 def _make_indexer(
@@ -511,14 +612,14 @@ def _make_indexer(
                 if extra_fields
                 else [None] * (e - s)
             )
-            terms_col: list = []
-            tfs_col: list = []
-            dl_col: list = []
-            pos_col: list | None = [] if positions else None
-            for text, lang, url, az, fm in zip(
-                texts, langs, urls_g, azs, flds
-            ):
-                if positions:
+            if positions:
+                terms_col: list = []
+                tfs_col: list = []
+                dl_col: list = []
+                pos_col: list = []
+                for text, lang, url, az, fm in zip(
+                    texts, langs, urls_g, azs, flds
+                ):
                     # positional build: group each token's stream
                     # positions (pre-stop-removal indices, Lucene
                     # position-increment semantics) under its term
@@ -552,47 +653,33 @@ def _make_indexer(
                         if items
                         else np.empty(0, dtype=np.int64)
                     )
-                    continue
-                toks = analyze(text, lang)
-                # doc_len counts TEXT tokens only -- metadata field terms
-                # are filter-only and must not shift BM25 length norms
-                dl_col.append(len(toks))
-                # sorted Counter items == np.unique order, ~3x cheaper;
-                # composed field terms (lang/site/doclen/authz, tf=1) join
-                # the same posting space (MiruTermComposer analog, fields.py)
-                items = sorted(Counter(toks).items()) if toks else []
-                fts = doc_field_terms(url, lang, len(toks), az)
-                if extra_fields:
-                    fts += extra_field_terms(fm, extra_fields)
-                if fts:
-                    items = sorted(items + [(t, 1) for t in fts])
-                if items:
-                    terms_col.append([t for t, _ in items])
-                    tfs_col.append(
-                        np.fromiter(
-                            (c for _, c in items),
-                            dtype=np.int64,
-                            count=len(items),
-                        )
-                    )
-                else:
-                    terms_col.append([])
-                    tfs_col.append(np.empty(0, dtype=np.int64))
+                out = _block_rows_batch(
+                    int(pid_np[s]),
+                    int(blk_np[s]),
+                    did_np[s:e],
+                    np.asarray(dl_col, dtype=np.int64),
+                    terms_col,
+                    tfs_col,
+                    pos_col,
+                )
+            else:
+                out, dl_col = _invert_group_flat(
+                    int(pid_np[s]),
+                    int(blk_np[s]),
+                    did_np[s:e],
+                    texts,
+                    langs,
+                    urls_g,
+                    azs,
+                    flds,
+                    extra_fields,
+                )
             yield _doc_rows_batch(
                 pid_arr.slice(s, e - s),
                 did_arr.slice(s, e - s),
                 url_arr.slice(s, e - s),
                 warc_arr.slice(s, e - s),
                 dl_col,
-            )
-            out = _block_rows_batch(
-                int(pid_np[s]),
-                int(blk_np[s]),
-                did_np[s:e],
-                np.asarray(dl_col, dtype=np.int64),
-                terms_col,
-                tfs_col,
-                pos_col,
             )
             if out is not None:
                 block_batches.append(out)

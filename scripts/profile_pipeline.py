@@ -27,9 +27,11 @@ SHUF = int(os.environ.get("PROFILE_SHUFFLE_PARTITIONS", "64"))
 
 
 def main() -> None:
+    from pyspark.sql import functions as F
+
     from miru_spark.index.build import (
         _make_indexer,
-        _with_ids,
+        _with_pid,
         _SEGMENT_SCHEMA,
     )
     from miru_spark.session import get_spark
@@ -55,20 +57,29 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         t[name] = round(time.time() - t0, 1)
 
-    ids_df = _with_ids(wt, 86400)
-    sub = ids_df.select("pid", "doc_id", "url", "warc_us", "lang", "text")
+    # the current single-exchange pipeline (index/build.py::build_index):
+    # pid stamp -> ONE hash repartition on pid -> in-worker Arrow sort +
+    # mint + invert + encode (term-major output, no JVM sort anywhere)
+    if "authz" not in wt.columns:
+        wt = wt.withColumn("authz", F.lit(None).cast("array<string>"))
+    if "fields" not in wt.columns:
+        wt = wt.withColumn(
+            "fields", F.lit(None).cast("map<string,array<string>>")
+        )
+    pid_df = _with_pid(wt, int(os.environ.get("PROFILE_PARTITION_SECONDS", "14400")))
+    sub = pid_df.select(
+        "pid", "url", "warc_us", "lang", "text", "authz", "fields"
+    ).repartition(SHUF, "pid")
     seg = sub.mapInArrow(_make_indexer(4096), _SEGMENT_SCHEMA)
-    seg_sorted = seg.sortWithinPartitions(
-        "row_type", "pid", "term", "blk", "doc_id"
-    )
 
     noop(wt.select("url", "warc_ts", "lang", "text"), "scan")
-    noop(sub, "window")
+    noop(sub, "exchanged")
     noop(seg, "indexed")
-    noop(seg_sorted, "sorted")
     out = tempfile.mkdtemp(prefix="profile_seg_")
     t0 = time.time()
-    seg_sorted.write.mode("overwrite").parquet(out)
+    seg.write.mode("overwrite").option(
+        "compression", "zstd"
+    ).parquet(out)
     t["written"] = round(time.time() - t0, 1)
     shutil.rmtree(out, ignore_errors=True)
 

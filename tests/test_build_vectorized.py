@@ -1,0 +1,171 @@
+"""The vectorized indexer path (analyze_block + _invert_group_flat)
+must be BIT-identical to the per-doc `analyze` pipeline it replaced:
+same posting blocks, same encoded binaries, same doc lens -- across
+mixed locales, scripts, empty docs, authz labels, and schema-declared
+extra fields."""
+
+import os
+import sys
+from collections import Counter, defaultdict
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import pyarrow as pa
+
+from miru_spark.analyzer import analyze, analyze_block
+from miru_spark.codec import decode_postings, decode_varint
+from miru_spark.fields import doc_field_terms, extra_field_terms
+from miru_spark.index.build import _make_indexer
+
+PARTITION_US = 3600 * 10**6
+BLOCK_SPAN = 16  # small so the group loop crosses block boundaries
+
+
+def _docs():
+    texts = {
+        "en": "The running foxes ran quickly over the lazy dogs again",
+        "de": "Die laufenden Füchse liefen schnell über die faulen Hunde",
+        "ru": "Бегущие лисы быстро бежали через ленивых собак",
+        "th": "สวัสดีครับ แมวกินปลา",
+        "zz": "Unknown locale keeps raw lowercase tokens only",
+        "": "",
+    }
+    langs = list(texts)
+    out = []
+    for i in range(120):
+        lang = langs[i % len(langs)]
+        body = texts[lang]
+        # vary text so tf/df differ per doc; every 11th doc is empty
+        extra = "" if i % 11 == 0 else f" shard{i % 7} " + "fox " * (i % 4)
+        out.append(
+            {
+                "url": f"https://site{i % 9}.example/en/page/{i}",
+                "warc_us": 1704067200_000_000 + i * 60_000_000,
+                "lang": lang or None,
+                "text": (body + extra) if body or extra else "",
+                "authz": [f"g{i % 3}", f"g{i % 3}"] if i % 2 else None,
+                "fields": {"team": [f"t{i % 5}"]} if i % 3 else None,
+            }
+        )
+    return out
+
+
+def _batch(rows):
+    return pa.RecordBatch.from_pydict(
+        {
+            "pid": pa.array(
+                [r["warc_us"] // PARTITION_US for r in rows], pa.int64()
+            ),
+            "url": pa.array([r["url"] for r in rows]),
+            "warc_us": pa.array(
+                [r["warc_us"] for r in rows], pa.int64()
+            ),
+            "lang": pa.array([r["lang"] for r in rows]),
+            "text": pa.array([r["text"] for r in rows]),
+            "authz": pa.array(
+                [r["authz"] for r in rows], pa.list_(pa.string())
+            ),
+            "fields": pa.array(
+                [r["fields"] for r in rows],
+                pa.map_(pa.string(), pa.list_(pa.string())),
+            ),
+        }
+    )
+
+
+def _expected(rows):
+    """Per-doc oracle: analyze() + Counter + field terms, minted in the
+    worker's (pid, warc_us, url) sort order."""
+    order = sorted(
+        range(len(rows)),
+        key=lambda i: (
+            rows[i]["warc_us"] // PARTITION_US,
+            rows[i]["warc_us"],
+            rows[i]["url"],
+        ),
+    )
+    nxt: dict = defaultdict(int)
+    exp = defaultdict(dict)  # (pid, blk, term) -> {doc: (tf, dl)}
+    dls = {}
+    for i in order:
+        r = rows[i]
+        pid = r["warc_us"] // PARTITION_US
+        did = nxt[pid]
+        nxt[pid] += 1
+        blk = did // BLOCK_SPAN
+        toks = analyze(r["text"], r["lang"])
+        dls[(pid, did)] = len(toks)
+        items = list(Counter(toks).items())
+        fts = doc_field_terms(r["url"], r["lang"], len(toks), r["authz"])
+        fts += extra_field_terms(r["fields"], ["team"])
+        items += [(t, 1) for t in fts]
+        for t, c in items:
+            exp[(pid, blk, t)][did] = (c, len(toks))
+    return exp, dls
+
+
+def test_vectorized_blocks_match_per_doc_oracle():
+    rows = _docs()
+    out = list(
+        _make_indexer(BLOCK_SPAN, extra_fields=["team"])(
+            iter([_batch(rows)])
+        )
+    )
+    tbl = pa.Table.from_batches(out)
+    exp, dls = _expected(rows)
+
+    p = tbl.filter(pa.compute.equal(tbl.column("row_type"), "p"))
+    got_keys = set()
+    for b in p.to_batches():
+        d = b.to_pydict()
+        for pid, blk, term, n, ctf, ids_bin, tfs_bin, dls_bin in zip(
+            d["pid"], d["blk"], d["term"], d["n"], d["ctf"],
+            d["ids_bin"], d["tfs_bin"], d["dls_bin"],
+        ):
+            key = (pid, blk, term)
+            got_keys.add(key)
+            want = exp[key]
+            ids = decode_postings(ids_bin).tolist()
+            tfs = decode_varint(tfs_bin).tolist()
+            dl_arr = decode_varint(dls_bin).tolist()
+            assert ids == sorted(want), key
+            assert n == len(want)
+            assert tfs == [want[i][0] for i in ids], key
+            assert dl_arr == [want[i][1] for i in ids], key
+            assert ctf == sum(want[i][0] for i in ids)
+    assert got_keys == set(exp)
+
+    # forward doc rows carry the oracle doc lens
+    drows = tbl.filter(pa.compute.equal(tbl.column("row_type"), "d"))
+    d = drows.to_pydict()
+    for pid, did, dl in zip(d["pid"], d["doc_id"], d["doc_len"]):
+        assert dl == dls[(pid, did)]
+
+
+def test_analyze_block_identity_across_locales():
+    texts = [
+        "The quick brown foxes are running",
+        "",
+        "Les renards bruns rapides couraient",
+        "done Done DONE doing",
+    ]
+    for loc in ["en", "de", "fr", "ru", "ar", "th", "zz", None, "de_AT"]:
+        di, ti, td, dl = analyze_block(texts, loc)
+        td = td.to_pylist()
+        got = [[] for _ in texts]
+        for dd, tt in zip(di, ti):
+            got[dd].append(td[tt])
+        want = [analyze(t, loc) for t in texts]
+        assert got == want, loc
+        assert dl.tolist() == [len(w) for w in want], loc
+
+
+def test_analyze_block_stem_collision_shares_term_id():
+    # "running" and "runs" both stem to "run": tf counting must merge
+    di, ti, td, dl = analyze_block(["running runs ran run"], "en")
+    terms = td.to_pylist()
+    assert terms.count("run") == 1
+    key = [terms[t] for t in ti]
+    assert Counter(key)["run"] == 3  # running/runs/run (ran stems to ran)
+    assert dl.tolist() == [4]
