@@ -11,10 +11,12 @@ inside Arrow-batched pandas UDFs:
   cover the full 31-entry reference map: en (English stopwords + Porter2
   stemming, mirroring Lucene's EnglishAnalyzer with the custom stopword
   set in EnStopwords.java:998-1004), de/fr/es/pt(+pt_br)/it (Snowball
-  stop sets + Savoy light stemmers), and the remaining 24 locales
-  stopword-only (nl/ru/sv/da/nb/nn/fi/tr/ro/id/cs/ca/gl/eu/lv/bg/gr/ar/
-  fa/hi/hy/ku/th/en_ie -- core published stop lists, no stemmer: the
-  documented scope reduction). Unknown locales fall back to Standard
+  stop sets + Savoy light stemmers), and as of r4 every other locale
+  code carries a stemmer too (full Snowball or a documented light
+  rendition -- ru/ar/fi/tr/sv/da/nb/nn/nl/ro/id/cs/ca/gl/eu/lv/bg/gr/
+  hi/hy/ku, plus the en_ie Irish mutation normalizer) EXCEPT fa and th,
+  whose reference analyzers don't stem either (PersianAnalyzer;
+  ThaiAnalyzer segments only). Unknown locales fall back to Standard
   behavior (lowercase tokens, no stop/stem) exactly like
   TermAnalyzers.findAnalyzer's StandardAnalyzer fallback
   (TermAnalyzers.java:117-136). Locale resolution strips `_` suffixes.
@@ -1818,11 +1820,12 @@ armenian_light_stem = lru_cache(maxsize=1 << 16)(
 # Stop sets for the remaining reference locales (TermAnalyzers.java:
 # 50-81), each the published Snowball/Lucene stop list. As of r4 every
 # locale code also carries a stemmer (full Snowball or a documented
-# light rendition -- see each stemmer's header) except the three whose
+# light rendition -- see each stemmer's header) except the two whose
 # reference analyzers don't stem either: fa (PersianAnalyzer), th
-# (ThaiAnalyzer: segmentation only), en_ie (bound over the English
-# stop set). Unknown locales fall through to the Standard analyzer
-# exactly like findAnalyzer's fallback (TermAnalyzers.java:117-136).
+# (ThaiAnalyzer: segmentation only). en_ie gets the Irish chain over
+# the English stop set, exactly how the reference binds it. Unknown
+# locales fall through to the Standard analyzer exactly like
+# findAnalyzer's fallback (TermAnalyzers.java:117-136).
 # ---------------------------------------------------------------------------
 
 DUTCH_STOPWORDS = frozenset(
@@ -2134,6 +2137,82 @@ def thai_segment(chunk: str) -> tuple:
     return tuple(out)
 
 
+# ---------------------------------------------------------------------------
+# Irish (en_ie). The reference binds `new IrishAnalyzer(EnStopwords...)`
+# (TermAnalyzers.java:56) -- Lucene's Irish chain OVER the English stop
+# set: StopFilter(HYPHENATIONS {h,n,t}) -> ElisionFilter({d,m,b}) ->
+# IrishLowerCaseFilter (t-prothesis / n-eclipsis: "nAthair" ->
+# "n-athair") -> StopFilter(stop set) -> SnowballFilter(IrishStemmer).
+# The stemmer here is the `initial_morph` stage of the published
+# Snowball Irish algorithm (snowballstem.org/algorithms/irish/): the
+# forward-mode eclipsis/lenition/prothesis normalization table, whose
+# rules are fully determined by Irish orthography (mb->b, gc->c, ...).
+# The backward-mode suffix tables (noun_sfx/deriv/verb_sfx) are NOT
+# implemented -- no authoritative copy of those tables is available in
+# this sandbox, and a guessed table silently diverges (worse than
+# none); en_ie text is English-in-Ireland, so prefix mutations are the
+# part an en_ie user actually hits. Documented scope reduction.
+# ---------------------------------------------------------------------------
+
+_IRISH_UPPER_VOWELS = frozenset("AEIOUÁÉÍÓÚ")
+# HYPHENATIONS drops EVERY h/n/t token (ignoreCase CharArraySet), so the
+# strands of raw "n-athair" vanish with a position gap. d/m/b are the
+# ElisionFilter articles: Lucene keeps "d'fhiacail" as one token and
+# strips "d'"; our tokenizer splits at the apostrophe, so the elided
+# article arrives as its own token and is folded here (same documented
+# approximation as the fr/it elision handling above).
+_IRISH_DROP = frozenset("hnt") | frozenset("dmb")
+
+# Snowball Irish initial_morph, longest prefix match wins (among()
+# semantics). Eclipsis: mb gc nd bhf ng bp ts dt; lenition: bh ch dh fh
+# gh mh ph sh th. The hyphen/apostrophe rows of the published table
+# ("n-", "d'", "d'fh", ...) are unreachable in this token space: the
+# tokenizer splits those characters and _irish_token_stream already
+# folds the strands (d'fh- words arrive as "fh..." and hit the fh row).
+_IRISH_MORPH = (
+    ("bhf", "f"),
+    ("mb", "b"), ("gc", "c"), ("nd", "d"), ("ng", "g"), ("bp", "p"),
+    ("ts", "s"), ("dt", "t"),
+    ("bh", "b"), ("ch", "c"), ("dh", "d"), ("fh", "f"), ("gh", "g"),
+    ("mh", "m"), ("ph", "p"), ("sh", "s"), ("th", "t"),
+)
+
+
+def _irish_stem_uncached(word: str) -> str:
+    for pre, rep in _IRISH_MORPH:
+        if word.startswith(pre):
+            return rep + word[len(pre):]
+    return word
+
+
+irish_stem = lru_cache(maxsize=1 << 16)(_irish_stem_uncached)
+
+
+def _irish_token_stream(text: str) -> list:
+    """Case-aware token stream for en_ie, None where a pre-stop filter
+    consumed a token (StopFilter keeps position increments, so phrase
+    positions must count the gap).
+
+    IrishLowerCaseFilter runs BEFORE lowercasing in Lucene and only
+    fires on a lowercase n/t followed by an UPPERCASE vowel
+    ("nAthair" -> "n-athair"); the split-off prefix letter is exactly
+    what the HYPHENATIONS stop set then drops, so emitting the bare
+    body here reproduces the chain's output token-for-token.
+    """
+    out = []
+    for tok in _TOKEN_RE.findall(text):
+        if len(tok) > 1 and tok[0] in "nt" and tok[1] in _IRISH_UPPER_VOWELS:
+            tok = tok[1:]
+        tok = tok.lower()
+        out.append(None if tok in _IRISH_DROP else tok)
+    return out
+
+
+def irish_pretokenize(text: str) -> list[str]:
+    """StandardTokenizer + IrishAnalyzer's pre-stop filters for en_ie."""
+    return [t for t in _irish_token_stream(text) if t is not None]
+
+
 def _identity_stem(word: str) -> str:
     return word
 
@@ -2141,14 +2220,13 @@ def _identity_stem(word: str) -> str:
 # locale -> (stopword set, stemmer). Resolution strips `_` suffixes like
 # TermAnalyzers.findAnalyzer (so pt_BR -> pt_br -> explicit entry,
 # de_AT -> de). The full 31-entry reference map (TermAnalyzers.java:43-75)
-# is wired: 27 locale codes carry stemmers (en de fr es pt pt_br it +
-# r4's ru ar fi tr sv da nb nn id hi bg cs nl ro gr lv ku ca gl eu hy);
-# fa is unstemmed by design
-# (PersianAnalyzer parity); the rest are stopword-only (documented
-# scope reduction; a mis-specified stemmer is worse than none). en_ie
-# maps to the English stop set exactly like the reference
-# (IrishAnalyzer built over EnStopwords); pt_br shares the pt light
-# stemmer (BrazilianAnalyzer analog); nb/nn share the Norwegian set.
+# is wired: 28 locale codes carry stemmers (en de fr es pt pt_br it +
+# r4's ru ar fi tr sv da nb nn id hi bg cs nl ro gr lv ku ca gl eu hy
+# en_ie); fa/th are unstemmed by design (PersianAnalyzer carries no
+# stemmer; ThaiAnalyzer segments only). en_ie binds the Irish chain
+# over the ENGLISH stop set exactly like the reference (IrishAnalyzer
+# built over EnStopwords); pt_br shares the pt light stemmer
+# (BrazilianAnalyzer analog); nb/nn share the Norwegian set.
 _LOCALE_ANALYZERS: dict[str, tuple[frozenset, object]] = {
     "en": (ENGLISH_STOPWORDS, porter2_stem),
     "de": (GERMAN_STOPWORDS, german_light_stem),
@@ -2185,7 +2263,7 @@ _LOCALE_ANALYZERS: dict[str, tuple[frozenset, object]] = {
     "hy": (ARMENIAN_STOPWORDS, armenian_light_stem),
     "ku": (SORANI_STOPWORDS, sorani_stem),
     "th": (THAI_STOPWORDS, _identity_stem),
-    "en_ie": (ENGLISH_STOPWORDS, _identity_stem),
+    "en_ie": (ENGLISH_STOPWORDS, irish_stem),
     "pt_br": (PORTUGUESE_STOPWORDS, portuguese_light_stem),
 }
 
@@ -2219,13 +2297,18 @@ def analyze(
     `use_stopwords=False` mirrors findAnalyzer's non-stopword analyzer
     map (TermAnalyzers.java:84-115,118): same stemmer, empty stop set.
     """
-    tokens = standard_tokenize(text)
     base = (locale or "").lower()
     while base and base not in _LOCALE_ANALYZERS:
         if "_" in base:
             base = base.rsplit("_", 1)[0]
         else:
             break
+    if base == "en_ie":
+        # case-aware pre-step (IrishLowerCaseFilter prothesis fires on
+        # the ORIGINAL case) + hyphenation/elision strand folding
+        tokens = irish_pretokenize(text)
+    else:
+        tokens = standard_tokenize(text)
     if base == "th":
         # dictionary segmentation splits run-of-script chunks BEFORE
         # stop/stem (ThaiAnalyzer tokenizes, then stops)
@@ -2249,13 +2332,27 @@ def analyze_positions(
     PhraseQuery outright (LuceneBackedQueryParser.java:108-110, no
     positions in its index); this powers the opt-in positional index
     this engine adds beyond it."""
-    tokens = standard_tokenize(text)
     base = (locale or "").lower()
     while base and base not in _LOCALE_ANALYZERS:
         if "_" in base:
             base = base.rsplit("_", 1)[0]
         else:
             break
+    if base == "en_ie":
+        # strand tokens (None) consume a position like Lucene's
+        # HYPHENATIONS StopFilter does
+        stream = _irish_token_stream(text)
+        stopwords, stem = _LOCALE_ANALYZERS[base]
+        if not use_stopwords:
+            stopwords = frozenset()
+        out_t: list[str] = []
+        out_p: list[int] = []
+        for i, t in enumerate(stream):
+            if t is not None and t not in stopwords:
+                out_t.append(stem(t))
+                out_p.append(i)
+        return out_t, out_p
+    tokens = standard_tokenize(text)
     if base == "th":
         # positions number the SEGMENTED stream (each dictionary word
         # is its own position, like ThaiTokenizer emits)
@@ -2343,6 +2440,11 @@ def analyze_block(
                 for raw in standard_tokenize(t)
                 for s in thai_segment(raw)
             ]
+            counts[i] = len(toks)
+            flat.extend(toks)
+    elif base == "en_ie":
+        for i, t in enumerate(texts):
+            toks = irish_pretokenize(t)
             counts[i] = len(toks)
             flat.extend(toks)
     else:

@@ -130,8 +130,8 @@ def test_french_analyzer_stops_and_elision():
 
 def test_locale_suffix_stripping():
     # unmapped compounds strip to their base (TermAnalyzers.java:117-131);
-    # en_ie itself is an EXPLICIT entry now (IrishAnalyzer over the
-    # English stop set -- stopword-only, no Porter2), so use en_US/en_GB
+    # en_ie itself is an EXPLICIT entry (IrishAnalyzer over the English
+    # stop set -- Irish mutation stemming, not Porter2), so use en_US/en_GB
     assert analyze("the foxes", "en_US") == analyze("the foxes", "en")
     assert analyze("die häuser", "de_AT") == analyze("die häuser", "de")
 

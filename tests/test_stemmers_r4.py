@@ -485,11 +485,84 @@ def test_catalan_galician_basque_armenian_goldens():
 def test_every_locale_stems_or_is_by_design():
     """r4 closes the stemmer matrix: every reference locale code either
     carries a stemmer or its Lucene analyzer doesn't stem either
-    (PersianAnalyzer, ThaiAnalyzer, en_ie over the English stop set)."""
+    (PersianAnalyzer, ThaiAnalyzer)."""
     from miru_spark.analyzer import _LOCALE_ANALYZERS, _identity_stem
 
     unstemmed = {
         loc for loc, (_, st) in _LOCALE_ANALYZERS.items()
         if st is _identity_stem
     }
-    assert unstemmed == {"fa", "th", "en_ie"}
+    assert unstemmed == {"fa", "th"}
+
+
+def test_irish_en_ie_chain():
+    """en_ie = IrishAnalyzer(EnStopwords) (TermAnalyzers.java:56):
+    HYPHENATIONS strand stop, elision folding, IrishLowerCaseFilter
+    prothesis, English stop set, Snowball initial_morph."""
+    from miru_spark.analyzer import analyze, analyze_positions, irish_stem
+
+    # eclipsis normalization (initial_morph forward table)
+    assert irish_stem("mbean") == "bean"
+    assert irish_stem("gcarr") == "carr"
+    assert irish_stem("ndoras") == "doras"
+    assert irish_stem("bhfuil") == "fuil"      # longest match beats 'bh'
+    assert irish_stem("ngaeilge") == "gaeilge"
+    assert irish_stem("bpobal") == "pobal"
+    assert irish_stem("tsráid") == "sráid"
+    assert irish_stem("dtír") == "tír"
+    # lenition
+    assert irish_stem("bhord") == "bord"
+    assert irish_stem("chara") == "cara"
+    assert irish_stem("dhuine") == "duine"
+    assert irish_stem("fhiacail") == "fiacail"
+    assert irish_stem("ghairdín") == "gairdín"
+    assert irish_stem("mháthair") == "máthair"
+    assert irish_stem("phost") == "post"
+    assert irish_stem("shúil") == "súil"
+    assert irish_stem("theach") == "teach"
+    # no-ops
+    assert irish_stem("athair") == "athair"
+    assert irish_stem("book") == "book"
+
+    # IrishLowerCaseFilter prothesis fires on ORIGINAL case only
+    assert analyze("nAthair", "en_ie") == ["athair"]
+    assert analyze("tSeachtain", "en_ie") == ["seachtain"]
+    # prefix-only table: lowercase 'a' is no prothesis trigger and no
+    # initial_morph row matches "na...", so the word passes through
+    assert analyze("nathair", "en_ie") == ["nathair"]
+    # raw-hyphen form: strand dropped by the HYPHENATIONS stop set
+    assert analyze("n-athair", "en_ie") == ["athair"]
+    # elision split: article token folded, body hits the fh row
+    assert analyze("d'fhiacail", "en_ie") == ["fiacail"]
+    # ENGLISH stop set, and English text takes the Irish mutations
+    # exactly like Lucene's IrishAnalyzer(EnStopwords) does
+    assert analyze("the new book", "en_ie") == ["new", "book"]
+    assert analyze("the ship in the church", "en_ie") == ["sip", "curch"]
+    # phrase positions: a dropped strand consumes a position (StopFilter
+    # position increments), prothesis does not (one Lucene token)
+    toks, pos = analyze_positions("the n-athair nAthair", "en_ie")
+    assert toks == ["athair", "athair"]
+    assert pos == [2, 3]
+
+
+def test_irish_block_identity():
+    """analyze_block must stay token-identical to per-doc analyze for
+    the en_ie branch (the vectorized build path's invariant)."""
+    from miru_spark.analyzer import analyze, analyze_block
+
+    docs = [
+        "An bhfuil Gaeilge agat",
+        "i mBaile Átha Cliath",
+        "the new book and d'fhiacail",
+        "nAthair n-athair nathair",
+        "",
+    ]
+    doc_idx, term_ids, term_dict, doc_lens = analyze_block(docs, "en_ie")
+    terms = term_dict.to_pylist()
+    got = [[] for _ in docs]
+    for d, t in zip(doc_idx, term_ids):
+        got[d].append(terms[t])
+    for i, d in enumerate(docs):
+        want = analyze(d, "en_ie")
+        assert got[i] == want, (d, got[i], want)
+        assert doc_lens[i] == len(want)
