@@ -2399,8 +2399,63 @@ def _resolve_locale(locale: str | None) -> str:
     return base
 
 
+_ASCII_TOKEN_LUT = None
+
+
+def _ascii_token_lut():
+    """256-entry bool LUT: is this byte a token byte after lowering?
+
+    Valid ONLY for pure-ASCII text: every byte >= 0x80 is left False,
+    but callers must gate on `pc.string_is_ascii` first (a non-ASCII
+    token codepoint like 'ü' would otherwise be split)."""
+    global _ASCII_TOKEN_LUT
+    if _ASCII_TOKEN_LUT is None:
+        import numpy as np
+
+        lut = np.zeros(256, dtype=bool)
+        lut[np.frombuffer(b"0123456789_abcdefghijklmnopqrstuvwxyz", np.uint8)] = True
+        _ASCII_TOKEN_LUT = lut
+    return _ASCII_TOKEN_LUT
+
+
+def _ascii_tokenize_block(arr):
+    """C++-side `standard_tokenize` for a block of pure-ASCII docs.
+
+    ascii_lower (byte-identical to str.lower() on ASCII -- no Unicode
+    special-casing exists below 0x80), then ONE vectorized pass blanks
+    every separator byte to a space and Arrow's non-regex split_pattern
+    cuts tokens. Empty strings (separator runs, doc edges) remain in
+    the flat output -- callers drop them at the unique-remap stage.
+
+    Returns (flat tokens incl. empties: pa.LargeStringArray,
+             per-doc token counts incl. empties: int64 ndarray)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    low = pc.ascii_lower(arr)
+    if isinstance(low, pa.ChunkedArray):
+        low = low.combine_chunks()
+    n = len(low)
+    bufs = low.buffers()
+    off_raw = np.frombuffer(
+        bufs[1], dtype=np.int64, count=n + 1, offset=low.offset * 8
+    )
+    lo, hi = int(off_raw[0]), int(off_raw[-1])
+    data = np.frombuffer(bufs[2], dtype=np.uint8, count=hi)[lo:hi].copy()
+    data[~_ascii_token_lut()[data]] = 0x20
+    spaced = pa.LargeStringArray.from_buffers(
+        n,
+        pa.py_buffer((off_raw - lo).tobytes()),
+        pa.py_buffer(data.tobytes()),
+    )
+    lists = pc.split_pattern(spaced, pattern=" ")
+    counts = pc.list_value_length(lists).to_numpy().astype(np.int64)
+    return pc.list_flatten(lists), counts
+
+
 def analyze_block(
-    texts: list, locale: str | None = None, use_stopwords: bool = True
+    texts, locale: str | None = None, use_stopwords: bool = True
 ):
     """Vectorized `analyze` over a batch of same-locale texts.
 
@@ -2409,13 +2464,21 @@ def analyze_block(
     per DISTINCT raw token instead of once per occurrence: tokens are
     Arrow-dictionary-encoded (C++ hash), the small unique set is
     stopped/stemmed in Python, and the per-occurrence mapping is a NumPy
-    take. On web text (~100x token repetition within a worker slice)
-    this removes ~all per-token Python from the index build's hot path.
+    take. Pure-ASCII docs additionally tokenize without ANY per-doc or
+    per-token Python (`_ascii_tokenize_block`: ascii_lower + one LUT
+    blanking pass + Arrow split); non-ASCII docs in the same batch fall
+    back to the per-doc regex path and merge into the same id space. On
+    web text (~100x token repetition within a worker slice) this removes
+    ~all per-token Python from the index build's hot path.
+
+    `texts` is a list[str] OR a pyarrow string array (the index worker
+    passes its Arrow column slice straight through, skipping to_pylist).
 
     Returns (doc_idx, term_ids, term_dict, doc_lens):
       doc_idx  -- int64 array, one entry per KEPT token occurrence,
                   index into `texts` (occurrences grouped by doc,
-                  original stream order within a doc)
+                  original stream order within a doc; ascii and
+                  non-ascii docs each grouped, ascii block first)
       term_ids -- int32 array aligned with doc_idx, ids into term_dict
                   (post-stem canonical terms; distinct raw tokens that
                   stem to one term share one id)
@@ -2431,58 +2494,117 @@ def analyze_block(
     base = _resolve_locale(locale)
     spec = _LOCALE_ANALYZERS.get(base)
 
-    flat: list[str] = []
-    counts = np.zeros(n_docs, dtype=np.int64)
-    if base == "th":
-        for i, t in enumerate(texts):
-            toks = [
-                s
-                for raw in standard_tokenize(t)
-                for s in thai_segment(raw)
-            ]
-            counts[i] = len(toks)
-            flat.extend(toks)
-    elif base == "en_ie":
-        for i, t in enumerate(texts):
-            toks = irish_pretokenize(t)
-            counts[i] = len(toks)
-            flat.extend(toks)
-    else:
-        for i, t in enumerate(texts):
-            toks = standard_tokenize(t)
-            counts[i] = len(toks)
-            flat.extend(toks)
+    arrow_in = isinstance(texts, (pa.Array, pa.ChunkedArray))
+    enc = None
+    has_empties = False
 
-    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
-    if not flat:
-        return (
-            doc_idx,
-            np.empty(0, dtype=np.int32),
-            pa.array([], type=pa.string()),
-            np.zeros(n_docs, dtype=np.int64),
-        )
-    enc = pa.array(flat, type=pa.string()).dictionary_encode()
+    if base not in ("th", "en_ie") and n_docs:
+        # Arrow fast path (every locale whose pretokenizer is the plain
+        # standard_tokenize): ASCII docs never touch per-doc Python
+        arr = texts
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        if not arrow_in:
+            arr = pa.array(
+                ["" if t is None else t for t in texts],
+                type=pa.large_string(),
+            )
+        elif arr.null_count:
+            arr = pc.fill_null(arr, "")
+        if not pa.types.is_large_string(arr.type):
+            arr = arr.cast(pa.large_string())
+        ascii_np = pc.string_is_ascii(arr).to_numpy(zero_copy_only=False)
+        if ascii_np.all():
+            flat_arr, f_counts = _ascii_tokenize_block(arr)
+            doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), f_counts)
+        else:
+            a_idx = np.flatnonzero(ascii_np)
+            na_idx = np.flatnonzero(~ascii_np)
+            if len(a_idx):
+                fa, fc = _ascii_tokenize_block(arr.take(pa.array(a_idx)))
+            else:
+                fa = pa.array([], type=pa.large_string())
+                fc = np.zeros(0, dtype=np.int64)
+            py_flat: list[str] = []
+            py_counts = np.zeros(len(na_idx), dtype=np.int64)
+            for j, t in enumerate(arr.take(pa.array(na_idx)).to_pylist()):
+                toks = standard_tokenize(t)
+                py_counts[j] = len(toks)
+                py_flat.extend(toks)
+            flat_arr = pa.concat_arrays(
+                [fa, pa.array(py_flat, type=pa.large_string())]
+            )
+            doc_idx = np.concatenate(
+                [np.repeat(a_idx, fc), np.repeat(na_idx, py_counts)]
+            )
+        if not len(flat_arr):
+            return (
+                doc_idx[:0],
+                np.empty(0, dtype=np.int32),
+                pa.array([], type=pa.string()),
+                np.zeros(n_docs, dtype=np.int64),
+            )
+        enc = flat_arr.dictionary_encode()
+        has_empties = True  # separator runs/doc edges leave "" tokens
+        counts = None  # doc_lens computed by bincount below
+
+    if enc is None:
+        # per-doc Python pretokenizers (th segmentation, Irish initial
+        # mutations) and the empty-batch edge
+        texts_list = texts.to_pylist() if arrow_in else texts
+        flat: list[str] = []
+        counts = np.zeros(n_docs, dtype=np.int64)
+        if base == "th":
+            for i, t in enumerate(texts_list):
+                toks = [
+                    s
+                    for raw in standard_tokenize(t)
+                    for s in thai_segment(raw)
+                ]
+                counts[i] = len(toks)
+                flat.extend(toks)
+        elif base == "en_ie":
+            for i, t in enumerate(texts_list):
+                toks = irish_pretokenize(t)
+                counts[i] = len(toks)
+                flat.extend(toks)
+        else:
+            for i, t in enumerate(texts_list):
+                toks = standard_tokenize(t)
+                counts[i] = len(toks)
+                flat.extend(toks)
+        doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+        if not flat:
+            return (
+                doc_idx,
+                np.empty(0, dtype=np.int32),
+                pa.array([], type=pa.string()),
+                np.zeros(n_docs, dtype=np.int64),
+            )
+        enc = pa.array(flat, type=pa.string()).dictionary_encode()
+
     raw_ids = enc.indices.to_numpy().astype(np.int32, copy=False)
     uniq = enc.dictionary.to_pylist()
 
-    if spec is None:
+    if spec is None and not has_empties:
         # Standard fallback: no stop, no stem -- raw ids ARE term ids
         return doc_idx, raw_ids, enc.dictionary, counts
 
-    stopwords, stem = spec
+    stopwords, stem = spec if spec is not None else (frozenset(), None)
     if not use_stopwords:
         stopwords = frozenset()
     # unique-level stop/stem, then canonicalize stem collisions
     # (distinct raw tokens stemming to one term must share a term id
-    # so per-doc tf counting merges them)
+    # so per-doc tf counting merges them); "" entries from the Arrow
+    # fast path drop here exactly like stopwords
     kept_terms: list[str] = []
     remap = np.empty(len(uniq), dtype=np.int32)
     canon: dict = {}
     for j, u in enumerate(uniq):
-        if u in stopwords:
+        if not u or u in stopwords:
             remap[j] = -1
             continue
-        t = stem(u)
+        t = stem(u) if stem is not None else u
         tid = canon.get(t)
         if tid is None:
             tid = len(kept_terms)

@@ -436,6 +436,7 @@ def _invert_group_flat(
     import pyarrow.compute as pc
 
     ng = len(texts)
+    text_is_arrow = isinstance(texts, (pa.Array, pa.ChunkedArray))
     dl_doc = np.zeros(ng, dtype=np.int64)
     by_loc: dict = {}
     for i, lg in enumerate(langs):
@@ -446,9 +447,13 @@ def _invert_group_flat(
     tf_chunks: list = []
     for lg, idx_list in by_loc.items():
         idx = np.asarray(idx_list, dtype=np.int64)
-        d_i, t_ids, t_dict, dls_grp = analyze_block(
-            [texts[i] for i in idx_list], lg
-        )
+        if text_is_arrow:
+            # keep the doc text Arrow end-to-end: analyze_block's ASCII
+            # fast path never materializes per-doc Python strings
+            sub = texts if len(idx_list) == ng else texts.take(pa.array(idx))
+        else:
+            sub = [texts[i] for i in idx_list]
+        d_i, t_ids, t_dict, dls_grp = analyze_block(sub, lg)
         dl_doc[idx] = dls_grp
         if not len(t_ids):
             continue
@@ -601,7 +606,10 @@ def _make_indexer(
             t_firsts.append(int(did_np[s]))
             t_lasts.append(int(did_np[e - 1]))
             t_blobs.append(encode_varint(gaps))
-            texts = tbl.column("text").chunk(0).slice(s, e - s).to_pylist()
+            # text stays an Arrow slice on the vectorized path (the
+            # positional per-doc path below needs Python strings)
+            text_sl = tbl.column("text").chunk(0).slice(s, e - s)
+            texts = text_sl.to_pylist() if positions else text_sl
             langs = tbl.column("lang").chunk(0).slice(s, e - s).to_pylist()
             urls_g = url_arr.slice(s, e - s).to_pylist()
             azs = tbl.column("authz").chunk(0).slice(s, e - s).to_pylist()

@@ -169,3 +169,86 @@ def test_analyze_block_stem_collision_shares_term_id():
     key = [terms[t] for t in ti]
     assert Counter(key)["run"] == 3  # running/runs/run (ran stems to ran)
     assert dl.tolist() == [4]
+
+
+_MIXED_TEXTS = [
+    "Hello, WORLD! The foo_bar-123 tests... run; quickly (again).",
+    "",
+    "   ",
+    "!!!",
+    "pure ascii lower tokens only",
+    "Straße über Füchse",                      # non-ascii latin
+    "İstanbul ŞEHİR",                          # Python-lower special case
+    "ΑΣ ΟΔΟΣ τέλος",                           # final-sigma context case
+    "ёлка Ёж ПРИВЕТ-мир",                      # cyrillic
+    "emoji 😀 between ASCII words",
+    "tab\tsep\nnewline  double  space",
+    "trailing space ",
+    " leading",
+    "a",
+    None,
+]
+
+
+def test_analyze_block_arrow_input_identity():
+    """pa.Array input (the index worker's path) must be token-identical
+    to list input and to per-doc analyze -- including the ASCII fast
+    path, the mixed ascii/non-ascii hybrid, None/null docs, and the
+    Unicode special-casing traps (İ, final sigma) that force the
+    non-ascii fallback."""
+    for loc in ["en", "de", "ru", "zz", None]:
+        arr = pa.array(_MIXED_TEXTS, type=pa.large_string())
+        di_a, ti_a, td_a, dl_a = analyze_block(arr, loc)
+        td_al = td_a.to_pylist()
+        got = [[] for _ in _MIXED_TEXTS]
+        for dd, tt in zip(di_a, ti_a):
+            got[dd].append(td_al[tt])
+        want = [analyze(t, loc) for t in _MIXED_TEXTS]
+        assert got == want, loc
+        assert dl_a.tolist() == [len(w) for w in want], loc
+        # list input agrees with arrow input term-for-term
+        di_l, ti_l, td_l, dl_l = analyze_block(list(_MIXED_TEXTS), loc)
+        td_ll = td_l.to_pylist()
+        got_l = [[] for _ in _MIXED_TEXTS]
+        for dd, tt in zip(di_l, ti_l):
+            got_l[dd].append(td_ll[tt])
+        assert got_l == got, loc
+        assert dl_l.tolist() == dl_a.tolist(), loc
+
+
+def test_analyze_block_arrow_plain_string_and_chunked():
+    texts = ["running runs ran", "The fox. The dog!"]
+    want = [analyze(t, "en") for t in texts]
+    for arr in [
+        pa.array(texts, type=pa.string()),
+        pa.chunked_array([texts[:1], texts[1:]], type=pa.large_string()),
+    ]:
+        di, ti, td, dl = analyze_block(arr, "en")
+        tdl = td.to_pylist()
+        got = [[] for _ in texts]
+        for dd, tt in zip(di, ti):
+            got[dd].append(tdl[tt])
+        assert got == want
+        assert dl.tolist() == [len(w) for w in want]
+
+
+def test_invert_group_flat_arrow_equals_list():
+    """_invert_group_flat fed the worker's Arrow text slice must emit a
+    RecordBatch byte-identical to the Python-list path."""
+    from miru_spark.index.build import _invert_group_flat
+
+    texts = [t or "" for t in _MIXED_TEXTS] * 3
+    langs = (["en", "de", "ru", "zz", "en"] * len(_MIXED_TEXTS))[: len(texts)]
+    urls = [f"https://s{i % 5}.example/p/{i}" for i in range(len(texts))]
+    azs = [None] * len(texts)
+    flds = [None] * len(texts)
+    did = np.arange(len(texts), dtype=np.int64)
+    b_list, dl_list = _invert_group_flat(
+        3, 1, did, texts, langs, urls, azs, flds, None
+    )
+    b_arrow, dl_arrow = _invert_group_flat(
+        3, 1, did, pa.array(texts, type=pa.large_string()),
+        langs, urls, azs, flds, None,
+    )
+    assert dl_list == dl_arrow
+    assert b_list.equals(b_arrow)
