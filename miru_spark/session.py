@@ -16,10 +16,15 @@ from pyspark.sql import SparkSession
 
 
 def package_zip() -> str:
-    """Zip the miru_spark package for --py-files / addPyFile shipping."""
+    """Zip the miru_spark package for --py-files / addPyFile shipping.
+
+    Written to a process-unique temp file and atomically renamed into
+    place: concurrent driver processes (reader-replica stress, parallel
+    jobs on one box) must never observe a half-written zip."""
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     out = os.path.join(tempfile.gettempdir(), "miru_spark_pyfiles.zip")
-    with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as zf:
+    tmp = f"{out}.{os.getpid()}.tmp"
+    with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
         for root, _dirs, files in os.walk(pkg_dir):
             if "__pycache__" in root:
                 continue
@@ -28,6 +33,7 @@ def package_zip() -> str:
                     full = os.path.join(root, fn)
                     rel = os.path.relpath(full, os.path.dirname(pkg_dir))
                     zf.write(full, rel)
+    os.replace(tmp, out)
     return out
 
 

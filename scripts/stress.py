@@ -10,6 +10,17 @@ serving-node path (`search_collect`, zero Spark jobs per eligible query).
     STRESS_THREADS=8 STRESS_SECONDS=20 python scripts/stress.py
 
 Prints one JSON line per thread level.
+
+STRESS_PROCS=N adds process-level scale-out: N child processes (each
+its own JVM + SearchEngine over the SAME read-only index directory —
+the miru reader-replica shape, N readers serving one replicated
+snapshot) start at a shared barrier timestamp and stress concurrently;
+the parent sums their per-level qps. This is the axis the reference
+scales query throughput on (add reader hosts, not threads —
+MiruClusterClient replica sets), evidenced here because one Python
+process is GIL-bound past ~8 threads.
+
+    STRESS_PROCS=4 STRESS_THREADS=8 python scripts/stress.py
 """
 
 from __future__ import annotations
@@ -48,11 +59,69 @@ def _pct(sorted_ms: list[float], p: float) -> float:
     return round(sorted_ms[i], 2)
 
 
+def _parent_multiproc(procs: int) -> None:
+    """Spawn `procs` stress children over the same index dir, aligned on
+    a start barrier, and sum per-level qps. Requires the index to exist
+    (built below on first run) so children never race the build."""
+    import subprocess
+
+    barrier_s = float(os.environ.get("STRESS_BARRIER_S", "60"))
+    start_at = time.time() + barrier_s
+    env = dict(
+        os.environ,
+        STRESS_CHILD="1",
+        STRESS_START_AT=f"{start_at:.3f}",
+        # split the box's cores across children, as replica hosts would
+        SPARK_GRAFT_CPUS=str(max(2, CPUS // procs)),
+    )
+    errs = [
+        open(f"/tmp/stress_child_{i}.err", "w") for i in range(procs)
+    ]
+    kids = [
+        subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, stdout=subprocess.PIPE, stderr=errs[i],
+            text=True,
+        )
+        for i in range(procs)
+    ]
+    per_kid = [
+        [json.loads(ln) for ln in (k.communicate()[0] or "").splitlines()
+         if ln.startswith("{")]
+        for k in kids
+    ]
+    for e in errs:
+        e.close()
+    for i, rows in enumerate(per_kid):
+        assert rows, (
+            f"stress child {i} produced no output "
+            f"(see /tmp/stress_child_{i}.err)"
+        )
+    for lvl in range(len(per_kid[0])):
+        rows = [k[lvl] for k in per_kid]
+        agg = {
+            "procs": procs,
+            "threads_per_proc": rows[0]["threads"],
+            "total_threads": sum(r["threads"] for r in rows),
+            "qps": round(sum(r["qps"] for r in rows), 1),
+            "per_proc_qps": [r["qps"] for r in rows],
+            "p50_ms": round(
+                sorted(r["p50_ms"] for r in rows)[len(rows) // 2], 2
+            ),
+            "worst_p99_ms": max(r["p99_ms"] for r in rows),
+            "late_start": any(r.get("late_start") for r in rows),
+        }
+        print(json.dumps(agg), flush=True)
+
+
 def main() -> None:
     from miru_spark.index.build import build_index
     from miru_spark.query import SearchEngine
     from miru_spark.session import get_spark
     from miru_spark.webtext import webtext_df
+
+    procs = int(os.environ.get("STRESS_PROCS", "1"))
+    is_child = os.environ.get("STRESS_CHILD") == "1"
 
     spark = get_spark(
         app_name="stress", master=f"local[{CPUS}]", shuffle_partitions=32
@@ -68,6 +137,11 @@ def main() -> None:
             partition_seconds=14400, block_span=4096,
             shuffle_partitions=32,
         )
+    if procs > 1 and not is_child:
+        spark.stop()
+        _parent_multiproc(procs)
+        return
+
     eng = SearchEngine(spark, INDEX_DIR)
     for q in QUERIES:  # warm the postings LRU + row-group catalog
         rows = eng.search_collect(q, k=10)
@@ -87,6 +161,16 @@ def main() -> None:
         ]
         for fn in ops[len(QUERIES):]:
             fn()  # warm the facet postings + time-array caches
+
+    late_start = False
+    start_at = float(os.environ.get("STRESS_START_AT", "0") or 0)
+    if is_child and start_at:
+        # all replicas warmed; stress the same wall-clock window so the
+        # parent's qps sum is a true concurrent-throughput reading
+        delay = start_at - time.time()
+        late_start = delay < 0
+        if delay > 0:
+            time.sleep(delay)
 
     for threads in LEVELS:
         lat_ms: list[float] = []
@@ -119,6 +203,7 @@ def main() -> None:
             "p95_ms": _pct(lat_ms, 0.95),
             "p99_ms": _pct(lat_ms, 0.99),
             "p999_ms": _pct(lat_ms, 0.999),
+            **({"late_start": True} if late_start else {}),
         }), flush=True)
 
     eng.close()

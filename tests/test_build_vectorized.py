@@ -252,3 +252,34 @@ def test_invert_group_flat_arrow_equals_list():
     )
     assert dl_list == dl_arrow
     assert b_list.equals(b_arrow)
+
+
+def test_analyze_block_fuzz_arrow_vs_perdoc():
+    """Property fuzz: for ANY unicode batch and locale, the Arrow input
+    path must agree with per-doc analyze() token-for-token."""
+    from hypothesis import given, settings, strategies as st
+
+    alphabet = st.sampled_from(
+        list("abcXYZ 019_.,!-\t\n") + ["ß", "ü", "İ", "ı", "Σ", "ς", "ж",
+                                       "Я", "ά", "ไ", "ท", "ย", "😀", "中",
+                                       "é"]
+    )
+    texts_s = st.lists(
+        st.text(alphabet=alphabet, max_size=40), min_size=0, max_size=12
+    )
+    locales = st.sampled_from(["en", "de", "ru", "gr", "tr", "zz", None])
+
+    @settings(max_examples=120, deadline=None)
+    @given(texts=texts_s, loc=locales)
+    def run(texts, loc):
+        arr = pa.array(texts, type=pa.large_string())
+        di, ti, td, dl = analyze_block(arr, loc)
+        tdl = td.to_pylist()
+        got = [[] for _ in texts]
+        for dd, tt in zip(di, ti):
+            got[dd].append(tdl[tt])
+        want = [analyze(t, loc) for t in texts]
+        assert got == want
+        assert dl.tolist() == [len(w) for w in want]
+
+    run()
