@@ -53,3 +53,34 @@ def test_zip_imports_standalone():
     )
     assert res.returncode == 0, res.stderr
     assert zpath in res.stdout
+
+
+def test_package_zip_concurrent_writers():
+    """Concurrent driver processes rebuild the shared py-files zip; no
+    reader may ever observe a half-written archive (the pre-r4 race:
+    in-place ZipFile write). Hammer it from 6 processes while checking
+    integrity from the parent."""
+    import subprocess
+    import sys
+    import zipfile
+
+    from miru_spark.session import package_zip
+
+    code = (
+        "import sys; sys.path.insert(0, %r); "
+        "from miru_spark.session import package_zip; "
+        "[package_zip() for _ in range(5)]"
+        % os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    procs = [
+        subprocess.Popen([sys.executable, "-c", code]) for _ in range(6)
+    ]
+    out = package_zip()
+    for _ in range(40):
+        assert zipfile.is_zipfile(out)
+        with zipfile.ZipFile(out) as zf:
+            names = zf.namelist()
+            assert any(n.endswith("session.py") for n in names)
+            assert zf.testzip() is None
+    for p in procs:
+        assert p.wait() == 0
