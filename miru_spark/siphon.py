@@ -15,6 +15,18 @@ transforms, zero per-row Python):
   reference schema's term-typed fields (`EDGE_FIELDS`); `id` and
   `latency` stay store-only like its nonIndexed field definitions.
 
+* Syslog intake -- the miru-syslog-deployable listener that parses
+  raw "date host app[pid]: message" lines into MiruLogEvent rows and
+  pumps them at the stumptown intake (MiruSyslogIntakeService.java,
+  SyslogEvent.java:49-133). Here: `parse_syslog` reproduces the
+  reference's two accepted date shapes (BSD "MMM d(d) HH:mm:ss" with
+  the current year implied, and ISO8601 with micros + zone offset),
+  the host token override, the app[pid] split, and the fixed INFO
+  level -- all as JVM-side regexp/to_timestamp expressions -- and
+  emits the MiruLogEvent column shape `log_documents` consumes.
+  Unparsable lines are dropped exactly where the reference returns
+  null (SyslogEvent.java:90-93).
+
 * Log mill -- the stumptown intake that turns MiruLogEvent rows into
   activities under the stumptown schema with firstNonNull("unknown")
   defaults and a lowercase [^a-zA-Z0-9']+ message split
@@ -43,6 +55,7 @@ __all__ = [
     "LOG_FIELDS",
     "EDGE_SCHEMA",
     "parse_edges",
+    "parse_syslog",
     "edge_documents",
     "log_documents",
     "level_counts",
@@ -104,6 +117,134 @@ def parse_edges(
     if id_col is not None:
         out = out.withColumn("id", F.col(id_col).cast("long"))
     return out.drop("_edge", value_col)
+
+
+# MiruLogEvent property shape (miru-logappender/.../MiruLogEvent.java)
+# -- what parse_syslog emits and log_documents consumes.
+SYSLOG_EVENT_COLUMNS = [
+    "datacenter", "cluster", "host", "service", "instance", "version",
+    "level", "threadName", "loggerName", "methodName", "lineNumber",
+    "message", "timestamp", "exceptionClass", "thrownStackTrace",
+]
+
+# token split at the FIRST space: group 1 = head, group 2 = tail
+_SP_RE = r"^([^ ]*) (.*)$"
+
+
+def parse_syslog(
+    df: DataFrame,
+    line_col: str = "value",
+    addr_col: str | None = None,
+    year: int | None = None,
+) -> DataFrame:
+    """Parse raw syslog lines into MiruLogEvent rows (SyslogEvent.java:
+    49-133), entirely JVM-side; compose with `log_documents` to index.
+
+    Accepted shapes (the reference's two date branches, then
+    `host app[pid]: message`):
+
+      Nov 17 23:23:49 e1 etcd2[889]: compacted raft log at 95010
+      Nov 5 23:23:49 e1 systemd[1]: Time has been changed
+      2016-11-17T16:51:26.767584-08:00 host /usr/sbin/gmetad[2263]: msg
+
+    Parity choices:
+    - BSD dates carry no year; the reference stamps the CURRENT year
+      (SyslogEvent.java:63-66). Pass `year=` for deterministic replays
+      of archived feeds; default is the session's current year.
+    - lines whose date parses under neither branch are dropped, where
+      the reference returns null and the intake skips the event
+      (SyslogEvent.java:90-93, MiruSyslogIntakeService);
+    - if nothing follows the date, host falls back to the sender
+      address (`addr_col`), the reference's remote-socket fallback
+      (SyslogEvent.java:98-101);
+    - `app[pid]` -> service + instance; a bare `app` (trailing ':'
+      stripped) -> service only; a message with no second token leaves
+      service/instance null (LogMill later defaults them "unknown");
+    - level is fixed INFO and the remainder is the message
+      (SyslogEvent.java:128-130); timestamp is epoch-millis-as-string,
+      the MiruLogEvent wire shape.
+
+    Deviation (documented): the reference parses the ISO fraction with
+    SimpleDateFormat's 'SSSSSS' = literal MILLISECONDS (767584 ms ~=
+    +12.8 min skew); this uses true fraction-of-second semantics."""
+    line = F.col(line_col).cast("string")
+
+    # branch 1: "MMM dd HH:mm:ss " / "MMM d HH:mm:ss " + implied year
+    bsd_re = r"^([A-Za-z]{3} \d{1,2} \d{2}:\d{2}:\d{2}) (.*)$"
+    bsd_date = F.regexp_extract(line, bsd_re, 1)
+    bsd_rest = F.regexp_extract(line, bsd_re, 2)
+    if year is not None:
+        yr = F.lit(str(int(year)))
+    else:
+        yr = F.year(F.current_timestamp()).cast("string")
+    bsd_ts = F.when(
+        bsd_date != "",
+        F.try_to_timestamp(
+            F.concat(bsd_date, F.lit(" "), yr),
+            F.lit("MMM d HH:mm:ss yyyy"),
+        ),
+    )
+
+    # branch 2: first token as ISO8601 with micros + zone offset
+    iso_date = F.regexp_extract(line, _SP_RE, 1)
+    iso_rest = F.regexp_extract(line, _SP_RE, 2)
+    iso_ts = F.when(
+        iso_date != "",
+        F.try_to_timestamp(
+            iso_date, F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+        ),
+    )
+
+    ts = F.coalesce(bsd_ts, iso_ts)
+    rest = F.when(bsd_ts.isNotNull(), bsd_rest).otherwise(iso_rest)
+
+    # host token (or sender address when the date consumed everything)
+    addr = (
+        F.col(addr_col).cast("string")
+        if addr_col is not None
+        else F.lit(None).cast("string")
+    )
+    has_host = rest.contains(" ")
+    host = F.when(
+        has_host, F.trim(F.regexp_extract(rest, _SP_RE, 1))
+    ).otherwise(addr)
+    rest2 = F.when(has_host, F.regexp_extract(rest, _SP_RE, 2)).otherwise(
+        rest
+    )
+
+    # "app[pid]:" / "app:" / "app" token, only when a message follows
+    has_app = rest2.contains(" ")
+    app = F.regexp_replace(F.regexp_extract(rest2, _SP_RE, 1), ":$", "")
+    svc_pfx = F.regexp_extract(app, r"^([^\[]+)\[[^\]]*\]", 1)
+    inst_in = F.regexp_extract(app, r"^[^\[]+\[([^\]]*)\]", 1)
+    bracketed = svc_pfx != ""
+    service = F.when(
+        has_app,
+        F.when(bracketed, F.trim(svc_pfx)).otherwise(F.trim(app)),
+    )
+    instance = F.when(has_app & bracketed, F.trim(inst_in))
+    message = F.when(
+        has_app, F.trim(F.regexp_extract(rest2, _SP_RE, 2))
+    ).otherwise(rest2)
+
+    null_s = F.lit(None).cast("string")
+    return df.select(
+        null_s.alias("datacenter"),
+        null_s.alias("cluster"),
+        host.alias("host"),
+        service.alias("service"),
+        instance.alias("instance"),
+        null_s.alias("version"),
+        F.lit("INFO").alias("level"),
+        null_s.alias("threadName"),
+        null_s.alias("loggerName"),
+        null_s.alias("methodName"),
+        null_s.alias("lineNumber"),
+        message.alias("message"),
+        F.unix_millis(ts).cast("string").alias("timestamp"),
+        null_s.alias("exceptionClass"),
+        F.lit(None).cast("array<string>").alias("thrownStackTrace"),
+    ).where(F.col("timestamp").isNotNull())
 
 
 def _nonempty(c, default="unknown"):

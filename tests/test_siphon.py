@@ -275,3 +275,150 @@ def test_streaming_log_intake_sips_into_index(spark, log_events, tmp_path):
         schema=schema, transform=log_documents,
     )
     assert sum(r["n_docs"] for r in reps3) == 0
+
+
+# ---------------------------------------------------------------------------
+# syslog intake (SyslogEvent.java parse -> MiruLogEvent -> log_documents)
+# ---------------------------------------------------------------------------
+
+SYSLOG_LINES = [
+    # SyslogEventParseTest.testParseFormat1
+    "Nov 21 17:32:09 ip-10-126-5-158 ec2net: [rewrite_aliases] Rewriting aliases of eth0",
+    # the four shapes from the SyslogEvent.build() comment block
+    "Nov 15 21:24:55 localhost kernel: x86/fpu: Supporting XSAVE feature 0x001: 'x87 floating point registers'",
+    "Nov 17 23:23:49 e1 etcd2[889]: compacted raft log at 95010",
+    "Nov 17 23:24:10 e1 systemd[1]: Time has been changed",
+    "2016-11-17T16:51:26.767584-08:00 soa-prime-data1 /usr/sbin/gmetad[2263]: data_thread() got no answer from any [my cluster] datasource",
+    # single-digit day (the dateLength=15 branch)
+    "Nov 5 23:23:49 e1 systemd[1]: Time has been changed",
+    # bare app token without colon: first word becomes the service
+    "Nov 17 23:25:00 e1 standalone message body",
+    # nothing after the host token: service/instance stay null
+    "Nov 17 23:26:00 solo",
+    # unparsable date -> dropped
+    "not a syslog line at all",
+    "",
+]
+
+
+def _syslog_df(spark):
+    return spark.createDataFrame(
+        [(l, "10.0.0.9:514") for l in SYSLOG_LINES],
+        "value string, addr string",
+    )
+
+
+def test_parse_syslog_golden(spark):
+    from datetime import datetime
+    from zoneinfo import ZoneInfo
+
+    from miru_spark.siphon import parse_syslog
+
+    tz = ZoneInfo(spark.conf.get("spark.sql.session.timeZone"))
+    out = parse_syslog(
+        _syslog_df(spark), line_col="value", addr_col="addr", year=2016
+    ).collect()
+    # the two dateless garbage lines are dropped (SyslogEvent null)
+    assert len(out) == len(SYSLOG_LINES) - 2
+    by_msg = {r["message"]: r for r in out}
+
+    r = by_msg["[rewrite_aliases] Rewriting aliases of eth0"]
+    assert (r["host"], r["service"], r["instance"]) == (
+        "ip-10-126-5-158", "ec2net", None,
+    )
+    assert r["level"] == "INFO"
+    want_ms = int(
+        datetime(2016, 11, 21, 17, 32, 9, tzinfo=tz).timestamp() * 1000
+    )
+    assert int(r["timestamp"]) == want_ms
+
+    r = by_msg["compacted raft log at 95010"]
+    assert (r["host"], r["service"], r["instance"]) == (
+        "e1", "etcd2", "889",
+    )
+
+    # ISO branch: exact instant incl. the -08:00 offset and micro->milli
+    r = by_msg[
+        "data_thread() got no answer from any [my cluster] datasource"
+    ]
+    assert (r["host"], r["service"], r["instance"]) == (
+        "soa-prime-data1", "/usr/sbin/gmetad", "2263",
+    )
+    want = datetime.fromisoformat("2016-11-17T16:51:26.767584-08:00")
+    assert int(r["timestamp"]) == int(want.timestamp() * 1000) \
+        or int(r["timestamp"]) == int(want.timestamp()) * 1000 + 767
+
+    # single-digit day parses under the MMM d branch
+    r = [
+        x for x in out
+        if x["message"] == "Time has been changed"
+    ]
+    assert len(r) == 2
+    days = {
+        datetime.fromtimestamp(int(x["timestamp"]) / 1000, tz).day
+        for x in r
+    }
+    assert days == {17, 5}
+
+    # bare app token: first word is the service, rest is the message
+    r = by_msg["message body"]
+    assert (r["host"], r["service"]) == ("e1", "standalone")
+
+    # host-only remainder: host token consumed, service null
+    r = by_msg["solo"]
+    assert r["host"] == "10.0.0.9:514"  # address fallback
+    assert r["service"] is None and r["instance"] is None
+
+
+def test_parse_syslog_year_default_is_current(spark):
+    from datetime import datetime
+    from zoneinfo import ZoneInfo
+
+    from miru_spark.siphon import parse_syslog
+
+    tz = ZoneInfo(spark.conf.get("spark.sql.session.timeZone"))
+    out = parse_syslog(
+        _syslog_df(spark).limit(1), line_col="value"
+    ).collect()
+    got = datetime.fromtimestamp(int(out[0]["timestamp"]) / 1000, tz)
+    assert got.year == datetime.now(tz).year
+
+
+def test_syslog_to_stumptown_engine(spark, tmp_path):
+    """The full miru-syslog pipeline: raw lines -> parse_syslog ->
+    log_documents -> index -> stumptown page, like the deployable's
+    listener pumping MiruLogEvents at the stumptown intake."""
+    from miru_spark.siphon import parse_syslog
+
+    lines = [
+        (
+            f"Nov 17 23:{23 + i // 60:02d}:{i % 60:02d} "
+            f"h{i % 3} svc{i % 2}[{100 + i}]: "
+            f"{'request failed' if i % 4 == 3 else 'request ok'} b{i}",
+            "10.0.0.1:514",
+        )
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(lines, "value string, addr string")
+    docs = log_documents(
+        parse_syslog(df, line_col="value", addr_col="addr", year=2016)
+    )
+    d = str(tmp_path / "syslog_idx")
+    build_index(
+        spark, docs, d,
+        partition_seconds=3600, block_span=64,
+        extra_fields=LOG_FIELDS,
+    )
+    eng = SearchEngine(spark, d)
+    try:
+        assert eng.count("request") == 40
+        n_fail = sum(1 for i in range(40) if i % 4 == 3)
+        assert eng.count("failed") == n_fail
+        assert eng.count("failed AND service:svc1") == sum(
+            1 for i in range(40) if i % 4 == 3 and i % 2 == 1
+        )
+        sp = eng.stumptown("failed", bucket_seconds=3600, k=3)
+        assert sum(c for _, c in sp["waveform"]) == n_fail
+        assert len(sp["results"]) == 3
+    finally:
+        eng.close()
