@@ -27,6 +27,22 @@ transforms, zero per-row Python):
   Unparsable lines are dropped exactly where the reference returns
   null (SyslogEvent.java:90-93).
 
+* Anomaly metric intake -- the miru-anomaly-deployable's SampleTrawl
+  mill (SampleTrawl.java:32-86): AnomalyMetric rows (miru-metric-
+  sampler/.../AnomalyMetric.java) become activities whose numeric value
+  is BIT-SLICED into a multi-term `bits` field (a sign term "+"/"-"
+  plus one term per set bit of |value|), so per-bucket SUMS reconstruct
+  from per-bit cardinalities -- the reference's bitmap-only rendering
+  of metric aggregation (Anomaly.java metricingSum). Here:
+  `parse_metrics` (from_json), `anomaly_documents` (the trawl as pure
+  JVM expressions -- 63 static bit tests, no UDF), `trawled_counts`
+  (the per-ServiceId ingressed tally), and `anomaly_sum` (the
+  metricingSum readback: one waveform_many batch per sign over the
+  bits terms, weighted 2^i). The engine's native `metrics()` over
+  order-preserving numeric terms answers the same question for schema
+  numeric fields; this family exists for reference-shape parity where
+  the VALUE arrives pre-sliced.
+
 * Log mill -- the stumptown intake that turns MiruLogEvent rows into
   activities under the stumptown schema with firstNonNull("unknown")
   defaults and a lowercase [^a-zA-Z0-9']+ message split
@@ -56,9 +72,15 @@ __all__ = [
     "EDGE_SCHEMA",
     "parse_edges",
     "parse_syslog",
+    "parse_metrics",
     "edge_documents",
     "log_documents",
+    "anomaly_documents",
     "level_counts",
+    "trawled_counts",
+    "anomaly_sum",
+    "ANOMALY_FIELDS",
+    "METRIC_SCHEMA",
 ]
 
 # the term-indexed columns of the reference edgeSiphon schema
@@ -359,6 +381,206 @@ def log_documents(events: DataFrame) -> DataFrame:
         F.lit("und").alias("lang"),
         F.create_map(*pairs).alias("fields"),
     )
+
+
+# the term-indexed anomaly schema dimensions (SampleTrawl.java:70-83;
+# AnomalySchemaConstants binds the same names)
+ANOMALY_FIELDS = [
+    "datacenter", "cluster", "host", "service", "instance", "version",
+    "sampler", "metric", "bits", "tags", "type", "tenant",
+]
+
+# AnomalyMetric.java:6-19 -- the sampler's JSON wire shape
+METRIC_SCHEMA = T.StructType(
+    [
+        T.StructField("datacenter", T.StringType()),
+        T.StructField("cluster", T.StringType()),
+        T.StructField("host", T.StringType()),
+        T.StructField("service", T.StringType()),
+        T.StructField("instance", T.StringType()),
+        T.StructField("version", T.StringType()),
+        T.StructField("tenant", T.StringType()),
+        T.StructField("sampler", T.StringType()),
+        T.StructField("path", T.ArrayType(T.StringType())),
+        T.StructField("type", T.StringType()),
+        T.StructField("value", T.LongType()),
+        T.StructField("timestamp", T.StringType()),
+    ]
+)
+
+_LONG_MIN = -(1 << 63)
+_LONG_MAX = (1 << 63) - 1
+
+
+def parse_metrics(df: DataFrame, value_col: str = "value") -> DataFrame:
+    """Decode a JSON metric feed into typed AnomalyMetric rows (the
+    intake's JacksonSerializedDeliveryCallback, MiruAnomalyMain.java
+    :169-175)."""
+    v = F.col(value_col).cast("string")
+    return df.withColumn("_m", F.from_json(v, METRIC_SCHEMA)).select(
+        "_m.*"
+    )
+
+
+def anomaly_documents(metrics: DataFrame) -> DataFrame:
+    """SampleTrawl.trawl as a projection: AnomalyMetric rows -> the
+    document shape, indexable via
+    `build_index(..., extra_fields=ANOMALY_FIELDS)`.
+
+    Parity choices (SampleTrawl.java:32-86):
+    - bits = sign term ("+" / "-") + one term per set bit of |value|;
+      Long.MIN_VALUE magnitude clamps to Long.MAX_VALUE ("lossy, but
+      sign flip would remain negative", line 54-57). Bit 63 of the
+      magnitude is always clear, so 63 static bit tests cover the
+      reference's 0..63 loop;
+    - metric = path joined by '>'; tags = the path elements with
+      null/empty entries dropped (sanitize:87-95);
+    - every dimension gets the firstNonNull "unknown" default;
+    - url is deterministic per (service, metric, ts, value) so replays
+      stay idempotent (the reference mints an OrderId);
+    - the raw value rides along store-only for oracle checks, like the
+      nonIndexed fields of the other siphons."""
+    v = F.col("value").cast("long")
+    neg = v < 0
+    mag = (
+        F.when(v == F.lit(_LONG_MIN), F.lit(_LONG_MAX))
+        .when(neg, -v)
+        .otherwise(v)
+    )
+    sign = F.when(neg, F.lit("-")).otherwise(F.lit("+"))
+    bit_terms = [
+        F.when(mag.bitwiseAND(F.lit(1 << i)) != 0, F.lit(str(i)))
+        for i in range(63)
+    ]
+    bits = F.concat(
+        F.array(sign),
+        F.filter(F.array(*bit_terms), lambda x: x.isNotNull()),
+    )
+    path = F.coalesce(F.col("path"), F.array().cast("array<string>"))
+    tags = F.filter(
+        path, lambda x: x.isNotNull() & (F.length(x) > 0)
+    )
+    metric_name = F.array_join(path, ">")
+    ts_str = F.col("timestamp").cast("string")
+    ts = F.when(
+        ts_str.rlike("^[0-9]+$"),
+        F.timestamp_millis(ts_str.cast("long")),
+    ).otherwise(F.to_timestamp(ts_str))
+
+    pairs = []
+    for f in ANOMALY_FIELDS:
+        pairs.append(F.lit(f))
+        if f == "bits":
+            pairs.append(bits)
+        elif f == "tags":
+            pairs.append(tags)
+        elif f == "metric":
+            pairs.append(
+                F.array(
+                    F.when(metric_name == "", F.lit("unknown")).otherwise(
+                        metric_name
+                    )
+                )
+            )
+        else:
+            pairs.append(F.array(_nonempty(f)))
+    # timestamp is an indexed term in the reference activity too
+    pairs.extend([F.lit("timestamp"), F.array(_nonempty("timestamp"))])
+
+    return metrics.select(
+        F.format_string(
+            "anomaly://%s/%s/%s/%s",
+            _nonempty("service"),
+            F.when(metric_name == "", F.lit("unknown")).otherwise(
+                metric_name
+            ),
+            ts_str,
+            v.cast("string"),
+        ).alias("url"),
+        ts.alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        F.regexp_replace(
+            F.coalesce(metric_name, F.lit("")), ">", " "
+        ).alias("text"),
+        F.lit("und").alias("lang"),
+        F.create_map(*pairs).alias("fields"),
+        v.alias("metric_value"),
+    )
+
+
+def trawled_counts(metrics: DataFrame) -> DataFrame:
+    """SampleTrawl's `trawled` table (per-ServiceId ingressed tally,
+    SampleTrawl.java:25,41-46) as one partial-aggregating groupBy."""
+    sid = [
+        _nonempty(c).alias(c)
+        for c in (
+            "datacenter", "cluster", "host", "service", "instance",
+            "version",
+        )
+    ]
+    return (
+        metrics.select(*sid)
+        .groupBy(
+            "datacenter", "cluster", "host", "service", "instance",
+            "version",
+        )
+        .agg(F.count("*").alias("ingressed"))
+    )
+
+
+def anomaly_sum(
+    engine,
+    query: str | None = None,
+    bucket_seconds: int = 86400,
+    time_range_us: tuple[int, int] | None = None,
+    constraints=None,
+    authz=None,
+    segments: int | None = None,
+) -> list[tuple]:
+    """metricingSum over a bit-sliced `bits` field (Anomaly.java:
+    Metrics.metricingSum's per-bit waveform reconstruction): per time
+    bucket, sum = SUM over i of 2^i x (|matches AND bits:+ AND bits:i|
+    - |matches AND bits:- AND bits:i|). Runs as TWO waveform_many
+    batches (one per sign constraint, 63 keyed bit filters each) -- the
+    bits postings decode once per batch and share one time-index pass,
+    exactly like any other facet family. Returns
+    [(bucket_start_us, sum)] ascending, empty buckets absent (dense
+    when `segments` is set, matching waveform's dense mode)."""
+    from .fields import compose
+    from .queryparse import parse_query
+
+    qs = {
+        i: (f"bits:{i}" if query is None else f"bits:{i} AND ({query})")
+        for i in range(63)
+    }
+
+    def sign_tree(sign):
+        t = ("term", compose("bits", sign))
+        if constraints is None:
+            return t
+        ct = (
+            constraints
+            if isinstance(constraints, tuple)
+            else parse_query(constraints)
+        )
+        return ("and", [t, ct])
+
+    out: dict[int, int] = {}
+    for sign, mult in (("+", 1), ("-", -1)):
+        wf = engine.waveform_many(
+            qs,
+            bucket_seconds=bucket_seconds,
+            time_range_us=time_range_us,
+            constraints=sign_tree(sign),
+            authz=authz,
+            segments=segments,
+        )
+        for i, series in wf.items():
+            w = mult * (1 << i)
+            for bucket, count in series:
+                if count or segments:
+                    out[bucket] = out.get(bucket, 0) + w * count
+    return sorted(out.items())
 
 
 def level_counts(events: DataFrame) -> DataFrame:

@@ -422,3 +422,130 @@ def test_syslog_to_stumptown_engine(spark, tmp_path):
         assert len(sp["results"]) == 3
     finally:
         eng.close()
+
+
+# ---------------------------------------------------------------------------
+# anomaly metric intake (SampleTrawl mill -> bits field -> metricingSum)
+# ---------------------------------------------------------------------------
+
+def _metric(i: int) -> dict:
+    vals = [5, -6, 0, 123456789, -987654321, 7, 63, -1]
+    return {
+        "datacenter": "dc1",
+        "cluster": None,  # -> unknown
+        "host": f"h{i % 3}",
+        "service": f"svc{i % 2}",
+        "instance": str(i % 4),
+        "version": "1.0",
+        "tenant": "acme",
+        "sampler": "jvm",
+        "path": ["jvm", "heap", "used"] if i % 2 else ["gc", "", "count"],
+        "type": "gauge",
+        "value": vals[i % len(vals)],
+        "timestamp": str(T0 + (i // 10) * 3600_000 + (i % 10) * 1000),
+    }
+
+
+N_METRICS = 40
+
+
+@pytest.fixture(scope="module")
+def metric_rows(spark):
+    import json as _json
+
+    from miru_spark.siphon import parse_metrics
+
+    raw = spark.createDataFrame(
+        [(_json.dumps(_metric(i)),) for i in range(N_METRICS)],
+        "value string",
+    )
+    return parse_metrics(raw)
+
+
+def test_anomaly_documents_bit_slicing(spark, metric_rows):
+    from miru_spark.siphon import anomaly_documents
+
+    docs = anomaly_documents(metric_rows).collect()
+    assert len(docs) == N_METRICS
+    by_val = {}
+    for d in docs:
+        by_val.setdefault(d["metric_value"], d)
+
+    def want_bits(v):
+        sign = "+" if v >= 0 else "-"
+        mag = (1 << 63) - 1 if v == -(1 << 63) else abs(v)
+        return [sign] + [str(i) for i in range(63) if (mag >> i) & 1]
+
+    for v in (5, -6, 0, 123456789, -987654321, 63, -1):
+        assert list(dict(by_val[v]["fields"])["bits"]) == want_bits(v), v
+    # sanitize drops the empty path element; metric joins with '>'
+    gc = [d for d in docs if d["metric_value"] == 5][0]
+    f = dict(gc["fields"])
+    assert list(f["tags"]) == ["gc", "count"]
+    assert f["metric"] == ["gc>>count"]
+    assert f["cluster"] == ["unknown"]
+    assert gc["text"] == "gc  count"
+
+
+def test_trawled_counts(spark, metric_rows):
+    from miru_spark.siphon import trawled_counts
+
+    got = {
+        (r["host"], r["service"], r["instance"]): r["ingressed"]
+        for r in trawled_counts(metric_rows).collect()
+    }
+    want: Counter = Counter()
+    for i in range(N_METRICS):
+        m = _metric(i)
+        want[(m["host"], m["service"], m["instance"])] += 1
+    assert got == dict(want)
+
+
+def test_anomaly_sum_reconstructs_per_bucket(spark, metric_rows, tmp_path):
+    """metricingSum parity: per-hour sums reconstructed from the bits
+    field equal the brute-force sums of the raw values, overall and
+    under a dimension filter."""
+    from miru_spark.siphon import (
+        ANOMALY_FIELDS,
+        anomaly_documents,
+        anomaly_sum,
+    )
+
+    d = str(tmp_path / "anomaly_idx")
+    build_index(
+        spark, anomaly_documents(metric_rows), d,
+        partition_seconds=3600, block_span=64,
+        extra_fields=ANOMALY_FIELDS,
+    )
+    eng = SearchEngine(spark, d)
+    try:
+        got = dict(anomaly_sum(eng, bucket_seconds=3600))
+        want: Counter = Counter()
+        for i in range(N_METRICS):
+            m = _metric(i)
+            bucket = (int(m["timestamp"]) * 1000 // 3600_000_000) \
+                * 3600_000_000
+            want[bucket] += m["value"]
+        assert got == {k: v for k, v in want.items()}
+
+        # filtered: only svc1's metrics
+        got1 = dict(anomaly_sum(eng, query="service:svc1",
+                                bucket_seconds=3600))
+        want1: Counter = Counter()
+        for i in range(N_METRICS):
+            m = _metric(i)
+            if m["service"] != "svc1":
+                continue
+            bucket = (int(m["timestamp"]) * 1000 // 3600_000_000) \
+                * 3600_000_000
+            want1[bucket] += m["value"]
+        assert got1 == {k: v for k, v in want1.items()}
+
+        # constraints path: same filter via the constraints tree
+        got2 = dict(
+            anomaly_sum(eng, constraints="service:svc1",
+                        bucket_seconds=3600)
+        )
+        assert got2 == got1
+    finally:
+        eng.close()
