@@ -89,6 +89,70 @@ def load_catwalk_model(spark, path: str) -> dict:
     }
 
 
+def _norm_score(v):
+    # (nums, den) -> (nums, den, 1); (nums, den, n_partitions) kept
+    if len(v) == 2:
+        return (tuple(v[0]), int(v[1]), 1)
+    return (tuple(v[0]), int(v[1]), int(v[2]))
+
+
+def merge_catwalk_models(*models) -> tuple[dict, int]:
+    """Merge trained catwalk models -- the catwalk service's
+    cross-partition model assembly (CatwalkModelService.java:481-492
+    merge: numerators add, denominators add, numPartitions add; the
+    getModel gather:260-281 tracks how many partition models each
+    feature merged). A model fresh out of `catwalk_train` covers ONE
+    training scope (num_partitions=1 per tuple); pass either such a
+    dict or a previous `(merged_dict, total)` result to fold further --
+    which is the 100-TB maintenance shape: train ONLY the new time
+    slice, merge into the stored model, never re-scan history (the
+    reference stores one model row per (feature, partition range) and
+    assembles at read for exactly this reason).
+
+    Returns `(merged, total_partitions)`: merged maps key ->
+    (nums, den, num_partitions), total_partitions = how many training
+    scopes contributed overall (getModel's totalNumPartitions)."""
+    out: dict = {}
+    total = 0
+    for m in models:
+        if isinstance(m, tuple):
+            m, t = m
+        else:
+            t = 1
+        total += t
+        for key, v in m.items():
+            nums, den, np_ = _norm_score(v)
+            if key in out:
+                onums, oden, onp = out[key]
+                if len(onums) != len(nums):
+                    raise ValueError(
+                        f"numerator arity mismatch for {key}: "
+                        f"{len(onums)} vs {len(nums)}"
+                    )
+                out[key] = (
+                    tuple(a + b for a, b in zip(onums, nums)),
+                    oden + den,
+                    onp + np_,
+                )
+            else:
+                out[key] = (nums, den, np_)
+    return out, total
+
+
+def deflate_model(model: dict, total_partitions: int) -> dict:
+    """StrutModelCache.convert:200-208 ("magical deflation"): before
+    scoring, each tuple's denominator scales by totalNumPartitions /
+    numPartitions, extrapolating the base rate of tuples that only some
+    training scopes observed. Returns the {key: (nums, den)} shape
+    `strut(model=...)` / `catwalk_train` outputs use (integer floor
+    division, matching the reference's long arithmetic)."""
+    out = {}
+    for key, v in model.items():
+        nums, den, np_ = _norm_score(v)
+        out[key] = (nums, (den * int(total_partitions)) // np_)
+    return out
+
+
 def _decode_value(field: str, term: str):
     v = term.split(FIELD_SEP, 1)[1]
     return decode_num(v) if field in NUMERIC_FIELDS else v

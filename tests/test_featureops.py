@@ -505,3 +505,72 @@ def test_catwalk_model_roundtrips_through_parquet(
         k=7,
     )
     assert fx_engine.strut("parent", FEATS, model=model, k=7) == want
+
+
+def test_catwalk_merge_of_time_slices_matches_full_train(fx_engine):
+    """The catwalk service's read-time model assembly
+    (CatwalkModelService merge): training two disjoint time slices and
+    merging them must reproduce the full-corpus model exactly for every
+    tuple both slices observed, and the deflation step extrapolates the
+    denominators of tuples only one slice observed."""
+    from miru_spark.query.featureops import (
+        deflate_model,
+        merge_catwalk_models,
+    )
+
+    T0 = 1704067200_000_000
+    # 30/120 split: narrow enough that some (user, item) tuples exist
+    # in only one slice (every doc lands in exactly one slice)
+    cut = 30 * 1_000_000
+    nq = ["parent:p3", "parent:p3 OR parent:p5"]
+    full = fx_engine.catwalk_train(FEATS, nq)
+    m1 = fx_engine.catwalk_train(
+        FEATS, nq, time_range_us=(T0, T0 + cut - 1)
+    )
+    m2 = fx_engine.catwalk_train(
+        FEATS, nq, time_range_us=(T0 + cut, T0 + N * 1_000_000)
+    )
+    merged, total = merge_catwalk_models(m1, m2)
+    assert total == 2
+    # raw sums reproduce the full model for every key (each doc is in
+    # exactly one slice)
+    assert {k: v[:2] for k, v in merged.items()} == full
+    # num_partitions bookkeeping: tuples in both slices carry 2
+    both = set(m1) & set(m2)
+    only = set(merged) - both
+    assert both and only  # the corpus exercises both cases
+    assert all(merged[k][2] == 2 for k in both)
+    assert all(merged[k][2] == 1 for k in only)
+
+    # deflation: shared tuples unchanged (den*2//2), single-slice
+    # tuples extrapolate x2 (StrutModelCache.convert:206)
+    defl = deflate_model(merged, total)
+    for k in both:
+        assert defl[k] == full[k]
+    for k in only:
+        assert defl[k][1] == 2 * full[k][1]
+
+    # incremental fold: merging a merged model with a third slice
+    # keeps the bookkeeping additive
+    merged2, total2 = merge_catwalk_models((merged, total), m1)
+    assert total2 == 3
+    some = next(iter(both & set(m1)))
+    assert merged2[some][2] == merged[some][2] + 1
+
+    # the deflated model drives strut exactly like a trained one
+    model = {k: (max(nums), den) for k, (nums, den) in defl.items()}
+    got = fx_engine.strut("parent", FEATS, model=model, k=7, local=True)
+    assert got == fx_engine.strut(
+        "parent", FEATS, model=model, k=7, local=False
+    )
+
+
+def test_catwalk_merge_rejects_arity_mismatch():
+    from miru_spark.query.featureops import merge_catwalk_models
+
+    import pytest as _pytest
+
+    a = {(0, ("x",)): ((1, 2), 5)}
+    b = {(0, ("x",)): ((1,), 5)}
+    with _pytest.raises(ValueError, match="arity"):
+        merge_catwalk_models(a, b)
