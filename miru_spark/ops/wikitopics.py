@@ -230,6 +230,22 @@ def wiki_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ),
         ).alias("fields"),
+        # WikiSchemaConstants' auth dimension ("*:*:*:*" =
+        # public:folderPublic:userPublic:...) through the engine's
+        # first-class authz label index: every 3rd page is public, the
+        # rest readable via a folder grant or the owning user's grant
+        F.when(
+            F.col("doc_id") % 3 == 0, F.array(F.lit("public"))
+        )
+        .otherwise(
+            F.array(
+                F.format_string(
+                    "folder-f%03d", (F.col("doc_id") / 7).cast("long") % 31
+                ),
+                F.format_string("user-u%03d", F.col("doc_id") % 101),
+            )
+        )
+        .alias("authz"),
     )
 
 

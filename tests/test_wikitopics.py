@@ -210,6 +210,30 @@ def test_wiki_schema_fields_queryable(spark, wiki_engine):
     assert a == expect
 
 
+def test_wiki_auth_dimension(wiki_engine):
+    """WikiSchemaConstants' auth field through the engine's first-class
+    authz labels: public pages vs folder/user grants, deny-all default."""
+    eng = wiki_engine
+    pub = [i for i in range(200) if i % 3 == 0]
+    priv = [i for i in range(200) if i % 3 != 0]
+    assert eng.count(None, authz=["public"]) == len(pub)
+    # a user grant sees their own non-public pages (public needs the label)
+    mine = [i for i in priv if i % 101 == 1]
+    assert eng.count(None, authz=["user-u001"]) == len(mine)
+    # folder grant + public grant composes as OR over labels
+    fold = [i for i in priv if (i // 7) % 31 == 2]
+    got = eng.count(None, authz=["public", "folder-f002"])
+    assert got == len(pub) + len(fold)
+    # empty grants = deny all, on both paths
+    assert eng.count(None, authz=[]) == 0
+    assert eng.count(None, authz=[], local=False) == 0
+    # authz composes with graph-field queries identically on both paths
+    q = "verb:created"
+    a = eng.count(q, authz=["public"])
+    assert a == len([i for i in pub if i % 5 != 0])
+    assert eng.count(q, authz=["public"], local=False) == a
+
+
 def test_wiki_verb_edit_ratio(spark, wiki_engine):
     # every 5th doc is an edit (wiki_documents' verb rule)
     n_edit = wiki_engine.count("verb:edited")
