@@ -267,6 +267,166 @@ WHERE round(list_cosine_similarity(a.embedding, b.embedding), 4) >= {_DUP_THRESH
 """
 
 
+# -- IVF (inverted-file) ANN: the other classic scale path ------------------
+
+N_CELLS = 16
+N_PROBE = 4
+
+
+def _ivf_comp(emb):
+    """Integer-quantized components (vec_id, i, qv): the coarse stage
+    runs ENTIRELY in exact integer arithmetic (round(v*1000), like the
+    LSH op) so cell assignment is bit-reproducible across engines --
+    float summation order can flip an argmin for borderline vectors."""
+    return emb.select(
+        "vec_id", F.posexplode("embedding").alias("i", "v")
+    ).withColumn("qv", F.round(F.col("v") * 1000).cast("long"))
+
+
+def _ivf_assign(comp, cents):
+    """Nearest cell per vector by exact integer squared-L2 (FAISS
+    IndexIVFFlat's metric); ties break to the lowest cell id."""
+    d2 = (
+        comp.join(F.broadcast(cents), "i")
+        .groupBy("vec_id", "cell")
+        .agg(
+            F.sum(
+                (F.col("qv") - F.col("c")) * (F.col("qv") - F.col("c"))
+            ).alias("d2")
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cell"))
+    return (
+        d2.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell")
+    )
+
+
+def _ivf_cells(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(vec_id -> cell) assignment + refined integer centroids.
+
+    Seeds are the first N_CELLS vectors; one Lloyd refinement (assign ->
+    integer-mean centroid -> reassign) -- deterministic k-means, the
+    coarse quantizer of an IVF index. At 10^9 vectors this is the same
+    plan: a broadcast of N_CELLS centroids, one map-side-combinable agg
+    per pass, no shuffle wider than (cell, i)."""
+    comp = _ivf_comp(emb)
+    seeds = comp.filter(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").alias("cell"), "i", F.col("qv").alias("c")
+    )
+    a1 = _ivf_assign(comp, seeds)
+    cents = (
+        comp.join(a1, "vec_id")
+        .groupBy("cell", "i")
+        .agg(F.floor(F.avg("qv")).cast("long").alias("c"))
+    )
+    return _ivf_assign(comp, cents), cents
+
+
+def ann_ivf_topk(spark, sf_dir):
+    """IVF top-k: probe the N_PROBE nearest cells per query, exact
+    cosine re-rank inside the probed cells only. Complements
+    `ann_lsh_topk` -- the task brief's other bucketed scale path."""
+    emb = _emb(spark, sf_dir)
+    assign, cents = _ivf_cells(emb)
+    # query -> top-nprobe cells by the same exact integer metric
+    qd2 = (
+        _ivf_comp(emb.filter(F.col("vec_id") < N_QUERIES))
+        .join(F.broadcast(cents), "i")
+        .groupBy("vec_id", "cell")
+        .agg(
+            F.sum(
+                (F.col("qv") - F.col("c")) * (F.col("qv") - F.col("c"))
+            ).alias("d2")
+        )
+    )
+    wq = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cell"))
+    probes = (
+        qd2.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= N_PROBE)
+        .select(F.col("vec_id").alias("qid"), "cell")
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    cand = emb.select(
+        F.col("vec_id").alias("vid"), F.col("embedding").alias("cv")
+    ).join(assign.withColumnRenamed("vec_id", "vid"), "vid")
+    scored = (
+        cand.join(F.broadcast(probes), "cell")
+        .join(F.broadcast(q), "qid")
+        .filter(F.col("vid") != F.col("qid"))
+        .withColumn("cos_r", F.round(_cosine(F.col("qv"), F.col("cv")), 4))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_r"), F.asc("vid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "qid", "vid", F.col("cos_r").alias("cosine"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+_IVF_SQL_PRELUDE = f"""
+comp AS (
+  SELECT vec_id,
+         generate_subscripts(embedding, 1) - 1 AS i,
+         CAST(round(unnest(embedding) * 1000) AS BIGINT) AS qv
+  FROM embeddings
+), seeds AS (
+  SELECT vec_id AS cell, i, qv AS c FROM comp WHERE vec_id < {N_CELLS}
+), d1 AS (
+  SELECT comp.vec_id, seeds.cell, sum((comp.qv - seeds.c) * (comp.qv - seeds.c)) AS d2
+  FROM comp JOIN seeds USING (i) GROUP BY comp.vec_id, seeds.cell
+), a1 AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn
+    FROM d1) WHERE rn = 1
+), cents AS (
+  SELECT a1.cell, comp.i, CAST(floor(avg(comp.qv)) AS BIGINT) AS c
+  FROM comp JOIN a1 USING (vec_id) GROUP BY a1.cell, comp.i
+), d2s AS (
+  SELECT comp.vec_id, cents.cell, sum((comp.qv - cents.c) * (comp.qv - cents.c)) AS d2
+  FROM comp JOIN cents USING (i) GROUP BY comp.vec_id, cents.cell
+), assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn
+    FROM d2s) WHERE rn = 1
+), probes AS (
+  SELECT vec_id AS qid, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn
+    FROM d2s WHERE vec_id < {N_QUERIES}) WHERE rn <= {N_PROBE}
+)"""
+
+
+ANN_IVF_TOPK_SQL = f"""
+WITH {_IVF_SQL_PRELUDE.strip()},
+q AS (
+  SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < {N_QUERIES}
+), scored AS (
+  SELECT q.qid, c.vec_id AS vid,
+         round(list_cosine_similarity(q.qv, c.embedding), 4) AS cos_r
+  FROM embeddings c
+  JOIN assign a ON a.vec_id = c.vec_id
+  JOIN probes p ON p.cell = a.cell
+  JOIN q ON q.qid = p.qid
+  WHERE c.vec_id <> q.qid
+), ranked AS (
+  SELECT qid, vid, cos_r,
+         row_number() OVER (PARTITION BY qid ORDER BY cos_r DESC, vid ASC) AS rank
+  FROM scored
+)
+SELECT qid, vid, cos_r AS cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
 QUERIES = {
     "ann_cosine_topk": (ann_cosine_topk, ANN_COSINE_TOPK_SQL),
     "ann_lsh_topk": (ann_lsh_topk, ANN_LSH_TOPK_SQL),
