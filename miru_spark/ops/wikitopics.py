@@ -250,3 +250,60 @@ def wiki_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 WIKI_EXTRA_FIELDS = ["guid", "type", "userGuid", "folderGuid", "verb"]
+
+WIKI_TOPIC_FIELDS = WIKI_EXTRA_FIELDS + ["topic"]
+
+
+def wiki_documents_with_topics(
+    spark: SparkSession,
+    sf_dir: str,
+    max_phrase_len: int = 4,
+    top_n: int = 3,
+) -> DataFrame:
+    """`wiki_documents` + each page's extracted topics as a `topic`
+    extra field, so the ENGINE serves the wiki suggest/trend surface
+    directly: typeahead = `engine.expand_prefix("topic<US>...")` (a term
+    -dictionary prefix scan, no separate gram table), topic counts =
+    `engine.distincts("topic")`, trending topics =
+    `engine.trending("topic", ...)` -- the WikiMiruGramsAmza store
+    re-expressed as composed index terms, the same consolidation the
+    reference's wiki service gets from querying miru itself.
+
+    One extra broadcast-sized join against the per-doc topic rows; the
+    extraction cost is the same `topics_frame` pass either way.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tps = (
+        topics_frame(docs, max_phrase_len=max_phrase_len, top_n=top_n)
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("rank", "topic"))
+                ),
+                lambda s: s["topic"],
+            ).alias("topics")
+        )
+        .select(
+            F.format_string("wiki%08d", F.col("doc_id")).alias("url"),
+            "topics",
+        )
+    )
+    base = wiki_documents(spark, sf_dir)
+    return base.join(tps, "url", "left").select(
+        "url",
+        "warc_ts",
+        "html",
+        "text",
+        "lang",
+        F.map_concat(
+            "fields",
+            F.create_map(
+                F.lit("topic"),
+                F.coalesce(
+                    F.col("topics"), F.array().cast("array<string>")
+                ),
+            ),
+        ).alias("fields"),
+        "authz",
+    )

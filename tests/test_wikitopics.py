@@ -10,16 +10,19 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import pytest
+from pyspark.sql import functions as F
 
 from miru_spark.analyzer import ENGLISH_STOPWORDS, porter2_stem, standard_tokenize
 from miru_spark.fields import FIELD_SEP
 from miru_spark.index.build import build_index
 from miru_spark.ops.wikitopics import (
     WIKI_EXTRA_FIELDS,
+    WIKI_TOPIC_FIELDS,
     extract_topics,
     topics_frame,
     typeahead,
     wiki_documents,
+    wiki_documents_with_topics,
     wiki_grams,
 )
 from miru_spark.query.engine import SearchEngine
@@ -109,6 +112,54 @@ def test_matches_bruteforce_oracle():
         got = extract_topics(text, max_phrase_len=m, top_n=k)
         want = _oracle_topics(text, m, k)
         assert got == want, (trial, text, m, k)
+
+
+def test_matches_bruteforce_oracle_unicode():
+    # the Java hardcodes EnglishAnalyzer regardless of page language
+    # (KeywordsExtractor.java:78); non-Latin tokens pass through the
+    # tokenizer unstommed -- parity must hold there too
+    rng = random.Random(7)
+    vocab = ["kätzchen", "läuft", "бежит", "кошка", "猫", "走る",
+             "the", "chat", "chats", "running"]
+    for trial in range(30):
+        text = " ".join(
+            rng.choice(vocab) for _ in range(rng.randrange(0, 30))
+        )
+        m = rng.choice([2, 4, 20])
+        k = rng.choice([3, 10])
+        assert extract_topics(text, m, k) == _oracle_topics(text, m, k), (
+            trial, text)
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.text(max_size=400),
+        st.integers(min_value=1, max_value=25),
+        st.integers(min_value=1, max_value=30),
+    )
+    def test_extract_topics_properties(text, m, k):
+        got = extract_topics(text, max_phrase_len=m, top_n=k)
+        assert got == _oracle_topics(text, m, k)
+        assert len(got) <= k
+        scores = [sc for _ts, sc in got]
+        assert scores == sorted(scores, reverse=True)
+        assert all(sc > 0 for sc in scores)
+        # every topic's term list is stopword-free and non-empty
+        for ts, _sc in got:
+            assert ts
+            assert not (set(ts) & ENGLISH_STOPWORDS)
+        # dedup invariant: distinct stem sets only
+        seen = set()
+        for ts, _sc in got:
+            key = frozenset(porter2_stem(t) for t in ts)
+            assert key not in seen
+            seen.add(key)
+except ImportError:  # pragma: no cover
+    pass
 
 
 # -- distributed paths -------------------------------------------------------
@@ -240,3 +291,51 @@ def test_wiki_verb_edit_ratio(spark, wiki_engine):
     n_all = wiki_engine.count("verb:created") + n_edit
     assert n_all == 200
     assert n_edit == len([i for i in range(200) if i % 5 == 0])
+
+
+# -- topics as an engine dimension (gram store consolidated into the index) --
+
+def test_wiki_topics_as_engine_field(spark, tmp_path_factory):
+    from miru_spark.fields import compose
+
+    d = str(tmp_path_factory.mktemp("wiki_topic_idx"))
+    # deterministic 120-doc slice (limit-after-join would be arbitrary)
+    wt = wiki_documents_with_topics(
+        spark, SF, max_phrase_len=3, top_n=3
+    ).filter(F.col("url") <= "wiki00000119")
+    build_index(
+        spark, wt, d,
+        partition_seconds=10**9, block_span=64,
+        extra_fields=WIKI_TOPIC_FIELDS,
+    )
+    eng = SearchEngine(spark, d)
+    # oracle: per-doc driver extraction over the same 120 docs
+    pdf = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .orderBy("doc_id").limit(120)
+        .select("doc_id", "text").toPandas()
+    )
+    want: dict = {}
+    for text in pdf["text"]:
+        # per-doc set: the index dedupes a field's values per doc
+        for t in {
+            " ".join(tt).lower()
+            for tt, _sc in extract_topics(text, max_phrase_len=3, top_n=3)
+        }:
+            want[t] = want.get(t, 0) + 1
+    # topic counts straight off the index == gram counts
+    assert dict(eng.distincts("topic")) == want
+    # typeahead = term-dictionary prefix scan over composed topic terms
+    pref = sorted(want)[0][:2]
+    got = eng.expand_prefix(compose("topic", pref))
+    assert got == sorted(
+        compose("topic", t) for t in want if t.startswith(pref)
+    )
+    # topic filter x graph field, both paths agree
+    # a topic VALUE is the whole composed string; query by the most
+    # common single-word topic so the parser-side term is exact
+    singles = [t for t in want if " " not in t]
+    top1 = max(singles, key=lambda t: (want[t], t))
+    q = f"topic:{top1}"
+    n = eng.count(q)
+    assert n == eng.count(q, local=False) == want[top1] > 0
