@@ -45,13 +45,21 @@ ENGLISH_STOPWORDS = frozenset(
 # run-of-script chunks are further split by dictionary segmentation
 # (thai_segment, the ThaiAnalyzer analog) under the `th` locale.
 _TOKEN_RE = re.compile(
-    r"[0-9A-Za-z_À-ɏЀ-ӿ"
+    r"(?:[0-9A-Za-z_À-ɏЀ-ӿ"
     r"Ͱ-Ͽἀ-῿"  # Greek + Greek Extended
     r"԰-֏"               # Armenian
     r"؀-ۿݐ-ݿ"  # Arabic + supplement
     r"ऀ-ॿ"               # Devanagari
     r"฀-๿"               # Thai
     r"]+"
+    # CJK per Lucene StandardTokenizer (UAX#29): no analyzer is bound for
+    # zh/ja/ko in TermAnalyzers.java, so the reference falls back to
+    # StandardAnalyzer, which emits Han and Hiragana as SINGLE-character
+    # tokens and Katakana / Hangul syllables as runs
+    r"|[가-힣]+"                    # Hangul syllable runs
+    r"|[゠-ヿ]+"                    # Katakana runs (incl. ー)
+    r"|[㐀-䶿一-鿿豈-﫿぀-ゟ]"  # Han+Hiragana unigrams
+    r")"
 )
 
 _VOWELS = frozenset("aeiouy")
