@@ -13,8 +13,16 @@ tables written to DHT) so the decoder round-trips against genuine
 entropy-coded streams in tests; with an all-ones quantization table the
 round-trip error is bounded by DCT float rounding (≤ 2 levels/channel).
 
-Progressive, arithmetic-coded, 12-bit and lossless modes are out of
-scope (the decoder raises on their SOF markers).
+Progressive (SOF2) JPEG is fully supported on both sides: the decoder
+accumulates successive-approximation coefficient scans (DC first/refine,
+AC first/refine with EOB-run folding and buffered correction bits, spec
+Annex G) across any spectral-selection script, and `encode_progressive`
+emits a multi-scan progression exercising every scan kind. The
+cross-codec test invariant: progressive and baseline encodings of the
+same pixels carry identical quantized coefficients, so the two decode
+paths (which share no scan logic) must produce identical pixels.
+Arithmetic-coded, 12-bit and lossless modes are out of scope (the
+decoder raises on their SOF markers).
 """
 
 from __future__ import annotations
@@ -153,8 +161,8 @@ def _extend(v: int, t: int) -> int:
 
 
 def decode(data: bytes) -> np.ndarray:
-    """Decode a baseline JPEG to uint8 (h, w, 3) RGB (greyscale files
-    are replicated to 3 channels)."""
+    """Decode a baseline (SOF0/1) or progressive (SOF2) JPEG to uint8
+    (h, w, 3) RGB (greyscale files are replicated to 3 channels)."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     pos = 2
@@ -164,6 +172,8 @@ def decode(data: bytes) -> np.ndarray:
     comps: list[dict] = []
     w = h = 0
     restart_interval = 0
+    progressive = False
+    coefs: list[np.ndarray] | None = None  # per-comp zigzag int grids
     n = len(data)
     while pos + 4 <= n:
         if data[pos] != 0xFF:
@@ -204,7 +214,8 @@ def decode(data: bytes) -> np.ndarray:
                     bits, vals
                 )
                 o += 17 + cnt
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
+            progressive = marker == 0xC2
             h, w = struct.unpack(">HH", body[1:5])
             nc = body[5]
             comps = []
@@ -216,29 +227,54 @@ def decode(data: bytes) -> np.ndarray:
                         "tq": tq,
                     }
                 )
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
-                f"non-baseline JPEG (SOF marker 0x{marker:02x})"
+                f"unsupported JPEG mode (SOF marker 0x{marker:02x})"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", body[:2])[0]
         elif marker == 0xDA:  # SOS
             ns = body[0]
+            scan_comps = []  # component INDICES participating in scan
             for i in range(ns):
                 cs, tdta = body[1 + 2 * i : 3 + 2 * i]
-                for c in comps:
+                for ci, c in enumerate(comps):
                     if c["id"] == cs:
                         c["td"] = tdta >> 4
                         c["ta"] = tdta & 0x0F
+                        scan_comps.append(ci)
             pos = pos + 2 + seglen
-            return _decode_scan(
-                data, pos, w, h, comps, qt, huff_dc, huff_ac,
-                restart_interval,
+            if not progressive:
+                return _decode_scan(
+                    data, pos, w, h, comps, qt, huff_dc, huff_ac,
+                    restart_interval,
+                )
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            if coefs is None:
+                hmax = max(c["h"] for c in comps)
+                vmax = max(c["v"] for c in comps)
+                mcux = (w + 8 * hmax - 1) // (8 * hmax)
+                mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+                coefs = [
+                    np.zeros(
+                        (mcuy * c["v"], mcux * c["h"], 64),
+                        dtype=np.int32,
+                    )
+                    for c in comps
+                ]
+            pos = _decode_prog_scan(
+                data, pos, w, h, comps, scan_comps, coefs,
+                huff_dc, huff_ac, ss, se, ah, al, restart_interval,
             )
+            continue
         elif marker == 0xD9:
             break
         pos += 2 + seglen
+    if progressive and coefs is not None:
+        return _prog_reconstruct(coefs, comps, qt, w, h)
     raise ValueError("no SOS segment")
 
 
@@ -291,6 +327,11 @@ def _decode_scan(data, pos, w, h, comps, qt, huff_dc, huff_ac, dri):
                         x0 = (mx * c["h"] + bx) * 8
                         planes[ci][y0 : y0 + 8, x0 : x0 + 8] = blk
             mcu_count += 1
+    return _assemble(planes, comps, hmax, vmax, w, h)
+
+
+def _assemble(planes, comps, hmax, vmax, w, h):
+    """Upsample subsampled planes, crop, level-shift, YCbCr->RGB."""
     out = []
     for c, p in zip(comps, planes):
         if c["h"] != hmax or c["v"] != vmax:
@@ -309,6 +350,175 @@ def _decode_scan(data, pos, w, h, comps, qt, huff_dc, huff_ac, dri):
     return np.clip(
         np.round(np.stack([r, g, b], axis=2)), 0, 255
     ).astype(np.uint8)
+
+
+# -- progressive (SOF2) scan decoding ---------------------------------------
+
+def _decode_prog_scan(
+    data, pos, w, h, comps, scan_comps, coefs,
+    huff_dc, huff_ac, ss, se, ah, al, dri,
+):
+    """One progressive SOS: successive-approximation coefficient updates
+    (spec G.2). DC scans (ss==0) may interleave components; AC scans are
+    single-component over that component's own block grid. Returns the
+    stream position of the next marker."""
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    br = _BitReader(data, pos)
+    state = {"eobrun": 0}
+    pred = [0] * len(comps)
+
+    def dc_first(ci, by, bx):
+        c = comps[ci]
+        t = huff_dc[c["td"]].decode(br)
+        pred[ci] += _extend(br.receive(t), t)
+        coefs[ci][by, bx, 0] = pred[ci] << al
+
+    def dc_refine(ci, by, bx):
+        if br.receive(1):
+            coefs[ci][by, bx, 0] |= 1 << al
+
+    def ac_first(ci, by, bx):
+        if state["eobrun"] > 0:
+            state["eobrun"] -= 1
+            return
+        blk = coefs[ci][by, bx]
+        atab = huff_ac[comps[ci]["ta"]]
+        k = ss
+        while k <= se:
+            rs = atab.decode(br)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r == 15:
+                    k += 16
+                    continue
+                state["eobrun"] = (1 << r) - 1
+                if r:
+                    state["eobrun"] += br.receive(r)
+                break
+            k += r
+            if k > se:
+                raise ValueError("AC index overflow")
+            blk[k] = _extend(br.receive(s), s) << al
+            k += 1
+
+    def ac_refine(ci, by, bx):
+        # spec G.2 / figure G.7 refinement semantics
+        blk = coefs[ci][by, bx]
+        atab = huff_ac[comps[ci]["ta"]]
+        p1, m1 = 1 << al, -(1 << al)
+
+        def correct(k):
+            if br.receive(1) and not (blk[k] & p1):
+                blk[k] += p1 if blk[k] >= 0 else m1
+
+        k = ss
+        if state["eobrun"] == 0:
+            while k <= se:
+                rs = atab.decode(br)
+                r, s = rs >> 4, rs & 0x0F
+                sval = 0
+                if s == 0:
+                    if r != 15:
+                        state["eobrun"] = 1 << r
+                        if r:
+                            state["eobrun"] += br.receive(r)
+                        break
+                    # ZRL: pass 16 zero-history positions
+                else:
+                    sval = p1 if br.receive(1) else m1
+                while k <= se:
+                    if blk[k] != 0:
+                        correct(k)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if s and k <= se:
+                    blk[k] = sval
+                k += 1
+        if state["eobrun"] > 0:
+            while k <= se:
+                if blk[k] != 0:
+                    correct(k)
+                k += 1
+            state["eobrun"] -= 1
+
+    if ss == 0:
+        visit = dc_first if ah == 0 else dc_refine
+        if se != 0:
+            raise ValueError("DC scan with Se != 0")
+    else:
+        visit = ac_first if ah == 0 else ac_refine
+        if len(scan_comps) != 1:
+            raise ValueError("interleaved AC scan")
+
+    def restart_check(unit):
+        if dri and unit and unit % dri == 0:
+            br.align_restart()
+            state["eobrun"] = 0
+            for i in range(len(pred)):
+                pred[i] = 0
+
+    if len(scan_comps) > 1:
+        mcux = (w + 8 * hmax - 1) // (8 * hmax)
+        mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+        unit = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                restart_check(unit)
+                for ci in scan_comps:
+                    c = comps[ci]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            visit(
+                                ci, my * c["v"] + by, mx * c["h"] + bx
+                            )
+                unit += 1
+    else:
+        ci = scan_comps[0]
+        c = comps[ci]
+        # non-interleaved geometry: the component's OWN block grid
+        cw = (w * c["h"] + hmax - 1) // hmax
+        ch = (h * c["v"] + vmax - 1) // vmax
+        bw, bh = (cw + 7) // 8, (ch + 7) // 8
+        unit = 0
+        for by in range(bh):
+            for bx in range(bw):
+                restart_check(unit)
+                visit(ci, by, bx)
+                unit += 1
+
+    # advance to the next marker: the reader sits at (or just before) it
+    p = br.pos
+    if br.marker is not None:
+        return p
+    while p + 1 < len(data):
+        if data[p] == 0xFF and data[p + 1] not in (0x00,):
+            return p
+        p += 1
+    return p
+
+
+def _prog_reconstruct(coefs, comps, qt, w, h):
+    """Dequantize + IDCT the accumulated progressive coefficients."""
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    planes = []
+    for c, grid in zip(comps, coefs):
+        q = qt[c["tq"]]
+        bh, bw = grid.shape[:2]
+        plane = np.zeros((bh * 8, bw * 8), dtype=np.float64)
+        # vectorized: dequant + unzigzag all blocks, batched IDCT
+        deq = grid.reshape(-1, 64).astype(np.float64) * q
+        nat = np.zeros_like(deq)
+        nat[:, _ZZ] = deq
+        blocks = _C.T @ nat.reshape(-1, 8, 8) @ _C
+        blocks = blocks.reshape(bh, bw, 8, 8)
+        plane = blocks.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+        planes.append(plane)
+    return _assemble(planes, comps, hmax, vmax, w, h)
 
 
 # -- encoder ----------------------------------------------------------------
@@ -348,33 +558,9 @@ def _canonical_table(symbols: set[int]) -> tuple[list[int], bytes, dict]:
     return bits, bytes(syms), codes
 
 
-def _block_grid(plane: np.ndarray, qtab: np.ndarray) -> np.ndarray:
-    """FDCT + quantize + zigzag every 8x8 block of a (padded) plane ->
-    int64 array of shape (bh, bw, 64)."""
-    h, w = plane.shape
-    bh, bw = h // 8, w // 8
-    out = np.empty((bh, bw, 64), dtype=np.int64)
-    for by in range(bh):
-        for bx in range(bw):
-            blk = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
-            coef = (_C @ blk @ _C.T).reshape(-1)
-            out[by, bx] = np.round(coef[_ZZ] / qtab[_ZZ]).astype(
-                np.int64
-            )
-    return out
-
-
-def encode(
-    px: np.ndarray,
-    quant: int = 1,
-    subsample: bool = False,
-    restart: int = 0,
-) -> bytes:
-    """Encode uint8 RGB (h, w, 3) or grey (h, w) to a baseline JPEG.
-    `quant=1` writes all-ones quantization tables (near-lossless: error
-    bounded by DCT rounding); larger values scale a flat table.
-    `subsample=True` emits 4:2:0 (2x2-averaged chroma); `restart=N`
-    writes DRI + RSTn markers every N MCUs."""
+def _prep(px, quant, subsample):
+    """Shared encoder front half: color transform, (optional) 4:2:0
+    downsample, MCU padding, FDCT+quantize+zigzag grids."""
     px = np.asarray(px)
     grey = px.ndim == 2
     h, w = px.shape[:2]
@@ -416,9 +602,40 @@ def encode(
             mode="edge",
         )
         grids.append(_block_grid(p, qtab))
+    return grids, factors, qtab, h, w, len(planes), mcux, mcuy
 
-    ncomp = 1 if grey else 3
-    ntab = 1 if grey else 2
+
+def _block_grid(plane: np.ndarray, qtab: np.ndarray) -> np.ndarray:
+    """FDCT + quantize + zigzag every 8x8 block of a (padded) plane ->
+    int64 array of shape (bh, bw, 64)."""
+    h, w = plane.shape
+    bh, bw = h // 8, w // 8
+    out = np.empty((bh, bw, 64), dtype=np.int64)
+    for by in range(bh):
+        for bx in range(bw):
+            blk = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            coef = (_C @ blk @ _C.T).reshape(-1)
+            out[by, bx] = np.round(coef[_ZZ] / qtab[_ZZ]).astype(
+                np.int64
+            )
+    return out
+
+
+def encode(
+    px: np.ndarray,
+    quant: int = 1,
+    subsample: bool = False,
+    restart: int = 0,
+) -> bytes:
+    """Encode uint8 RGB (h, w, 3) or grey (h, w) to a baseline JPEG.
+    `quant=1` writes all-ones quantization tables (near-lossless: error
+    bounded by DCT rounding); larger values scale a flat table.
+    `subsample=True` emits 4:2:0 (2x2-averaged chroma); `restart=N`
+    writes DRI + RSTn markers every N MCUs."""
+    grids, factors, qtab, h, w, ncomp, mcux, mcuy = _prep(
+        px, quant, subsample
+    )
+    ntab = 1 if ncomp == 1 else 2
 
     def emission(collect_dc=None, collect_ac=None, write=None):
         """One pass over blocks in interleaved MCU order with restart
@@ -537,5 +754,226 @@ def encode(
     emission(write=write)
     wtr.flush()
     out.extend(wtr.out)
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
+# -- progressive (SOF2) encoder ----------------------------------------------
+
+class _ScanEmitter:
+    """Two-pass scan emitter: collect Huffman symbols, then write. The
+    EOB-run machinery (spec G.1.2.2-3) is shared by both passes so the
+    collected symbol set matches what the write pass emits."""
+
+    def __init__(self, symbols=None, writer=None, table=None):
+        self.symbols = symbols
+        self.writer = writer
+        self.table = table
+        self.eobrun = 0
+        self.bebits: list[int] = []  # correction bits tied to the run
+
+    def sym(self, s):
+        if self.symbols is not None:
+            self.symbols.add(s)
+        if self.writer is not None:
+            code, ln = self.table[s]
+            self.writer.put(code, ln)
+
+    def bits(self, v, n):
+        if n and self.writer is not None:
+            self.writer.put(v, n)
+
+    def raw(self, bitlist):
+        for b in bitlist:
+            self.bits(b, 1)
+
+    def flush_eobrun(self):
+        if self.eobrun:
+            nb = self.eobrun.bit_length() - 1
+            self.sym(nb << 4)
+            self.bits(self.eobrun - (1 << nb), nb)
+            self.raw(self.bebits)
+            self.bebits = []
+            self.eobrun = 0
+
+
+def _prog_dc_pass(em, grids, factors, mcux, mcuy, al, refine):
+    pred = [0] * len(grids)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (fh, fv) in enumerate(factors):
+                for by in range(fv):
+                    for bx in range(fh):
+                        v = int(grids[ci][my * fv + by, mx * fh + bx, 0])
+                        if refine:
+                            em.bits((v >> al) & 1, 1)
+                            continue
+                        val = v >> al  # arithmetic shift (spec F.1.5.1)
+                        diff = val - pred[ci]
+                        pred[ci] = val
+                        t = abs(diff).bit_length()
+                        em.sym(t)
+                        em.bits(
+                            diff if diff > 0
+                            else diff + (1 << t) - 1 if t else 0,
+                            t,
+                        )
+
+
+def _prog_ac_first_pass(em, grid, ss, se, al):
+    bh, bw = grid.shape[:2]
+    for by in range(bh):
+        for bx in range(bw):
+            blk = grid[by, bx]
+            r = 0
+            wrote = False
+            for k in range(ss, se + 1):
+                v = int(blk[k])
+                av = abs(v) >> al  # AC point transform: magnitude shift
+                if av == 0:
+                    r += 1
+                    continue
+                em.flush_eobrun()
+                while r > 15:
+                    em.sym(0xF0)
+                    r -= 16
+                s = av.bit_length()
+                em.sym((r << 4) | s)
+                em.bits(av if v > 0 else (-av) + (1 << s) - 1, s)
+                r = 0
+                wrote = True
+            if r > 0 or not wrote:
+                em.eobrun += 1
+                if em.eobrun == 0x7FFF:
+                    em.flush_eobrun()
+    em.flush_eobrun()
+
+
+def _prog_ac_refine_pass(em, grid, ss, se, al):
+    """Successive-approximation AC refinement (spec G.1.2.3): newly-
+    nonzero coefficients emit (run,1) symbols; already-nonzero ones emit
+    bare correction bits, buffered so they attach to the next symbol or
+    EOB run."""
+    bh, bw = grid.shape[:2]
+    for by in range(bh):
+        for bx in range(bw):
+            blk = grid[by, bx]
+            absv = [abs(int(blk[k])) >> al for k in range(ss, se + 1)]
+            eobpos = ss - 1
+            for i, t in enumerate(absv):
+                if t == 1:
+                    eobpos = ss + i
+            r = 0
+            pend: list[int] = []
+            for k in range(ss, se + 1):
+                t = absv[k - ss]
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15 and k <= eobpos:
+                    em.flush_eobrun()
+                    em.sym(0xF0)
+                    r -= 16
+                    em.raw(pend)
+                    pend = []
+                if t > 1:
+                    pend.append(t & 1)
+                    continue
+                em.flush_eobrun()
+                em.sym((r << 4) | 1)
+                em.bits(1 if int(blk[k]) >= 0 else 0, 1)
+                em.raw(pend)
+                pend = []
+                r = 0
+            if r > 0 or pend:
+                em.eobrun += 1
+                em.bebits.extend(pend)
+                if em.eobrun == 0x7FFF:
+                    em.flush_eobrun()
+    em.flush_eobrun()
+
+
+def encode_progressive(
+    px: np.ndarray, quant: int = 1, subsample: bool = False,
+    se_split: int = 5,
+) -> bytes:
+    """Encode uint8 RGB (h, w, 3) or grey (h, w) to a PROGRESSIVE
+    (SOF2) JPEG. The progression script exercises every scan kind of
+    spec Annex G: DC first (Al=1) -> DC refinement (raw bits), then per
+    component AC first over two spectral bands (1..se_split,
+    se_split+1..63, Al=1) and a full-band AC refinement (Ah=1 -> Al=0)
+    with EOB-run folding and buffered correction bits. Coefficients are
+    identical to `encode`'s for the same (quant, subsample), so decoding
+    both must give identical pixels -- the cross-codec test invariant."""
+    grids, factors, qtab, h, w, ncomp, mcux, mcuy = _prep(
+        px, quant, subsample
+    )
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker: int, body: bytes):
+        out.extend(b"\xff" + bytes([marker]))
+        out.extend(struct.pack(">H", len(body) + 2))
+        out.extend(body)
+
+    qz = np.empty(64, dtype=np.uint8)
+    qz[np.arange(64)] = qtab[_ZZ].astype(np.uint8)
+    seg(0xDB, bytes([0x00]) + qz.tobytes())
+    sof = bytearray([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
+    for ci in range(ncomp):
+        fh, fv = factors[ci]
+        sof += bytes([ci + 1, (fh << 4) | fv, 0])
+    seg(0xC2, bytes(sof))
+
+    def run_scan(kind, comp_ids, ss, se, ah, al, pass_fn):
+        # pass 1: collect symbols (DC refinement scans are Huffman-free)
+        table = None
+        if kind != "dc_refine":
+            syms: set[int] = set()
+            pass_fn(_ScanEmitter(symbols=syms))
+            bits, vals, table = _canonical_table(syms)
+            cls = 0x00 if kind == "dc_first" else 0x10
+            seg(0xC4, bytes([cls]) + bytes(bits) + vals)
+        sos = bytearray([len(comp_ids)])
+        for ci in comp_ids:
+            sos += bytes([ci + 1, 0x00])
+        sos += bytes([ss, se, (ah << 4) | al])
+        seg(0xDA, bytes(sos))
+        wtr = _BitWriter()
+        pass_fn(_ScanEmitter(writer=wtr, table=table))
+        wtr.flush()
+        out.extend(wtr.out)
+
+    allc = list(range(ncomp))
+    run_scan(
+        "dc_first", allc, 0, 0, 0, 1,
+        lambda em: _prog_dc_pass(em, grids, factors, mcux, mcuy, 1, False),
+    )
+    run_scan(
+        "dc_refine", allc, 0, 0, 1, 0,
+        lambda em: _prog_dc_pass(em, grids, factors, mcux, mcuy, 0, True),
+    )
+    # non-interleaved AC scans cover the component's TRUE block extent
+    # (ceil of its subsampled pixel dims), not the MCU-padded grid
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+
+    def _extent(ci):
+        fh, fv = factors[ci]
+        cw = (w * fh + hmax - 1) // hmax
+        chh = (h * fv + vmax - 1) // vmax
+        return grids[ci][: (chh + 7) // 8, : (cw + 7) // 8]
+
+    for ci in range(ncomp):
+        for lo, hi in ((1, se_split), (se_split + 1, 63)):
+            run_scan(
+                "ac_first", [ci], lo, hi, 0, 1,
+                lambda em, g=_extent(ci), a=lo, b=hi:
+                    _prog_ac_first_pass(em, g, a, b, 1),
+            )
+    for ci in range(ncomp):
+        run_scan(
+            "ac_refine", [ci], 1, 63, 1, 0,
+            lambda em, g=_extent(ci): _prog_ac_refine_pass(em, g, 1, 63, 0),
+        )
     out.extend(b"\xff\xd9")
     return bytes(out)

@@ -95,15 +95,91 @@ def test_jpeg_meta_agrees_with_decoder():
         assert jpeg.decode(data).shape == (21, 37, 3)
 
 
-def test_decode_rejects_non_baseline():
+def test_decode_rejects_unsupported_modes():
     px = _rng(7).integers(0, 256, (8, 8, 3), dtype=np.uint8)
     data = bytearray(jpeg.encode(px))
     i = data.find(b"\xff\xc0")
-    data[i + 1] = 0xC2  # claim progressive
+    data[i + 1] = 0xC3  # claim lossless (unsupported mode)
     with pytest.raises(ValueError):
         jpeg.decode(bytes(data))
     with pytest.raises(ValueError):
         jpeg.decode(b"\x89PNG1234")
+    # a baseline stream merely RELABELED progressive is also malformed
+    # (its single scan claims the whole band in one DC+AC pass)
+    data[i + 1] = 0xC2
+    with pytest.raises(ValueError):
+        jpeg.decode(bytes(data))
+
+
+# -- progressive (SOF2) -------------------------------------------------------
+
+def test_progressive_equals_baseline_pixels():
+    """The cross-codec invariant: progressive and baseline encodings of
+    the same pixels carry identical quantized coefficients, so the two
+    decode paths (which share no scan logic) must agree pixel-exactly."""
+    rng = _rng(11)
+    for shape, q, sub in [
+        ((37, 53, 3), 1, False),
+        ((37, 53, 3), 4, True),   # MCU-padded luma grid vs true extent
+        ((24, 31), 1, False),     # grey single component
+        ((8, 8, 3), 1, False),
+        ((9, 10, 3), 7, True),
+        ((64, 48, 3), 2, False),
+    ]:
+        px = rng.integers(0, 256, shape, dtype=np.uint8)
+        base = jpeg.decode(jpeg.encode(px, quant=q, subsample=sub))
+        prog = jpeg.decode(
+            jpeg.encode_progressive(px, quant=q, subsample=sub)
+        )
+        assert np.array_equal(base, prog), (shape, q, sub)
+
+
+def test_progressive_smooth_image_eobrun_folding():
+    # smooth gradients quantize to long zero runs -> multi-block EOB
+    # runs with buffered correction bits in the refinement scan
+    yy, xx = np.mgrid[0:50, 0:60]
+    px = np.stack(
+        [(yy * 2) % 256, (xx * 3) % 256, (yy + xx) % 256], axis=2
+    ).astype(np.uint8)
+    for q, sub in [(1, False), (5, True), (3, False)]:
+        base = jpeg.decode(jpeg.encode(px, quant=q, subsample=sub))
+        prog = jpeg.decode(
+            jpeg.encode_progressive(px, quant=q, subsample=sub)
+        )
+        assert np.array_equal(base, prog), (q, sub)
+
+
+def test_progressive_roundtrip_tight():
+    # with all-ones quantization the full pipeline stays near-lossless
+    px = _rng(13).integers(0, 256, (33, 47, 3), dtype=np.uint8)
+    out = jpeg.decode(jpeg.encode_progressive(px, quant=1))
+    assert out.shape == px.shape
+    assert _maxerr(out, px) <= 2
+
+
+def test_progressive_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        w=st.integers(8, 40),
+        h=st.integers(8, 40),
+        q=st.integers(1, 8),
+        sub=st.booleans(),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def prop(w, h, q, sub, seed):
+        px = np.random.default_rng(seed).integers(
+            0, 256, (h, w, 3), dtype=np.uint8
+        )
+        base = jpeg.decode(jpeg.encode(px, quant=q, subsample=sub))
+        prog = jpeg.decode(
+            jpeg.encode_progressive(px, quant=q, subsample=sub)
+        )
+        assert np.array_equal(base, prog)
+
+    prop()
 
 
 def test_roundtrip_property():
