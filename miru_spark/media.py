@@ -370,7 +370,141 @@ def sniff_meta(data: bytes) -> dict | None:
             n_frames=m["n_frames"], duration_ms=m["duration_ms"],
         )
         return out
+    if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+        m = avi_meta(data)
+        if m is None:
+            return None
+        out.update(
+            format="avi", width=m["width"], height=m["height"],
+            n_frames=m["n_frames"], duration_ms=m["duration_ms"],
+        )
+        return out
+    if len(data) >= 12 and data[4:8] == b"ftyp":
+        m = mp4_meta(data)
+        if m is None:
+            return None
+        out.update(
+            format="mp4", width=m["width"], height=m["height"],
+            n_frames=m["n_frames"], duration_ms=m["duration_ms"],
+        )
+        return out
     return None
+
+
+# -- video containers (metadata walk; no codec decode) -----------------------
+
+def _mp4_boxes(data: bytes, start: int, end: int):
+    """Yield (fourcc, body_start, body_end) for each ISO-BMFF box."""
+    pos = start
+    while pos + 8 <= end:
+        size = int.from_bytes(data[pos : pos + 4], "big")
+        typ = data[pos + 4 : pos + 8]
+        hdr = 8
+        if size == 1:  # 64-bit largesize
+            if pos + 16 > end:
+                return
+            size = int.from_bytes(data[pos + 8 : pos + 16], "big")
+            hdr = 16
+        elif size == 0:  # to end of file
+            size = end - pos
+        if size < hdr or pos + size > end:
+            return
+        yield typ, pos + hdr, pos + size
+        pos += size
+
+
+_MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+
+
+def mp4_meta(data: bytes) -> dict | None:
+    """ISO base-media (MP4/MOV) metadata: a real box walk through
+    moov/mvhd (timescale+duration), trak/tkhd (presentation dims),
+    mdia/hdlr (track kind) and stbl/stsz (video sample count). No codec
+    payloads are touched -- container structure only."""
+    if len(data) < 12 or data[4:8] != b"ftyp":
+        return None
+    out = {
+        "width": -1, "height": -1, "n_frames": 1, "duration_ms": -1,
+        "n_tracks": 0, "n_video": 0, "n_audio": 0,
+    }
+
+    def walk(start, end, in_trak=False, trak=None):
+        for typ, b0, b1 in _mp4_boxes(data, start, end):
+            if typ == b"mvhd" and b1 - b0 >= 20:
+                ver = data[b0]
+                if ver == 1 and b1 - b0 >= 28:
+                    ts = int.from_bytes(data[b0 + 20 : b0 + 24], "big")
+                    dur = int.from_bytes(data[b0 + 24 : b0 + 32], "big")
+                else:
+                    ts = int.from_bytes(data[b0 + 12 : b0 + 16], "big")
+                    dur = int.from_bytes(data[b0 + 16 : b0 + 20], "big")
+                if ts:
+                    out["duration_ms"] = int(round(dur * 1000 / ts))
+            elif typ == b"trak":
+                t = {"kind": None, "w": -1, "h": -1, "samples": 0}
+                walk(b0, b1, True, t)
+                out["n_tracks"] += 1
+                if t["kind"] == b"vide":
+                    out["n_video"] += 1
+                    if out["width"] < 0:
+                        out["width"], out["height"] = t["w"], t["h"]
+                        out["n_frames"] = max(t["samples"], 1)
+                elif t["kind"] == b"soun":
+                    out["n_audio"] += 1
+            elif typ == b"tkhd" and in_trak and b1 - b0 >= 84:
+                # 16.16 fixed-point width/height close the v0 box
+                t_w = int.from_bytes(data[b1 - 8 : b1 - 4], "big") >> 16
+                t_h = int.from_bytes(data[b1 - 4 : b1], "big") >> 16
+                trak["w"], trak["h"] = t_w, t_h
+            elif typ == b"hdlr" and in_trak and b1 - b0 >= 12:
+                trak["kind"] = data[b0 + 8 : b0 + 12]
+            elif typ == b"stsz" and in_trak and b1 - b0 >= 12:
+                trak["samples"] = int.from_bytes(
+                    data[b0 + 8 : b0 + 12], "big"
+                )
+            elif typ in _MP4_CONTAINERS:
+                walk(b0, b1, in_trak, trak)
+
+    walk(0, len(data))
+    if out["n_tracks"] == 0 and out["duration_ms"] < 0:
+        return None
+    return out
+
+
+def avi_meta(data: bytes) -> dict | None:
+    """AVI (RIFF) metadata from the avih main header: frame period,
+    total frames, stream count, dims."""
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        return None
+    pos = 12
+    end = min(len(data), 8 + int.from_bytes(data[4:8], "little"))
+
+    def find_avih(pos, end):
+        while pos + 8 <= end:
+            cc = data[pos : pos + 4]
+            size = int.from_bytes(data[pos + 4 : pos + 8], "little")
+            if cc == b"LIST":
+                inner = find_avih(pos + 12, min(pos + 8 + size, end))
+                if inner is not None:
+                    return inner
+            elif cc == b"avih":
+                return pos + 8
+            pos += 8 + size + (size & 1)  # RIFF chunks are word-aligned
+        return None
+
+    o = find_avih(pos, end)
+    if o is None or o + 40 > len(data):
+        return None
+    us_per_frame = int.from_bytes(data[o : o + 4], "little")
+    frames = int.from_bytes(data[o + 16 : o + 20], "little")
+    streams = int.from_bytes(data[o + 24 : o + 28], "little")
+    w = int.from_bytes(data[o + 32 : o + 36], "little")
+    h = int.from_bytes(data[o + 36 : o + 40], "little")
+    return {
+        "width": w, "height": h, "n_frames": max(frames, 1),
+        "n_tracks": streams,
+        "duration_ms": int(round(frames * us_per_frame / 1000)),
+    }
 
 
 def _lzw_decode(mcs: int, data: bytes, n_pixels: int) -> list[int]:

@@ -462,3 +462,114 @@ def test_mm_decode_meta_fallback_preserved(spark, tmp_path):
     }
     for did, txt in ((0, "alpha beta"), (1, "x"), (2, "hello world!")):
         assert got[did] == _fake_decode_meta(len(txt.encode()))
+
+
+# -- video containers (MP4 / AVI metadata walk) -------------------------------
+
+def _box(typ: bytes, payload: bytes) -> bytes:
+    import struct as _s
+    return _s.pack(">I", len(payload) + 8) + typ + payload
+
+
+def _make_mp4(w=320, h=240, n_samples=90, timescale=1000, duration=3000,
+              with_audio=True):
+    import struct as _s
+    ftyp = _box(b"ftyp", b"isom" + _s.pack(">I", 512) + b"isomiso2")
+    mvhd = _box(
+        b"mvhd",
+        bytes(4) + bytes(8) + _s.pack(">II", timescale, duration)
+        + bytes(80),
+    )
+
+    def trak(kind, tw, th, samples):
+        tkhd = _box(
+            b"tkhd",
+            bytes(4) + bytes(8) + _s.pack(">I", 1) + bytes(4)
+            + _s.pack(">I", duration) + bytes(8) + bytes(8) + bytes(36)
+            + _s.pack(">II", tw << 16, th << 16),
+        )
+        hdlr = _box(b"hdlr", bytes(8) + kind + bytes(12) + b"h\x00")
+        stsz = _box(b"stsz", bytes(4) + _s.pack(">II", 0, samples))
+        mdia = _box(
+            b"mdia",
+            _box(b"mdhd", bytes(24))
+            + hdlr
+            + _box(b"minf", _box(b"stbl", stsz)),
+        )
+        return _box(b"trak", tkhd + mdia)
+
+    traks = trak(b"vide", w, h, n_samples)
+    if with_audio:
+        traks += trak(b"soun", 0, 0, 130)
+    moov = _box(b"moov", mvhd + traks)
+    return ftyp + moov + _box(b"mdat", bytes(8))
+
+
+def _make_avi(w=640, h=360, frames=120, us_per_frame=33333, streams=2):
+    import struct as _s
+    avih = _s.pack(
+        "<10I", us_per_frame, 0, 0, 0, frames, 0, streams, 0, w, h
+    ) + bytes(16)
+    chunk = b"avih" + _s.pack("<I", len(avih)) + avih
+    hdrl = b"LIST" + _s.pack("<I", 4 + len(chunk)) + b"hdrl" + chunk
+    body = b"AVI " + hdrl
+    return b"RIFF" + _s.pack("<I", len(body)) + body
+
+
+def test_mp4_meta_walk():
+    data = _make_mp4()
+    m = media.mp4_meta(data)
+    assert m == {
+        "width": 320, "height": 240, "n_frames": 90,
+        "duration_ms": 3000, "n_tracks": 2, "n_video": 1, "n_audio": 1,
+    }
+    s = media.sniff_meta(data)
+    assert s["format"] == "mp4" and s["n_frames"] == 90
+    assert s["width"] == 320 and s["duration_ms"] == 3000
+    m2 = media.mp4_meta(_make_mp4(with_audio=False))
+    assert m2["n_tracks"] == 1 and m2["n_audio"] == 0
+    # 64-bit mvhd (version 1) duration path
+    import struct as _s
+    mvhd1 = _box(
+        b"mvhd",
+        bytes([1, 0, 0, 0]) + bytes(16)
+        + _s.pack(">I", 600) + _s.pack(">Q", 1800) + bytes(80),
+    )
+    data1 = _box(b"ftyp", b"isom") + _box(b"moov", mvhd1)
+    assert media.mp4_meta(data1)["duration_ms"] == 3000
+    # truncated/garbage boxes -> None, never a crash
+    assert media.mp4_meta(data[:20]) is None
+    assert media.mp4_meta(b"\x00\x00\x00\x08ftyp") is None
+    assert media.sniff_meta(b"\x00" * 40) is None
+
+
+def test_avi_meta_walk():
+    data = _make_avi()
+    m = media.avi_meta(data)
+    assert (m["width"], m["height"]) == (640, 360)
+    assert m["n_frames"] == 120 and m["n_tracks"] == 2
+    assert m["duration_ms"] == round(120 * 33333 / 1000)
+    s = media.sniff_meta(data)
+    assert s["format"] == "avi" and s["n_frames"] == 120
+    assert media.avi_meta(data[:16]) is None
+
+
+def test_spark_video_meta_and_frame_sampling(spark):
+    from miru_spark.ops.multimodal import decode_binary_meta
+
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(_make_mp4(n_samples=57))),
+            (2, bytearray(_make_avi(frames=24))),
+            (3, bytearray(b"not a container")),
+        ],
+        "id long, payload binary",
+    )
+    rows = {r["id"]: r for r in decode_binary_meta(df).collect()}
+    assert rows[1]["format"] == "mp4" and rows[1]["n_frames"] == 57
+    assert rows[2]["format"] == "avi" and rows[2]["n_frames"] == 24
+    assert rows[3]["format"] is None
+    # real temporal sampling off the parsed frame counts
+    assert media.frame_indices(rows[1]["n_frames"], every=10) == [
+        0, 10, 20, 30, 40, 50
+    ]
