@@ -1398,10 +1398,13 @@ class SearchEngine(FeatureOpsMixin):
         reference's fulltext question composes query AND constraints AND
         composite-authz per partition (FullTextCustomQuestion.java:91-107).
         `query=None` means match-all (inclusiveFilter base), for
-        constraint/authz-only requests."""
+        constraint/authz-only requests. A pre-parsed tree is accepted
+        in place of query text -- wire-adapter requests (wire.py) carry
+        MiruFilter JSON, which converts to a tree, not to query text."""
         allow_phrases = bool(self.meta.get("positions", False))
         tree = (
             ("all",) if query is None
+            else query if isinstance(query, tuple)
             else parse_query(query, locale, allow_phrases)
         )
         # scoring terms come from the USER QUERY only (FullText.java

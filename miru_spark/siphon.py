@@ -549,10 +549,22 @@ def anomaly_sum(
     from .fields import compose
     from .queryparse import parse_query
 
-    qs = {
-        i: (f"bits:{i}" if query is None else f"bits:{i} AND ({query})")
-        for i in range(63)
-    }
+    if isinstance(query, tuple):
+        # pre-parsed filter tree (the wire adapter's MetricsQuery
+        # filters are MiruFilter JSON, not query text): AND the bit
+        # term in tree-side
+        qs = {
+            i: ("and", [("term", compose("bits", str(i))), query])
+            for i in range(63)
+        }
+    else:
+        qs = {
+            i: (
+                f"bits:{i}" if query is None
+                else f"bits:{i} AND ({query})"
+            )
+            for i in range(63)
+        }
 
     def sign_tree(sign):
         t = ("term", compose("bits", sign))
