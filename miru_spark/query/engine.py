@@ -1387,6 +1387,7 @@ class SearchEngine(FeatureOpsMixin):
         time_range_us: tuple[int, int] | None,
         constraints=None,
         authz=None,
+        use_stopwords: bool = True,
     ) -> dict:
         """Driver-side query planning shared by the distributed and local
         paths: parse, expand prefixes (bisect over the pinned dictionary),
@@ -1405,7 +1406,7 @@ class SearchEngine(FeatureOpsMixin):
         tree = (
             ("all",) if query is None
             else query if isinstance(query, tuple)
-            else parse_query(query, locale, allow_phrases)
+            else parse_query(query, locale, allow_phrases, use_stopwords)
         )
         # scoring terms come from the USER QUERY only (FullText.java
         # :99-170 termCollector walks the query, not the constraints)
@@ -3870,6 +3871,7 @@ class SearchEngine(FeatureOpsMixin):
         constraints=None,
         authz=None,
         highlight_from: DataFrame | None = None,
+        use_stopwords: bool = True,
     ) -> DataFrame:
         """Run a query; returns DataFrame(url, warc_ts, pid, doc_id, score)
         ordered by (score desc, pid, doc_id), limit k.
@@ -3907,7 +3909,8 @@ class SearchEngine(FeatureOpsMixin):
         two bounded jobs."""
         if prep is None:
             prep = self._prep_query(
-                query, locale, time_range_us, constraints, authz
+                query, locale, time_range_us, constraints, authz,
+                use_stopwords,
             )
         if local is None:
             local = self._local_eligible(prep)
@@ -3931,7 +3934,7 @@ class SearchEngine(FeatureOpsMixin):
                     "doc_id",
                     "score",
                 ),
-                query, locale, highlight_from,
+                query, locale, highlight_from, use_stopwords,
             )
         theta0 = self._theta_seed(prep, k) if use_blockmax else 0.0
         per_part = self.kernel_frame(
@@ -3947,7 +3950,9 @@ class SearchEngine(FeatureOpsMixin):
         )
         if not wrows:
             empty = self.spark.createDataFrame([], out_schema)
-            return self._with_summaries(empty, query, locale, highlight_from)
+            return self._with_summaries(
+                empty, query, locale, highlight_from, use_stopwords
+            )
         # display-field gather for k winners: a POINT LOOKUP, not a join.
         # The serving node's row-group-pruned pyarrow read (the same
         # _gather_rows `newest` uses) answers it job-free; the broadcast
@@ -3970,7 +3975,7 @@ class SearchEngine(FeatureOpsMixin):
                     "doc_id",
                     "score",
                 ),
-                query, locale, highlight_from,
+                query, locale, highlight_from, use_stopwords,
             )
         except Exception:
             pass  # unreadable from the driver: distributed gather below
@@ -4002,7 +4007,7 @@ class SearchEngine(FeatureOpsMixin):
                 "doc_id",
                 "score",
             ).orderBy(F.desc("score"), F.asc("pid"), F.asc("doc_id")),
-            query, locale, highlight_from,
+            query, locale, highlight_from, use_stopwords,
         )
 
     def _with_summaries(
@@ -4011,6 +4016,7 @@ class SearchEngine(FeatureOpsMixin):
         query: str | None,
         locale: str | None,
         highlight_from: DataFrame | None,
+        use_stopwords: bool = True,
     ) -> DataFrame:
         """Append the per-result `summary` column (reference: each result
         doc's content runs through LuceneBackedQueryParser.highlight,
@@ -4046,7 +4052,10 @@ class SearchEngine(FeatureOpsMixin):
                 (
                     r["url"], r["warc_ts"], r["pid"], r["doc_id"],
                     r["score"],
-                    _hl(query, texts.get(r["url"]) or "", locale)
+                    _hl(
+                        query, texts.get(r["url"]) or "", locale,
+                        use_stopwords=use_stopwords,
+                    )
                     if query is not None
                     else None,
                 )
@@ -4248,6 +4257,7 @@ class SearchEngine(FeatureOpsMixin):
         time_range_us: tuple[int, int] | None = None,
         constraints=None,
         authz=None,
+        use_stopwords: bool = True,
     ) -> DataFrame:
         """TIME strategy: newest-k, score 0 (FullText.collectTime
         :222-251 -- descending docID iterator), minus tombstoned docs.
@@ -4260,7 +4270,8 @@ class SearchEngine(FeatureOpsMixin):
         docIDs are minted in warc_ts order within each pid."""
         if query is not None or constraints is not None or authz is not None:
             prep = self._prep_query(
-                query, locale, time_range_us, constraints, authz
+                query, locale, time_range_us, constraints, authz,
+                use_stopwords,
             )
             if self._local_eligible(prep):
                 rows = self._search_local(prep, k, False, strategy="time")

@@ -31,6 +31,7 @@ def highlight(
     fragment_size: int = 100,
     max_fragments: int = 4,
     separator: str = " ... ",
+    use_stopwords: bool = True,
 ) -> str | None:
     if not query or not content:
         return None
@@ -38,7 +39,10 @@ def highlight(
         # phrases always parse here: highlighting is pure string work
         # over result docs (members highlight like plain terms), so it
         # needs no positional index
-        tree = parse_query(query, locale, allow_phrases=True)
+        tree = parse_query(
+            query, locale, allow_phrases=True,
+            use_stopwords=use_stopwords,
+        )
     except QueryParseError:
         # the reference catches ParseException and returns null
         # (LuceneBackedQueryParser.highlight:68-71); a stopword-only
@@ -57,7 +61,7 @@ def highlight(
     # token stream)
     matches: list[tuple[int, int, str]] = []  # (start, end, analyzed)
     for m in _TOKEN_RE.finditer(body):
-        out = analyze(m.group(0), locale)
+        out = analyze(m.group(0), locale, use_stopwords)
         if not out:
             continue
         t = out[0]

@@ -114,10 +114,12 @@ class _Parser:
         tokens: list[tuple[str, str]],
         locale: str | None,
         allow_phrases: bool = False,
+        use_stopwords: bool = True,
     ):
         self.toks = tokens
         self.i = 0
         self.locale = locale
+        self.use_stopwords = use_stopwords
         self.allow_phrases = allow_phrases
         self._fields: list[str] = []  # enclosing field-group context
 
@@ -278,7 +280,9 @@ class _Parser:
             # an opt-in capability BEYOND the reference); otherwise
             # rejected with "Unsupported query type" exactly like the
             # reference (LuceneBackedQueryParser.java:108-110).
-            analyzed, positions = analyze_positions(val[1:-1], self.locale)
+            analyzed, positions = analyze_positions(
+                val[1:-1], self.locale, self.use_stopwords
+            )
             if not analyzed:
                 return ("dropped",)
             if len(analyzed) == 1:
@@ -313,7 +317,7 @@ class _Parser:
                     f"Unsupported query type: wildcard {val!r} (only "
                     f"trailing-star PrefixQuery, like the reference)"
                 )
-            analyzed = analyze(val, self.locale)
+            analyzed = analyze(val, self.locale, self.use_stopwords)
             if not analyzed:
                 # analyzer removed the term (stopword under `en`): Lucene
                 # omits the clause from the BooleanQuery entirely, so it
@@ -326,16 +330,23 @@ class _Parser:
 
 
 def parse_query(
-    q: str, locale: str | None = None, allow_phrases: bool = False
+    q: str,
+    locale: str | None = None,
+    allow_phrases: bool = False,
+    use_stopwords: bool = True,
 ):
     """Parse a Lucene-classic-subset query string to a filter tree.
     `allow_phrases` admits multi-term quoted phrases as positional
     phrase nodes (requires a positions=True index); the default matches
-    the reference, which rejects PhraseQuery."""
+    the reference, which rejects PhraseQuery. `use_stopwords=False`
+    parses with the locale's NON-stopword analyzer -- same locale
+    tokenize/stem chain, stop list off -- the reference's
+    findAnalyzer(locale, useStopWords) second axis
+    (TermAnalyzers.java:117-133; FullTextQuery.useStopWords)."""
     tokens = _lex(q)
     if not tokens:
         return ("none",)
-    p = _Parser(tokens, locale, allow_phrases)
+    p = _Parser(tokens, locale, allow_phrases, use_stopwords)
     node = p.parse_expr()
     if p.peek()[0] is not None:
         raise QueryParseError("trailing tokens")

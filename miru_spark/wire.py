@@ -307,12 +307,12 @@ def execute(engine, kind: str, request: dict, **kw):
 
 def _fulltext(engine, q, authz, **kw):
     """FullTextQuery.java:30-53. TF_IDF -> search (BM25 top-k);
-    TIME -> newest-k. useStopWords=False drops the locale's stop/stem
-    chain (the reference binds the locale analyzer only when
-    useStopWords, FullTextQuestion wiring)."""
-    locale = q.get("locale") if q.get("useStopWords", True) else None
+    TIME -> newest-k. useStopWords picks the locale's stopword vs
+    non-stopword analyzer -- same tokenize/stem chain either way
+    (TermAnalyzers.findAnalyzer:117-133)."""
     common = dict(
-        locale=locale,
+        locale=q.get("locale"),
+        use_stopwords=bool(q.get("useStopWords", True)),
         time_range_us=time_range_us(q.get("timeRange")),
         constraints=filter_tree(q.get("constraintsFilter")),
         authz=authz,

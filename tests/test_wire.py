@@ -611,3 +611,35 @@ def test_anomaly_request_with_expansion(wx_anomaly):
             time_range_us=(lo, hi), segments=4,
         )
         assert got[f"all\x1f{svc}"] == want
+
+
+def test_use_stopwords_false_keeps_locale_chain(wx_engine):
+    """findAnalyzer(locale, useStopWords=false) = same locale analyzer
+    minus the stop list (TermAnalyzers.java:117-133): under `en`,
+    "the" alone is Nothing-to-filter with stopwords on, but a real
+    scoring term with them off -- while stemming stays on either way."""
+    from miru_spark.queryparse import QueryParseError, parse_query
+
+    with pytest.raises(QueryParseError):
+        parse_query("the", "en")
+    assert parse_query("the", "en", use_stopwords=False) == \
+        ("term", "the")
+    # stemming still applies without stopwords
+    assert parse_query("merges", "en", use_stopwords=False) == \
+        parse_query("merges", "en")
+
+    req = {"query": {
+        "timeRange": None, "defaultField": "text", "locale": "en",
+        "useStopWords": False, "query": "the AND merge",
+        "constraintsFilter": None, "strategy": "TF_IDF",
+        "desiredNumberOfResults": 6,
+    }}
+    got = wire.execute(wx_engine, "fulltext", req)
+    want = wx_engine.search("the AND merge", k=6, locale="en",
+                            use_stopwords=False)
+    assert _rows(got) == _rows(want)
+    assert len(_rows(got)) > 0
+    # with stopwords on, "the" drops and the same query means just
+    # "merge" -- different result set shape proves the flag threads
+    on = wx_engine.search("the AND merge", k=6, locale="en")
+    assert _rows(on) == _rows(wx_engine.search("merge", k=6, locale="en"))
