@@ -15,7 +15,8 @@ inside Arrow-batched pandas UDFs:
   code carries a stemmer too (full Snowball or a documented light
   rendition -- ru/ar/fi/tr/sv/da/nb/nn/nl/ro/id/cs/ca/gl/eu/lv/bg/gr/
   hi/hy/ku, plus the en_ie Irish mutation normalizer) EXCEPT fa and th,
-  whose reference analyzers don't stem either (PersianAnalyzer;
+  whose reference analyzers don't stem either (PersianAnalyzer
+  normalizes characters only -- wired here as `persian_normalize`;
   ThaiAnalyzer segments only). Unknown locales fall back to Standard
   behavior (lowercase tokens, no stop/stem) exactly like
   TermAnalyzers.findAnalyzer's StandardAnalyzer fallback
@@ -825,6 +826,30 @@ def _arabic_stem_uncached(word: str) -> str:
 
 
 arabic_stem = lru_cache(maxsize=1 << 16)(_arabic_stem_uncached)
+
+
+# ---------------------------------------------------------------------------
+# Persian: character normalization ONLY -- Lucene's PersianAnalyzer
+# carries no stemmer, but it is NOT an identity chain: PersianCharFilter
+# maps ZWNJ to a space (our tokenizers already split on ZWNJ, same
+# effect), then ArabicNormalizationFilter runs, then
+# PersianNormalizationFilter (PersianNormalizer.java): FARSI YEH
+# U+06CC and YEH BARREE U+06D2 fold to Arabic YEH U+064A, KEHEH U+06A9
+# to KAF U+0643, HEH+YEH U+06C0 and HEH GOAL U+06C1 to HEH U+0647, and
+# a combining HAMZA ABOVE U+0654 is deleted. Net effect: the Persian
+# and Arabic presentation forms of kaf/yeh/heh index as ONE term, so a
+# query typed with either keyboard matches.
+# ---------------------------------------------------------------------------
+
+_FA_FOLD = str.maketrans("یےکۀہ", "ييكهه")
+
+
+def _persian_normalize_uncached(word: str) -> str:
+    w = word.translate(_AR_STRIP).translate(_AR_FOLD)
+    return w.translate(_FA_FOLD).replace("ٔ", "")
+
+
+persian_normalize = lru_cache(maxsize=1 << 16)(_persian_normalize_uncached)
 
 
 # ---------------------------------------------------------------------------
@@ -1829,8 +1854,9 @@ armenian_light_stem = lru_cache(maxsize=1 << 16)(
 # 50-81), each the published Snowball/Lucene stop list. As of r4 every
 # locale code also carries a stemmer (full Snowball or a documented
 # light rendition -- see each stemmer's header) except the two whose
-# reference analyzers don't stem either: fa (PersianAnalyzer), th
-# (ThaiAnalyzer: segmentation only). en_ie gets the Irish chain over
+# reference analyzers don't stem either: fa (PersianAnalyzer: character
+# normalization only, wired as persian_normalize), th (ThaiAnalyzer:
+# segmentation only). en_ie gets the Irish chain over
 # the English stop set, exactly how the reference binds it. Unknown
 # locales fall through to the Standard analyzer exactly like
 # findAnalyzer's fallback (TermAnalyzers.java:117-136).
@@ -2264,9 +2290,9 @@ _LOCALE_ANALYZERS: dict[str, tuple[frozenset, object]] = {
     "bg": (BULGARIAN_STOPWORDS, bulgarian_stem),
     "gr": (GREEK_STOPWORDS, greek_light_stem),
     "ar": (ARABIC_STOPWORDS, arabic_stem),
-    # fa stays unstemmed BY DESIGN: Lucene's PersianAnalyzer carries no
-    # stemmer either (normalization + stop only)
-    "fa": (PERSIAN_STOPWORDS, _identity_stem),
+    # fa carries NO stemmer by design (PersianAnalyzer has none) but DOES
+    # normalize: Arabic strip/fold + the PersianNormalizer folds
+    "fa": (PERSIAN_STOPWORDS, persian_normalize),
     "hi": (HINDI_STOPWORDS, hindi_stem),
     "hy": (ARMENIAN_STOPWORDS, armenian_light_stem),
     "ku": (SORANI_STOPWORDS, sorani_stem),

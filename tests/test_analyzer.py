@@ -267,7 +267,9 @@ GOLDEN_NEW_LOCALES = {
     "bg": ("и книгата е на масата", ["книг", "маса"]),
     "gr": ("ο σκύλος και η γάτα", ["σκυλ", "γατ"]),
     "ar": ("هذا كتاب جديد من المكتبة", ["كتاب", "جديد", "مكتب"]),
-    "fa": ("این کتاب جدید است و خوب", ["کتاب", "جدید", "خوب"]),
+    # PersianNormalizer folds keheh->kaf and farsi-yeh->yeh, so the
+    # indexed terms are the Arabic presentation forms
+    "fa": ("این کتاب جدید است و خوب", ["كتاب", "جديد", "خوب"]),
     "hi": ("यह एक नई किताब है", ["नई", "किताब"]),
     "hy": ("սա գիրք է եւ լավ", ["գիրք", "լավ"]),
     "ku": ("ئەم کتێب و باش", ["کتێب", "باش"]),

@@ -95,6 +95,29 @@ def test_arabic_normalization():
     assert arabic_stem("وكتاب") == "كتاب"
 
 
+def test_persian_normalization():
+    """PersianAnalyzer = ArabicNormalizationFilter +
+    PersianNormalizationFilter (PersianNormalizer.java) -- no stemmer,
+    but Persian and Arabic presentation forms must index as one term."""
+    from miru_spark.analyzer import analyze, persian_normalize
+
+    # keheh -> kaf, farsi yeh -> yeh: either keyboard's spelling matches
+    assert persian_normalize("کتاب") == persian_normalize("كتاب") == "كتاب"
+    assert persian_normalize("می") == persian_normalize("مي") == "مي"
+    # yeh barree and heh goal (Urdu-style presentation) fold too
+    assert persian_normalize("ہے") == "هي"
+    # heh + combining hamza above (heh-ye) -> bare heh
+    assert persian_normalize("خانهٔ") == "خانه"
+    assert persian_normalize("ۀ") == "ه"
+    # the Arabic layer runs first: diacritics strip, hamza-alefs fold
+    assert persian_normalize("أمید") == "اميد"
+    # wired for fa on the analyze path; ZWNJ splits like
+    # PersianCharFilter's ZWNJ->space, and the detached plural particle
+    # is in the Persian stop set exactly as in Lucene's stop list
+    assert analyze("کتاب‌ها", "fa") == ["كتاب"]
+    assert analyze("کتاب‌ها", "fa", use_stopwords=False) == ["كتاب", "ها"]
+
+
 def test_stemmers_do_not_mangle_short_words():
     assert russian_stem("и") == "и"
     assert turkish_light_stem("su") == "su"
@@ -274,12 +297,13 @@ def test_indonesian_syllable_guard():
     from miru_spark.analyzer import indonesian_stem
 
     # two-syllable roots never strip (the published numSyllables > 2
-    # guard); fa has no stemmer by design (PersianAnalyzer parity)
+    # guard); fa has no stemmer by design (PersianAnalyzer parity: its
+    # chain is character normalization only -- persian_normalize)
     assert indonesian_stem("makan") == "makan"
     assert indonesian_stem("ku") == "ku"
-    from miru_spark.analyzer import _LOCALE_ANALYZERS, _identity_stem
+    from miru_spark.analyzer import _LOCALE_ANALYZERS, persian_normalize
 
-    assert _LOCALE_ANALYZERS["fa"][1] is _identity_stem
+    assert _LOCALE_ANALYZERS["fa"][1] is persian_normalize
 
 
 def test_czech_palatalization():
@@ -485,14 +509,20 @@ def test_catalan_galician_basque_armenian_goldens():
 def test_every_locale_stems_or_is_by_design():
     """r4 closes the stemmer matrix: every reference locale code either
     carries a stemmer or its Lucene analyzer doesn't stem either
-    (PersianAnalyzer, ThaiAnalyzer)."""
-    from miru_spark.analyzer import _LOCALE_ANALYZERS, _identity_stem
+    (PersianAnalyzer: normalization only, ThaiAnalyzer: segmentation
+    only)."""
+    from miru_spark.analyzer import (
+        _LOCALE_ANALYZERS,
+        _identity_stem,
+        persian_normalize,
+    )
 
     unstemmed = {
         loc for loc, (_, st) in _LOCALE_ANALYZERS.items()
         if st is _identity_stem
     }
-    assert unstemmed == {"fa", "th"}
+    assert unstemmed == {"th"}
+    assert _LOCALE_ANALYZERS["fa"][1] is persian_normalize
 
 
 def test_irish_en_ie_chain():
