@@ -1285,9 +1285,13 @@ class SearchEngine(FeatureOpsMixin):
             )
         return self._postings_pos
 
-    def expand_prefix(self, prefix: str) -> list[str]:
+    def expand_prefix(self, prefix: str, cap: int | None = None) -> list[str]:
         """Wildcard expansion: term-dictionary range scan, lexicographic,
-        capped (MiruAggregateUtil.java:1154-1167 maxWildcardExpansion)."""
+        capped (MiruAggregateUtil.java:1154-1167 maxWildcardExpansion;
+        `cap` is the per-query FullTextQuery.maxWildcardExpansion
+        override, engine-default when None)."""
+        if cap is None:
+            cap = MAX_WILDCARD_EXPANSION
         if self._terms_sorted is not None:
             import bisect
 
@@ -1295,7 +1299,7 @@ class SearchEngine(FeatureOpsMixin):
             i = bisect.bisect_left(self._terms_sorted, prefix)
             while (
                 i < len(self._terms_sorted)
-                and len(out) < MAX_WILDCARD_EXPANSION
+                and len(out) < cap
                 and self._terms_sorted[i].startswith(prefix)
             ):
                 out.append(self._terms_sorted[i])
@@ -1305,18 +1309,22 @@ class SearchEngine(FeatureOpsMixin):
             self.termstats.filter(F.col("term").startswith(prefix))
             .select("term")
             .orderBy("term")
-            .limit(MAX_WILDCARD_EXPANSION)
+            .limit(cap)
             .collect()
         )
         return [r["term"] for r in rows]
 
-    def expand_range(self, field: str, lo: int, hi: int) -> list[str]:
+    def expand_range(
+        self, field: str, lo: int, hi: int, cap: int | None = None
+    ) -> list[str]:
         """Numeric range -> composed-term list via a term-dictionary range
         scan between the order-preserving-encoded endpoints (the
         MiruTermComposer rawRange scan, MiruTermComposer.java:202-211),
         capped like wildcard expansion."""
         from ..fields import FIELD_SEP, encode_num
 
+        if cap is None:
+            cap = MAX_WILDCARD_EXPANSION
         lo_key = f"{field}{FIELD_SEP}{encode_num(int(lo))}"
         hi_key = f"{field}{FIELD_SEP}{encode_num(int(hi))}"
         if self._terms_sorted is not None:
@@ -1327,7 +1335,7 @@ class SearchEngine(FeatureOpsMixin):
             while (
                 i < len(self._terms_sorted)
                 and self._terms_sorted[i] <= hi_key
-                and len(out) < MAX_WILDCARD_EXPANSION
+                and len(out) < cap
             ):
                 out.append(self._terms_sorted[i])
                 i += 1
@@ -1338,7 +1346,7 @@ class SearchEngine(FeatureOpsMixin):
             )
             .select("term")
             .orderBy("term")
-            .limit(MAX_WILDCARD_EXPANSION)
+            .limit(cap)
             .collect()
         )
         return [r["term"] for r in rows]
@@ -1388,6 +1396,7 @@ class SearchEngine(FeatureOpsMixin):
         constraints=None,
         authz=None,
         use_stopwords: bool = True,
+        max_expand: int | None = None,
     ) -> dict:
         """Driver-side query planning shared by the distributed and local
         paths: parse, expand prefixes (bisect over the pinned dictionary),
@@ -1413,7 +1422,8 @@ class SearchEngine(FeatureOpsMixin):
         pos_terms, pos_prefixes, _ = collect_terms(tree)
         tree = with_access(tree, constraints, authz, locale, allow_phrases)
         return self._prep_tree(
-            tree, time_range_us, pos_terms, pos_prefixes
+            tree, time_range_us, pos_terms, pos_prefixes,
+            max_expand=max_expand,
         )
 
     def _prep_tree(
@@ -1422,6 +1432,7 @@ class SearchEngine(FeatureOpsMixin):
         time_range_us: tuple[int, int] | None = None,
         pos_terms=(),
         pos_prefixes=(),
+        max_expand: int | None = None,
     ) -> dict:
         """Plan an already-built filter tree (the post-parse half of
         `_prep_query`). Programmatic callers -- reco's 3-hop walk, strut,
@@ -1431,9 +1442,16 @@ class SearchEngine(FeatureOpsMixin):
         phrases = collect_phrases(tree)
         phrase_terms = sorted({t for ph in phrases for t, _p in ph[1]})
         terms, prefixes, franges = all_referenced_terms(tree)
-        expansions = {p: self.expand_prefix(p) for p in prefixes}
+        # per-query FullTextQuery.maxWildcardExpansion override rides
+        # only the QUERY's own prefixes/ranges; facet/internal expansions
+        # keep the engine default
+        expansions = {
+            p: self.expand_prefix(p, cap=max_expand) for p in prefixes
+        }
         for fr in franges:  # keyed by the node tuple itself
-            expansions[fr] = self.expand_range(fr[1], fr[2], fr[3])
+            expansions[fr] = self.expand_range(
+                fr[1], fr[2], fr[3], cap=max_expand
+            )
         scoring_terms = set(pos_terms)
         for p in pos_prefixes:
             scoring_terms.update(expansions[p])
@@ -3872,6 +3890,7 @@ class SearchEngine(FeatureOpsMixin):
         authz=None,
         highlight_from: DataFrame | None = None,
         use_stopwords: bool = True,
+        max_expand: int | None = None,
     ) -> DataFrame:
         """Run a query; returns DataFrame(url, warc_ts, pid, doc_id, score)
         ordered by (score desc, pid, doc_id), limit k.
@@ -3910,7 +3929,7 @@ class SearchEngine(FeatureOpsMixin):
         if prep is None:
             prep = self._prep_query(
                 query, locale, time_range_us, constraints, authz,
-                use_stopwords,
+                use_stopwords, max_expand=max_expand,
             )
         if local is None:
             local = self._local_eligible(prep)
@@ -4076,6 +4095,8 @@ class SearchEngine(FeatureOpsMixin):
         prep = self._prep_query(
             query, kw.get("locale"), kw.get("time_range_us"),
             kw.pop("constraints", None), kw.pop("authz", None),
+            kw.get("use_stopwords", True),
+            max_expand=kw.pop("max_expand", None),
         )
         if local is None:
             local = self._local_eligible(prep)
@@ -4258,6 +4279,7 @@ class SearchEngine(FeatureOpsMixin):
         constraints=None,
         authz=None,
         use_stopwords: bool = True,
+        max_expand: int | None = None,
     ) -> DataFrame:
         """TIME strategy: newest-k, score 0 (FullText.collectTime
         :222-251 -- descending docID iterator), minus tombstoned docs.
@@ -4271,7 +4293,7 @@ class SearchEngine(FeatureOpsMixin):
         if query is not None or constraints is not None or authz is not None:
             prep = self._prep_query(
                 query, locale, time_range_us, constraints, authz,
-                use_stopwords,
+                use_stopwords, max_expand=max_expand,
             )
             if self._local_eligible(prep):
                 rows = self._search_local(prep, k, False, strategy="time")

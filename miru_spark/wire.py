@@ -317,6 +317,12 @@ def _fulltext(engine, q, authz, **kw):
         constraints=filter_tree(q.get("constraintsFilter")),
         authz=authz,
     )
+    # the JSON property is named maxDeterminizedStates but binds the
+    # maxWildcardExpansion field (FullTextQuery.java:30-36); <=0 means
+    # engine default, exactly how the plugin treats it
+    max_expand = int(q.get("maxDeterminizedStates", 0) or 0)
+    if max_expand > 0:
+        common["max_expand"] = max_expand
     k = int(q.get("desiredNumberOfResults", 10))
     if q.get("strategy", "TF_IDF") == "TIME":
         return engine.newest(k=k, query=q["query"], **common, **kw)

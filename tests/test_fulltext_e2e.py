@@ -564,3 +564,45 @@ def test_composite_kernel_pinned_tombstones_identity(
         b = eng.search_collect(q, k=10, local=True)
         assert a == b, q
         assert not ({(r[0], r[1]) for r in a} & set(victims)), q
+
+
+def test_max_wildcard_expansion_per_query(engine):
+    """FullTextQuery.maxWildcardExpansion is a PER-QUERY cap on prefix
+    (and numeric-range) expansion, layered over the engine default
+    (MiruAggregateUtil.java:1154-1167)."""
+    full = engine.expand_prefix("w00004")
+    assert len(full) > 2
+    assert engine.expand_prefix("w00004", cap=2) == full[:2]
+
+    # a capped prefix query scores exactly the capped term set: with
+    # cap=1 "w00004*" IS the single lexicographically-first term
+    want = engine.search_collect(full[0], k=10)
+    got = engine.search_collect("w00004*", k=10, max_expand=1)
+    assert got == want
+    # both routes agree under the cap
+    assert (
+        engine.search_collect("w00004*", k=10, max_expand=2, local=False)
+        == engine.search_collect("w00004*", k=10, max_expand=2, local=True)
+    )
+    # uncapped differs (the extra expansions contribute matches)
+    assert engine.search_collect("w00004*", k=10) != got
+
+
+def test_search_collect_threads_use_stopwords(engine):
+    """Regression: search_collect must build its prep with the caller's
+    use_stopwords -- the serving path was silently pinning it True."""
+    on = engine.search_collect("the AND w000001", k=10, locale="en")
+    off = engine.search_collect(
+        "the AND w000001", k=10, locale="en", use_stopwords=False
+    )
+    # with stopwords on, "the" drops and the query means just w000001
+    assert on == engine.search_collect("w000001", k=10, locale="en")
+    # with them off, "the" is a real conjunct ("the" survives only in
+    # non-en docs of this corpus, so the sets genuinely differ)
+    assert off != on
+    assert off == [
+        t for t in engine.search_collect(
+            "the AND w000001", k=10, locale="en", use_stopwords=False,
+            local=False,
+        )
+    ]

@@ -643,3 +643,28 @@ def test_use_stopwords_false_keeps_locale_chain(wx_engine):
     # "merge" -- different result set shape proves the flag threads
     on = wx_engine.search("the AND merge", k=6, locale="en")
     assert _rows(on) == _rows(wx_engine.search("merge", k=6, locale="en"))
+
+
+def test_fulltext_max_wildcard_expansion_threads(wx_engine):
+    """maxDeterminizedStates (the JSON name FullTextQuery binds to
+    maxWildcardExpansion, FullTextQuery.java:30-36) caps the query's
+    prefix expansion; <=0/absent keeps the engine default."""
+    full = wx_engine.expand_prefix("t")
+    assert len(full) > 1
+    req = {"query": {
+        "timeRange": None, "defaultField": "text", "locale": "en",
+        "useStopWords": True, "query": "t*",
+        "maxDeterminizedStates": 1,
+        "constraintsFilter": None, "strategy": "TF_IDF",
+        "desiredNumberOfResults": 8,
+    }}
+    got = wire.execute(wx_engine, "fulltext", req)
+    want = wx_engine.search("t*", k=8, locale="en", max_expand=1)
+    assert _rows(got) == _rows(want)
+    # the capped query is exactly its first expansion term
+    assert _rows(got) == _rows(
+        wx_engine.search(full[0], k=8, locale="en")
+    )
+    req["query"]["maxDeterminizedStates"] = 0
+    dflt = wire.execute(wx_engine, "fulltext", req)
+    assert _rows(dflt) == _rows(wx_engine.search("t*", k=8, locale="en"))
