@@ -354,10 +354,147 @@ WHERE i.inter / CAST(sa.sz + sb.sz - i.inter AS DOUBLE) >= 0.2
 """
 
 
+# -- Duplicate clustering: connected components over the LSH pair graph ----
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_rounds: int = 25,
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14): O(log n) rounds, each round ONE min-groupBy plus ONE join.
+    No neighborhood collect_list anywhere, so a celebrity node (a head
+    duplicate cluster with millions of members) can never blow a single
+    task -- its neighbors re-point via a join, row by row. That is the
+    property that makes this the 10^12-document shape; label-propagation
+    converges in O(diameter) rounds and star-contraction with gathered
+    neighbor lists hot-spots, both published dead ends at this scale.
+
+    Returns (node, component) for every node that appears in `edges`,
+    where component = the component's minimum node id. Iterates to a
+    fixpoint (set-stable edge list) and raises if `max_rounds` rounds
+    don't converge -- a wrong answer must never return silently. Each
+    round localCheckpoints to truncate the plan lineage; at cluster
+    scale swap for `spark.sparkContext.setCheckpointDir` + checkpoint()
+    (reliable storage), which is the only change this loop needs.
+    """
+    e = (
+        edges.select(
+            F.col(src).cast("long").alias("u"),
+            F.col(dst).cast("long").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _round in range(max_rounds):
+        # large-star: every neighbor v > u re-points to m(u) =
+        # min(neighborhood(u) + {u})
+        bi = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (
+            bi.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("u", "mn").alias("m"))
+        )
+        large = (
+            bi.filter(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: orient u > v; every small neighbor (and u itself)
+        # re-points to the smallest neighbor m < u
+        e2 = large.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).distinct()
+        mins2 = e2.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            e2.join(mins2, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .union(mins2.select("u", F.col("m").alias("v")))
+            .distinct()
+            .localCheckpoint()
+        )
+        if small.exceptAll(e).isEmpty() and e.exceptAll(small).isEmpty():
+            e = small
+            break
+        e = small
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds"
+        )
+    # fixpoint edges form stars child -> component-min root: each node's
+    # component is its smallest final neighbor (the root maps to itself)
+    bi = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    return (
+        bi.groupBy("u")
+        .agg(F.min("v").alias("mn"))
+        .select(
+            F.col("u").alias("node"),
+            F.least("u", "mn").alias("component"),
+        )
+    )
+
+
+def dd_cluster(spark, sf_dir):
+    """Duplicate clusters = transitive closure of the verified banded-LSH
+    candidate pairs (`dd_minhash_pairs`): one row per document that is in
+    any cluster of size >= 2, carrying the cluster id (= min doc_id of
+    its component) and whether this doc is the canonical representative.
+    The keep-set of a dedup pass is `is_canonical` rows plus every
+    unpaired document."""
+    pairs = dd_minhash_pairs(spark, sf_dir)
+    cc = connected_components(pairs)
+    return cc.select(
+        F.col("node").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("cluster_id"),
+        (F.col("node") == F.col("component")).alias("is_canonical"),
+    )
+
+
+# the oracle re-derives the pair graph, then takes its transitive
+# closure with a recursive CTE: a node's reachable-label set is its
+# whole component, so min(label) is exactly the cluster id
+DD_CLUSTER_SQL = f"""
+WITH RECURSIVE {_SHINGLES_SQL.strip()}, {_PARAMS_SQL}, {_SIG_SQL_BODY.strip()},
+{_CAND_SQL.strip()}, est AS (
+  SELECT c.doc_a, c.doc_b,
+         sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END)
+           / {float(N_HASHES)} AS est_raw
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.doc_a
+  JOIN sig sb ON sb.doc_id = c.doc_b AND sb.hid = sa.hid
+  GROUP BY c.doc_a, c.doc_b
+), pairs AS (
+  SELECT doc_a, doc_b FROM est WHERE est_raw >= 0.25
+), edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM pairs
+), cc(node, label) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.v, cc.label FROM cc JOIN edges e ON e.u = cc.node
+)
+SELECT CAST(node AS BIGINT) AS doc_id,
+       CAST(min(label) AS BIGINT) AS cluster_id,
+       (node = min(label)) AS is_canonical
+FROM cc GROUP BY node
+"""
+
+
 QUERIES = {
     "dd_exact": (dd_exact, DD_EXACT_SQL),
-    "dd_minhash_sig": (dd_minhash_sig, DD_MINHASH_SIG_SQL),
+    # dd_minhash_sig stays public API + SQL-oracled in this module, but
+    # its registry slot goes to dd_cluster (the 50-entry driver gate):
+    # the signatures are verified transitively -- dd_minhash_pairs is
+    # computed FROM them and any signature drift breaks the pair oracle
     "dd_minhash_pairs": (dd_minhash_pairs, DD_MINHASH_PAIRS_SQL),
+    "dd_cluster": (dd_cluster, DD_CLUSTER_SQL),
     "dd_simhash": (dd_simhash, DD_SIMHASH_SQL),
     "dd_ngram_jaccard": (dd_ngram_jaccard, DD_NGRAM_JACCARD_SQL),
 }
