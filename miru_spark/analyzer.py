@@ -1376,7 +1376,25 @@ _HI_SUFFIXES = sorted(
 )
 
 
+# The unambiguous core of Lucene's HindiNormalizer (HindiNormalizer.java),
+# which runs before HindiStemmer in HindiAnalyzer: the nukta-variant
+# consonants (the Urdu/Persian loan spellings za/fa/qa/kha/ga/ya/rra/
+# dddha/rha/nnna/llla, precomposed U+0929/0931/0934/0958-095F) fold to
+# their base consonants, a combining nukta U+093C is deleted, and
+# candrabindu U+0901 folds to anusvara U+0902. The normalizer's further
+# vowel-folding cases are NOT rendered here (no authoritative offline
+# copy of that table -- a guessed fold is worse than none, same policy
+# as the Irish backward-mode tables); scope documented in COVERAGE.md.
+_HI_NORM = str.maketrans(
+    "ऩऱऴक़ख़ग़ज़ड़ढ़फ़य़"
+    "ँ",
+    "नरळकखगजडढफय"
+    "ं",
+)
+
+
 def _hindi_stem_uncached(word: str) -> str:
+    word = word.translate(_HI_NORM).replace("़", "")
     for suf in _HI_SUFFIXES:
         if word.endswith(suf) and len(word) > len(suf) + 1:
             return word[: -len(suf)]

@@ -118,6 +118,23 @@ def test_persian_normalization():
     assert analyze("کتاب‌ها", "fa", use_stopwords=False) == ["كتاب", "ها"]
 
 
+def test_hindi_nukta_normalization():
+    """HindiNormalizer's unambiguous core, run before the suffix
+    stemmer: Urdu-loan nukta spellings conflate with their base
+    consonants in BOTH Unicode representations (precomposed U+0958..
+    and base + combining nukta U+093C), candrabindu folds to
+    anusvara."""
+    from miru_spark.analyzer import hindi_stem
+
+    assert hindi_stem("ज़रूरी") == hindi_stem("जरूरी")      # za -> ja
+    assert hindi_stem("फ़िल्म") == hindi_stem("फिल्म")      # fa -> pha
+    assert hindi_stem("क़ानून") == hindi_stem("कानून")      # qa -> ka
+    # decomposed (base + U+093C) == precomposed fold
+    assert hindi_stem("\u0921\u093c\u0930") == hindi_stem("\u095c\u0930")
+    # candrabindu == anusvara
+    assert hindi_stem("हँसना") == hindi_stem("हंसना")
+
+
 def test_stemmers_do_not_mangle_short_words():
     assert russian_stem("и") == "и"
     assert turkish_light_stem("su") == "su"
@@ -273,7 +290,9 @@ def test_id_hi_bg_conflation():
         "buku": ["buku", "bukunya", "bukuku"],
     }
     hi_fams = {
-        "लड़क": ["लड़का", "लड़के", "लड़कों"],
+        # the nukta normalizer runs before the stemmer, so the
+        # conflated head is the nukta-free form (Lucene chain order)
+        "लडक": ["लड़का", "लड़के", "लड़कों"],
         "किताब": ["किताब", "किताबें"],
         "चल": ["चलता", "चलती"],
     }
