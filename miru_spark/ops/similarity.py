@@ -127,6 +127,25 @@ def emb_dup_pairs(spark, sf_dir):
     )
 
 
+def emb_cluster(spark, sf_dir):
+    """Embedding near-duplicate CLUSTERS: the transitive closure of
+    `emb_dup_pairs` via the same large-star/small-star connected
+    components the text-dedup family uses (dedup.connected_components)
+    -- cluster id = min vec_id of the component, one canonical
+    representative per cluster. Not registry-gated (50-entry cap);
+    pinned by tests/test_dedup_cluster.py against a union-find oracle
+    through the shared component kernel."""
+    from .dedup import connected_components
+
+    pairs = emb_dup_pairs(spark, sf_dir)
+    cc = connected_components(pairs, src="vid_a", dst="vid_b")
+    return cc.select(
+        F.col("node").cast("long").alias("vec_id"),
+        F.col("component").cast("long").alias("cluster_id"),
+        (F.col("node") == F.col("component")).alias("is_canonical"),
+    )
+
+
 # -- label centroid similarity (aggregate over vectors, JVM-side) -----------
 
 def emb_label_norms(spark, sf_dir):

@@ -83,3 +83,18 @@ def test_dd_cluster_invariants(spark):
         assert cid == min(m["doc_id"] for m in members)
         canon = [m for m in members if m["is_canonical"]]
         assert len(canon) == 1 and canon[0]["doc_id"] == cid
+
+
+def test_emb_cluster_matches_union_find(spark):
+    sf = "/root/testdata/sf0.001"
+    from miru_spark.ops.similarity import emb_cluster, emb_dup_pairs
+
+    pairs = [
+        (r["vid_a"], r["vid_b"])
+        for r in emb_dup_pairs(spark, sf).collect()
+    ]
+    rows = emb_cluster(spark, sf).collect()
+    got = {r["vec_id"]: r["cluster_id"] for r in rows}
+    assert got == _union_find(pairs)
+    canon = [r for r in rows if r["is_canonical"]]
+    assert {r["vec_id"] for r in canon} == set(got.values())
