@@ -9,6 +9,11 @@ from .compact import (  # noqa: F401
     compact_index,
     compact_removals,
 )
+from .retention import (  # noqa: F401
+    get_retention,
+    retention_pid_floor,
+    set_retention,
+)
 from .removals import (  # noqa: F401
     read_removed,
     remove_docs,

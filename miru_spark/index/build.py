@@ -1077,14 +1077,22 @@ def _build_index_inner(
         "extra_fields": extra_fields,
         "positions": bool(positions),
     }
+    # maintenance-owned meta keys (set_retention) ride along unchanged:
+    # they are not build parameters, so they neither participate in the
+    # resume-consistency check nor get dropped by the rewrite
+    _MAINT_KEYS = ("retention_min_us",)
     if os.path.exists(meta_path):
         with open(meta_path) as f:
             old = json.load(f)
+        for k in _MAINT_KEYS:
+            if k in old:
+                meta[k] = old.pop(k)
         # indexes written before the positions capability lack the key;
         # they are positions=False by construction
         old.setdefault("positions", False)
         old.setdefault("extra_fields", [])
-        if resume and old != meta:
+        if resume and old != {k: v for k, v in meta.items()
+                              if k not in _MAINT_KEYS}:
             raise ValueError(
                 f"index meta mismatch: existing {old} vs requested {meta}"
             )

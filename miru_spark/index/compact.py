@@ -154,6 +154,18 @@ def compact_index(
         rep["tag"] = new_tag
 
         seg = _read_parquet_dir(spark, paths.segments, tags)
+        # physical retention reclaim (index/retention.py): merged units
+        # drop every row of fully-expired pids (strictly below the
+        # watermark's pid floor; the boundary pid keeps all rows and
+        # stays exact through the engine's query clamp). Kept (unmerged)
+        # units reclaim when a later pass merges them -- a FULL
+        # compaction reclaims everything at once.
+        from .retention import retention_pid_floor
+
+        pid_floor = retention_pid_floor(index_dir)
+        if pid_floor > 0:
+            seg = seg.filter(F.col("pid") >= pid_floor)
+            rep["retention_pid_floor"] = pid_floor
         files_before = sum(sizes[t][0] for t in tags)
         bytes_before = sum(sizes[t][1] for t in tags)
         rep["files_before"] = files_before
@@ -190,8 +202,14 @@ def compact_index(
         )
 
         # lineage rewrite: same per-pid rows, all under the new tag (the
-        # reopen_pids rewrite pattern); THEN vacuum the replaced units
+        # reopen_pids rewrite pattern); fully-expired pids of the merged
+        # units retire WITH their data; THEN vacuum the replaced units
         lineage = spark.read.parquet(paths.lineage)
+        if pid_floor > 0:
+            lineage = lineage.filter(
+                (F.col("pid") >= pid_floor)
+                | ~F.col("batch_tag").isin(tags)
+            )
         kept = lineage.withColumn(
             "batch_tag",
             F.when(

@@ -1461,6 +1461,19 @@ class SearchEngine(FeatureOpsMixin):
             fetch_terms.update(exp)
 
         has_all_node = "all" in _tree_tags(tree)
+        # retention watermark (index/retention.py set_retention): clamp
+        # EVERY query's time range to [retention_min_us, +inf) -- this is
+        # the single shared planning point, so both engine paths and all
+        # index-backed analytics honor it identically
+        ret_us = int(self.meta.get("retention_min_us", 0) or 0)
+        if ret_us > 0:
+            if time_range_us is None:
+                time_range_us = (ret_us, (1 << 62))
+            else:
+                time_range_us = (
+                    max(int(time_range_us[0]), ret_us),
+                    int(time_range_us[1]),
+                )
         relevant_pids = sorted(self.pid_counts)
         time_bounds = None
         time_spec = None
@@ -2150,10 +2163,15 @@ class SearchEngine(FeatureOpsMixin):
             "n_pids_relevant": len(prep["relevant_pids"]),
             "pid_range": prep["pid_range"],
             "time_pruning": (
-                "none" if time_range_us is None
+                "none"
+                if time_range_us is None and prep["time_spec"] is None
+                and prep["time_bounds"] is None
                 else "kernel-side 't' rows (format 2)"
                 if prep["time_spec"] is not None
                 else "driver bounds job (format 1)"
+            ),
+            "retention_min_us": (
+                int(self.meta.get("retention_min_us", 0) or 0) or None
             ),
             "blockmax": (
                 (
@@ -4322,6 +4340,11 @@ class SearchEngine(FeatureOpsMixin):
                 "doc_id",
             )
         dm = self.docmap
+        # the bare (unfiltered) newest page bypasses _prep_tree, so the
+        # retention watermark clamps here directly
+        ret_us = int(self.meta.get("retention_min_us", 0) or 0)
+        if ret_us > 0:
+            dm = dm.filter(F.col("warc_us") >= ret_us)
         if self._removed_df is not None:
             # pinned sets are tiny -> broadcast anti-join; unpinned sets
             # fall back to a plain (shuffled) anti-join

@@ -1,0 +1,145 @@
+"""Time-based retention: watermark clamp on every query path, physical
+reclaim at compaction, score identity with a fresh build of the retained
+slice (index/retention.py)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from miru_spark.index import (
+    build_index,
+    compact_index,
+    get_retention,
+    retention_pid_floor,
+    set_retention,
+)
+from miru_spark.query.engine import SearchEngine
+from miru_spark.webtext import webtext_df
+
+N_DOCS = 600
+PARTITION_SECONDS = 600  # ~7 pids over the synthetic corpus
+BLOCK_SPAN = 64
+QUERIES = ["w000001 AND w000004", "w000001 OR w000009", "w00004*",
+           "w000002 AND NOT w000001"]
+
+
+@pytest.fixture(scope="module")
+def idx(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("idx_ret"))
+    wt = webtext_df(spark, N_DOCS, parallelism=4)
+    # bounded batches so compaction has units to merge
+    build_index(
+        spark, wt, d, partition_seconds=PARTITION_SECONDS,
+        block_span=BLOCK_SPAN, batch_partitions=3,
+    )
+    return d
+
+
+def _cutoff_us(spark, idx, frac=0.4, align_pid=False):
+    eng = SearchEngine(spark, idx)
+    pids = sorted(eng.pid_counts)
+    psec_us = PARTITION_SECONDS * 1_000_000
+    if align_pid:
+        return pids[len(pids) // 2] * psec_us
+    return pids[len(pids) // 3] * psec_us + psec_us // 2  # mid-pid
+
+
+def test_watermark_clamps_both_paths(spark, idx, tmp_path):
+    import shutil
+
+    d = str(tmp_path / "ret1")
+    shutil.copytree(idx, d)
+    cut = _cutoff_us(spark, d)
+    assert get_retention(d) == 0
+    assert set_retention(d, cut) == 0
+    assert get_retention(d) == cut
+
+    base = SearchEngine(spark, idx)   # no retention
+    eng = SearchEngine(spark, d)      # retention set
+    big = (1 << 62)
+    for q in QUERIES:
+        want = base.search_collect(q, k=10, time_range_us=(cut, big))
+        assert eng.search_collect(q, k=10, local=True) == want, q
+        assert eng.search_collect(q, k=10, local=False) == want, q
+        # an explicit range intersects with the watermark
+        narrower = base.search_collect(q, k=10, time_range_us=(0, big))
+        assert eng.search_collect(q, k=10, time_range_us=(0, big)) == want
+        assert narrower == base.search_collect(q, k=10)
+    # analytics family honors the clamp through the same prep point
+    assert eng.count("w000001") == base.count(
+        "w000001", time_range_us=(cut, big)
+    )
+    # newest() never surfaces an expired doc
+    rows = eng.newest(k=20).collect()
+    assert all(int(r["warc_ts"].timestamp() * 1e6) >= cut for r in rows)
+    # explain surfaces the watermark
+    assert eng.explain("w000001")["retention_min_us"] == cut
+
+
+def test_watermark_only_advances(spark, idx, tmp_path):
+    import shutil
+
+    d = str(tmp_path / "ret2")
+    shutil.copytree(idx, d)
+    set_retention(d, 1000)
+    with pytest.raises(ValueError):
+        set_retention(d, 999)
+    set_retention(d, 1000)  # same value no-ops
+    assert get_retention(d) == 1000
+
+
+def test_compaction_reclaims_and_matches_fresh_build(
+    spark, idx, tmp_path
+):
+    import shutil
+
+    d = str(tmp_path / "ret3")
+    shutil.copytree(idx, d)
+    cut = _cutoff_us(spark, d, align_pid=True)
+    set_retention(d, cut)
+    floor = retention_pid_floor(d)
+    assert floor > 0
+
+    rep = compact_index(spark, d)
+    assert rep["retention_pid_floor"] == floor
+    # physically gone: no surviving row below the floor
+    seg = spark.read.option("recursiveFileLookup", "true").parquet(
+        os.path.join(d, "segments")
+    )
+    assert seg.filter(F.col("pid") < floor).count() == 0
+
+    # identical (docs AND scores) to a fresh build over the retained
+    # slice: same pids, same minted doc_ids, recomputed df/N
+    fresh_dir = str(tmp_path / "fresh")
+    wt = webtext_df(spark, N_DOCS, parallelism=4).filter(
+        F.unix_micros(F.col("warc_ts")) >= cut
+    )
+    build_index(
+        spark, wt, fresh_dir, partition_seconds=PARTITION_SECONDS,
+        block_span=BLOCK_SPAN,
+    )
+    eng = SearchEngine(spark, d)
+    ref = SearchEngine(spark, fresh_dir)
+    assert eng.n_docs == ref.n_docs
+    for q in QUERIES:
+        got = eng.search_collect(q, k=10)
+        want = ref.search_collect(q, k=10)
+        assert got == want, q
+        assert eng.search_collect(q, k=10, local=False) == want, q
+
+
+def test_resume_build_preserves_watermark(spark, tmp_path):
+    d = str(tmp_path / "ret4")
+    wt = webtext_df(spark, 200, parallelism=2)
+    build_index(
+        spark, wt, d, partition_seconds=PARTITION_SECONDS,
+        block_span=BLOCK_SPAN,
+    )
+    set_retention(d, 12345)
+    # a resumed (incremental) build must carry the watermark through
+    build_index(
+        spark, wt, d, partition_seconds=PARTITION_SECONDS,
+        block_span=BLOCK_SPAN, resume=True,
+    )
+    assert get_retention(d) == 12345
