@@ -74,11 +74,17 @@ def sync_index(
         raise ValueError(f"{src_root} is not a built index (no meta.json)")
     if os.path.exists(dst_meta):
         with open(src_meta) as f1, open(dst_meta) as f2:
-            if json.load(f1) != json.load(f2):
-                raise ValueError(
-                    "dst index exists with a different meta.json "
-                    "(partitioning/format mismatch); refusing to mix"
-                )
+            m1, m2 = json.load(f1), json.load(f2)
+        # maintenance-owned keys (set_retention's watermark) legitimately
+        # differ across replicas mid-sync -- they replicate via the meta
+        # swap below; only BUILD parameters gate compatibility
+        for m in (m1, m2):
+            m.pop("retention_min_us", None)
+        if m1 != m2:
+            raise ValueError(
+                "dst index exists with a different meta.json "
+                "(partitioning/format mismatch); refusing to mix"
+            )
     os.makedirs(dst.segments, exist_ok=True)
 
     src_tags = set(_valid_tags(spark, src))

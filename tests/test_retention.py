@@ -143,3 +143,24 @@ def test_resume_build_preserves_watermark(spark, tmp_path):
         block_span=BLOCK_SPAN, resume=True,
     )
     assert get_retention(d) == 12345
+
+
+def test_sync_propagates_watermark(spark, idx, tmp_path):
+    import shutil
+
+    from miru_spark.index import sync_index
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    shutil.copytree(idx, src)
+    sync_index(spark, src, dst)  # replicate, then advance retention
+    cut = _cutoff_us(spark, src)
+    set_retention(src, cut)
+    sync_index(spark, src, dst)  # incremental re-sync must not refuse
+    assert get_retention(dst) == cut
+    a = SearchEngine(spark, src)
+    b = SearchEngine(spark, dst)
+    for q in QUERIES:
+        assert (
+            a.search_collect(q, k=10) == b.search_collect(q, k=10)
+        ), q
