@@ -6,7 +6,7 @@ Usage:
     spark-submit --py-files miru_spark.zip jobs/compact_job.py \
         --index-dir /path/to/index [--max-unit-bytes 268435456] \
         [--target-partitions N] [--target-file-bytes 134217728] \
-        [--no-removals]
+        [--no-removals] [--retire-before-us EPOCH_US]
 
 Full pass by default; --max-unit-bytes runs a tiered pass (only
 sub-threshold commit units merge -- the Lucene merge-policy shape, so a
@@ -44,6 +44,12 @@ def main() -> None:
         "--no-removals", action="store_true",
         help="skip the tombstone-log compaction",
     )
+    ap.add_argument(
+        "--retire-before-us", type=int, default=None,
+        help="advance the retention watermark to this epoch-microsecond "
+        "cutoff before compacting, so the pass physically reclaims the "
+        "expired pids (index/retention.py)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -59,6 +65,10 @@ def main() -> None:
         pass
 
     t0 = time.time()
+    if args.retire_before_us is not None:
+        from miru_spark.index.retention import set_retention
+
+        set_retention(args.index_dir, args.retire_before_us)
     rep = compact_index(
         spark,
         args.index_dir,
