@@ -844,12 +844,30 @@ arabic_stem = lru_cache(maxsize=1 << 16)(_arabic_stem_uncached)
 _FA_FOLD = str.maketrans("یےکۀہ", "ييكهه")
 
 
+def _arabic_norm_only(word: str) -> str:
+    """ArabicNormalizationFilter alone (no prefix/suffix stripping) --
+    the layer that runs BEFORE StopFilter in Lucene's ar chain."""
+    return word.translate(_AR_STRIP).translate(_AR_FOLD)
+
+
 def _persian_normalize_uncached(word: str) -> str:
     w = word.translate(_AR_STRIP).translate(_AR_FOLD)
     return w.translate(_FA_FOLD).replace("ٔ", "")
 
 
 persian_normalize = lru_cache(maxsize=1 << 16)(_persian_normalize_uncached)
+
+
+def _norm_augmented(stopwords: frozenset, norm) -> frozenset:
+    """Stop set closed under the locale's character normalization.
+
+    Lucene's ar/fa/hi chains stop AFTER normalization, so a stopword
+    typed in any presentation form stops. This pipeline stops BEFORE the
+    stem/normalize step (one shared shape across all 31 locales), so the
+    set itself carries each stopword's normalized image -- e.g. the
+    Arabic-keyboard spelling of a Persian stopword drops exactly as it
+    would in PersianAnalyzer."""
+    return frozenset(stopwords) | frozenset(norm(w) for w in stopwords)
 
 
 # ---------------------------------------------------------------------------
@@ -1393,8 +1411,14 @@ _HI_NORM = str.maketrans(
 )
 
 
+def _hindi_norm_only(word: str) -> str:
+    """The normalization layer of the hi chain alone (runs before the
+    stop check, like Lucene's IndicNormalizationFilter placement)."""
+    return word.translate(_HI_NORM).replace("़", "")
+
+
 def _hindi_stem_uncached(word: str) -> str:
-    word = word.translate(_HI_NORM).replace("़", "")
+    word = _hindi_norm_only(word)
     for suf in _HI_SUFFIXES:
         if word.endswith(suf) and len(word) > len(suf) + 1:
             return word[: -len(suf)]
@@ -2307,16 +2331,32 @@ _LOCALE_ANALYZERS: dict[str, tuple[frozenset, object]] = {
     "lv": (LATVIAN_STOPWORDS, latvian_light_stem),
     "bg": (BULGARIAN_STOPWORDS, bulgarian_stem),
     "gr": (GREEK_STOPWORDS, greek_light_stem),
-    "ar": (ARABIC_STOPWORDS, arabic_stem),
+    # ar/fa/hi: Lucene stops AFTER normalization, so (a) the stop sets
+    # are closed under their normalizers (_norm_augmented) and (b) the
+    # membership check normalizes the token first (_STOP_NORMALIZERS)
+    "ar": (_norm_augmented(ARABIC_STOPWORDS, _arabic_norm_only),
+           arabic_stem),
     # fa carries NO stemmer by design (PersianAnalyzer has none) but DOES
     # normalize: Arabic strip/fold + the PersianNormalizer folds
-    "fa": (PERSIAN_STOPWORDS, persian_normalize),
-    "hi": (HINDI_STOPWORDS, hindi_stem),
+    "fa": (_norm_augmented(PERSIAN_STOPWORDS, persian_normalize),
+           persian_normalize),
+    "hi": (_norm_augmented(HINDI_STOPWORDS, _hindi_norm_only),
+           hindi_stem),
     "hy": (ARMENIAN_STOPWORDS, armenian_light_stem),
     "ku": (SORANI_STOPWORDS, sorani_stem),
     "th": (THAI_STOPWORDS, _identity_stem),
     "en_ie": (ENGLISH_STOPWORDS, irish_stem),
     "pt_br": (PORTUGUESE_STOPWORDS, portuguese_light_stem),
+}
+
+# stop-check key per locale: the token is normalized BEFORE the stop
+# membership test, mirroring Lucene's filter order (normalize -> stop ->
+# stem) for the chains that carry a normalizer; everywhere else the raw
+# token is the key
+_STOP_NORMALIZERS = {
+    "ar": _arabic_norm_only,
+    "fa": persian_normalize,
+    "hi": _hindi_norm_only,
 }
 
 
@@ -2371,7 +2411,10 @@ def analyze(
     stopwords, stem = spec
     if not use_stopwords:
         stopwords = frozenset()
-    return [stem(t) for t in tokens if t not in stopwords]
+    skey = _STOP_NORMALIZERS.get(base)
+    if skey is None:
+        return [stem(t) for t in tokens if t not in stopwords]
+    return [stem(t) for t in tokens if skey(t) not in stopwords]
 
 
 def analyze_positions(
@@ -2415,10 +2458,11 @@ def analyze_positions(
     stopwords, stem = spec
     if not use_stopwords:
         stopwords = frozenset()
+    skey = _STOP_NORMALIZERS.get(base) or (lambda t: t)
     out_t: list[str] = []
     out_p: list[int] = []
     for i, t in enumerate(tokens):
-        if t not in stopwords:
+        if skey(t) not in stopwords:
             out_t.append(stem(t))
             out_p.append(i)
     return out_t, out_p
@@ -2645,6 +2689,7 @@ def analyze_block(
     stopwords, stem = spec if spec is not None else (frozenset(), None)
     if not use_stopwords:
         stopwords = frozenset()
+    skey = _STOP_NORMALIZERS.get(base)
     # unique-level stop/stem, then canonicalize stem collisions
     # (distinct raw tokens stemming to one term must share a term id
     # so per-doc tf counting merges them); "" entries from the Arrow
@@ -2653,7 +2698,7 @@ def analyze_block(
     remap = np.empty(len(uniq), dtype=np.int32)
     canon: dict = {}
     for j, u in enumerate(uniq):
-        if not u or u in stopwords:
+        if not u or (u if skey is None else skey(u)) in stopwords:
             remap[j] = -1
             continue
         t = stem(u) if stem is not None else u

@@ -1077,16 +1077,22 @@ def _build_index_inner(
         "extra_fields": extra_fields,
         "positions": bool(positions),
     }
-    # maintenance-owned meta keys (set_retention) ride along unchanged:
-    # they are not build parameters, so they neither participate in the
-    # resume-consistency check nor get dropped by the rewrite
+    # maintenance-owned meta keys (set_retention) ride along on RESUMED
+    # builds: they are not build parameters, so they neither participate
+    # in the resume-consistency check nor get dropped by the rewrite. A
+    # fresh rebuild (resume=False) discards the old index, so inheriting
+    # its watermark would silently hide (then reclaim) backfilled docs
+    # older than a cutoff that belonged to a discarded index.
     _MAINT_KEYS = ("retention_min_us",)
     if os.path.exists(meta_path):
         with open(meta_path) as f:
             old = json.load(f)
         for k in _MAINT_KEYS:
             if k in old:
-                meta[k] = old.pop(k)
+                if resume:
+                    meta[k] = old.pop(k)
+                else:
+                    old.pop(k)
         # indexes written before the positions capability lack the key;
         # they are positions=False by construction
         old.setdefault("positions", False)

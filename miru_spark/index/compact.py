@@ -135,7 +135,23 @@ def compact_index(
         "merged_tags": len(tags),
         "kept_tags": len(all_tags) - len(tags),
     }
-    if len(tags) > 1:
+    # a single qualifying unit still rewrites when it holds pids the
+    # retention watermark has expired -- otherwise a fully-compacted
+    # index could never physically reclaim (retention.py's contract)
+    from .retention import retention_pid_floor
+
+    pid_floor = retention_pid_floor(index_dir)
+    reclaim_due = False
+    if pid_floor > 0 and len(tags) == 1 and os.path.exists(paths.lineage):
+        reclaim_due = bool(
+            spark.read.parquet(paths.lineage)
+            .filter(
+                F.col("batch_tag").isin(tags)
+                & (F.col("pid") < pid_floor)
+            )
+            .head(1)
+        )
+    if len(tags) > 1 or reclaim_due:
         # the new tag's epoch must exceed EVERY existing unit's (merged
         # or kept, committed or orphaned) -- same rule as build_index
         epoch = 0
@@ -160,9 +176,6 @@ def compact_index(
         # stays exact through the engine's query clamp). Kept (unmerged)
         # units reclaim when a later pass merges them -- a FULL
         # compaction reclaims everything at once.
-        from .retention import retention_pid_floor
-
-        pid_floor = retention_pid_floor(index_dir)
         if pid_floor > 0:
             seg = seg.filter(F.col("pid") >= pid_floor)
             rep["retention_pid_floor"] = pid_floor
@@ -224,8 +237,11 @@ def compact_index(
             shutil.rmtree(
                 os.path.join(paths.segments, f"b_{t}"), ignore_errors=True
             )
-        # stats/termstats are value-identical (same rows), but recompute
-        # for the same idempotent guarantee every other mutator gives
+        # LOAD-BEARING when pid_floor dropped rows: recomputes N/avgdl/df
+        # over the retained corpus so post-reclaim BM25 equals a fresh
+        # build of the retained slice (test_retention pins this). With no
+        # reclaim it is value-identical and kept for the idempotent
+        # guarantee every other mutator gives.
         finalize_index(spark, index_dir)
     if removals:
         rep["removals"] = compact_removals(spark, index_dir)

@@ -72,14 +72,15 @@ def sync_index(
     dst_meta = os.path.join(dst_root, "meta.json")
     if not os.path.exists(src_meta):
         raise ValueError(f"{src_root} is not a built index (no meta.json)")
+    dst_ret = 0
     if os.path.exists(dst_meta):
         with open(src_meta) as f1, open(dst_meta) as f2:
             m1, m2 = json.load(f1), json.load(f2)
         # maintenance-owned keys (set_retention's watermark) legitimately
         # differ across replicas mid-sync -- they replicate via the meta
         # swap below; only BUILD parameters gate compatibility
-        for m in (m1, m2):
-            m.pop("retention_min_us", None)
+        m1.pop("retention_min_us", None)
+        dst_ret = int(m2.pop("retention_min_us", 0) or 0)
         if m1 != m2:
             raise ValueError(
                 "dst index exists with a different meta.json "
@@ -113,6 +114,18 @@ def sync_index(
         if os.path.isdir(sdir):
             _swap_in(sdir, os.path.join(dst_root, name))
     _swap_in_file(src_meta, dst_meta)
+    # the replica's retention watermark is forward-only, exactly like
+    # set_retention's invariant: a src restored from an older backup
+    # must not re-surface docs the replica already hid
+    if dst_ret > 0:
+        with open(dst_meta) as f:
+            merged = json.load(f)
+        if int(merged.get("retention_min_us", 0) or 0) < dst_ret:
+            merged["retention_min_us"] = dst_ret
+            tmp = dst_meta + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(merged, f)
+            os.replace(tmp, dst_meta)
 
     # 3. only now drop units the src no longer commits
     for tag in stale:

@@ -4341,7 +4341,13 @@ class SearchEngine(FeatureOpsMixin):
             )
         dm = self.docmap
         # the bare (unfiltered) newest page bypasses _prep_tree, so the
-        # retention watermark clamps here directly
+        # caller's time range AND the retention watermark clamp here
+        # directly
+        if time_range_us is not None:
+            dm = dm.filter(
+                (F.col("warc_us") >= int(time_range_us[0]))
+                & (F.col("warc_us") <= int(time_range_us[1]))
+            )
         ret_us = int(self.meta.get("retention_min_us", 0) or 0)
         if ret_us > 0:
             dm = dm.filter(F.col("warc_us") >= ret_us)

@@ -112,6 +112,7 @@ def test_registry_within_driver_cap():
 # The per-op tx_*/mm_* functions left the driver registry (batched into
 # tx_profile/mm_pipeline) but keep their individual DuckDB parity here.
 def _retired_pairs():
+    from miru_spark.ops import dedup as dd
     from miru_spark.ops import events_ops as eo
     from miru_spark.ops import fulltext_sql as ft
     from miru_spark.ops import gather_ops as go
@@ -144,6 +145,9 @@ def _retired_pairs():
         # engine's one-pass waveform + newest-k)
         "ev_anomaly_newest": (
             eo.ev_anomaly_newest, eo.EV_ANOMALY_NEWEST_SQL),
+        # retired r4 (late): slot given to dd_cluster; the signatures
+        # stay pair-verified transitively in-registry AND directly here
+        "dd_minhash_sig": (dd.dd_minhash_sig, dd.DD_MINHASH_SIG_SQL),
     }
 
 

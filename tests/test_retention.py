@@ -164,3 +164,83 @@ def test_sync_propagates_watermark(spark, idx, tmp_path):
         assert (
             a.search_collect(q, k=10) == b.search_collect(q, k=10)
         ), q
+
+
+def test_single_unit_index_still_reclaims(spark, idx, tmp_path):
+    """Review finding: a fully-compacted (single-unit) index must still
+    physically reclaim when the watermark advances afterwards."""
+    import shutil
+
+    d = str(tmp_path / "ret5")
+    shutil.copytree(idx, d)
+    compact_index(spark, d)  # -> ONE unit
+    cut = _cutoff_us(spark, d, align_pid=True)
+    set_retention(d, cut)
+    floor = retention_pid_floor(d)
+    rep = compact_index(spark, d)
+    assert rep["retention_pid_floor"] == floor
+    seg = spark.read.option("recursiveFileLookup", "true").parquet(
+        os.path.join(d, "segments")
+    )
+    assert seg.filter(F.col("pid") < floor).count() == 0
+    # and a further pass with nothing left to reclaim no-ops
+    rep2 = compact_index(spark, d)
+    assert rep2["tag"] is None
+
+
+def test_fresh_rebuild_drops_stale_watermark(spark, tmp_path):
+    """Review finding: resume=False discards the old index, so its
+    watermark must not silently hide backfilled older docs."""
+    d = str(tmp_path / "ret6")
+    wt = webtext_df(spark, 200, parallelism=2)
+    build_index(
+        spark, wt, d, partition_seconds=PARTITION_SECONDS,
+        block_span=BLOCK_SPAN,
+    )
+    set_retention(d, 10**18)
+    build_index(
+        spark, wt, d, partition_seconds=PARTITION_SECONDS,
+        block_span=BLOCK_SPAN, resume=False,
+    )
+    assert get_retention(d) == 0
+    eng = SearchEngine(spark, d)
+    assert eng.count("w000001") > 0  # nothing hidden
+
+
+def test_sync_never_regresses_replica_watermark(spark, idx, tmp_path):
+    """Review finding: a src restored from an older backup must not
+    re-surface docs the replica already hid."""
+    import shutil
+
+    from miru_spark.index import sync_index
+
+    src = str(tmp_path / "src2")
+    dst = str(tmp_path / "dst2")
+    shutil.copytree(idx, src)
+    sync_index(spark, src, dst)
+    set_retention(dst, 99999)   # replica ahead of src
+    sync_index(spark, src, dst)
+    assert get_retention(dst) == 99999  # forward-only held
+
+
+def test_bare_newest_honors_time_range(spark, idx):
+    """Review finding (pre-existing): newest() without query/constraints
+    silently dropped the caller's time_range_us."""
+    eng = SearchEngine(spark, idx)
+    lo = _cutoff_us(spark, idx)
+    hi = 1 << 62
+    rows = eng.newest(k=50, time_range_us=(lo, hi)).collect()
+    assert rows, "window unexpectedly empty"
+    assert all(
+        lo <= int(r["warc_ts"].timestamp() * 1e6) <= hi for r in rows
+    )
+    # matches the filtered path's answer (query=match-all via constraints)
+    want = [
+        (r["pid"], r["doc_id"])
+        for r in eng.newest(
+            k=50, query=None, constraints="w000001 OR NOT w000001",
+            time_range_us=(lo, hi),
+        ).collect()
+    ]
+    got = [(r["pid"], r["doc_id"]) for r in rows]
+    assert got == want

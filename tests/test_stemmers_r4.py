@@ -615,3 +615,15 @@ def test_irish_block_identity():
         want = analyze(d, "en_ie")
         assert got[i] == want, (d, got[i], want)
         assert doc_lens[i] == len(want)
+
+
+def test_fa_stopwords_match_any_presentation_form():
+    """Review finding: Lucene's PersianAnalyzer stops AFTER
+    normalization, so the Arabic-keyboard spelling of a Persian stopword
+    must stop too (the stop set is closed under persian_normalize)."""
+    from miru_spark.analyzer import analyze
+
+    assert analyze("کتاب این", "fa") == ["كتاب"]   # farsi-typed stopword
+    assert analyze("كتاب اين", "fa") == ["كتاب"]   # arabic-typed stopword
+    # ar and hi stop sets are likewise normalization-closed
+    assert analyze("كِتَاب مِن", "ar") == ["كتاب"]  # vocalized stopword drops
