@@ -487,6 +487,22 @@ FROM cc GROUP BY node
 """
 
 
+def dd_keep_set(spark, sf_dir):
+    """The dedup pass's OUTPUT relation: doc_ids to KEEP = every unpaired
+    document plus one canonical representative per near-dup cluster
+    (`dd_cluster`). The drop-list is only the clustered non-canonical
+    docs -- at corpus scale a sliver of the corpus -- so the anti-join
+    broadcasts and the pass costs one scan of `documents`. Derived data;
+    invariants pinned in tests/test_dedup_cluster.py."""
+    docs = _docs(spark, sf_dir).select("doc_id")
+    drop = (
+        dd_cluster(spark, sf_dir)
+        .filter(~F.col("is_canonical"))
+        .select("doc_id")
+    )
+    return docs.join(F.broadcast(drop), "doc_id", "anti")
+
+
 QUERIES = {
     "dd_exact": (dd_exact, DD_EXACT_SQL),
     # dd_minhash_sig stays public API + SQL-oracled in this module, but

@@ -98,3 +98,17 @@ def test_emb_cluster_matches_union_find(spark):
     assert got == _union_find(pairs)
     canon = [r for r in rows if r["is_canonical"]]
     assert {r["vec_id"] for r in canon} == set(got.values())
+
+
+def test_keep_set_invariants(spark):
+    sf = "/root/testdata/sf0.001"
+    from miru_spark.ops.dedup import _docs, dd_cluster, dd_keep_set
+
+    all_ids = {r["doc_id"] for r in _docs(spark, sf).select("doc_id").collect()}
+    cl = dd_cluster(spark, sf).collect()
+    keep = {r["doc_id"] for r in dd_keep_set(spark, sf).collect()}
+    clustered = {r["doc_id"] for r in cl}
+    canonical = {r["doc_id"] for r in cl if r["is_canonical"]}
+    assert keep == (all_ids - clustered) | canonical
+    # exactly one survivor per cluster
+    assert len(canonical) == len({r["cluster_id"] for r in cl})
