@@ -487,6 +487,66 @@ FROM cc GROUP BY node
 """
 
 
+SIM_BLOCKS = 4  # fingerprint split for the Manku bucket trick
+SIM_HAMMING_K = SIM_BLOCKS - 1  # pigeonhole: <=K diff bits -> one block equal
+
+
+def dd_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs via the bit-block trick of Manku, Jain &
+    Das Sarma (WWW'07 "Detecting Near-Duplicates for Web Crawling"):
+    split each fingerprint into SIM_BLOCKS equal blocks; any pair within
+    hamming distance K = SIM_BLOCKS-1 must agree on at least one whole
+    block (pigeonhole), so candidates are generated ONLY inside
+    (block_index, block_value) buckets -- B small copies of the one-row-
+    per-doc signature table, never an all-pairs join -- then verified
+    with an exact popcount. Recall is exact by construction (pinned
+    against brute force in tests/test_dedup_cluster.py). The sandbox's
+    SIM_BITS=16 makes block values dense; at production width (64-bit
+    fingerprints, 16-bit blocks) buckets are sparse and this is the
+    10^12-document shape."""
+    sim = dd_simhash(spark, sf_dir)
+    span = SIM_BITS // SIM_BLOCKS
+    mask = (1 << span) - 1
+    blocks = sim.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("b"),
+                        F.shiftright(F.col("simhash"), b * span)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("key"),
+                    )
+                    for b in range(SIM_BLOCKS)
+                ]
+            )
+        ).alias("blk"),
+    ).select("doc_id", "simhash", "blk.b", "blk.key")
+    a = blocks.select(
+        F.col("b"), F.col("key"),
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sa"),
+    )
+    b = blocks.select(
+        F.col("b"), F.col("key"),
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sb"),
+    )
+    return (
+        a.join(b, ["b", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(
+                F.col("sa").bitwiseXOR(F.col("sb"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= SIM_HAMMING_K)
+        .distinct()
+    )
+
+
 def dd_keep_set(spark, sf_dir):
     """The dedup pass's OUTPUT relation: doc_ids to KEEP = every unpaired
     document plus one canonical representative per near-dup cluster

@@ -112,3 +112,32 @@ def test_keep_set_invariants(spark):
     assert keep == (all_ids - clustered) | canonical
     # exactly one survivor per cluster
     assert len(canonical) == len({r["cluster_id"] for r in cl})
+
+
+def test_simhash_pairs_match_brute_force(spark):
+    """Manku bucket recall is exact by pigeonhole: the bucketed candidate
+    pass must find EXACTLY the brute-force hamming<=K pairs."""
+    sf = "/root/testdata/sf0.001"
+    from miru_spark.ops.dedup import (
+        SIM_HAMMING_K,
+        dd_simhash,
+        dd_simhash_pairs,
+    )
+
+    sigs = {
+        r["doc_id"]: r["simhash"]
+        for r in dd_simhash(spark, sf).collect()
+    }
+    ids = sorted(sigs)
+    want = {
+        (a, b, bin(sigs[a] ^ sigs[b]).count("1"))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if bin(sigs[a] ^ sigs[b]).count("1") <= SIM_HAMMING_K
+    }
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in dd_simhash_pairs(spark, sf).collect()
+    }
+    assert got == want
+    assert len(got) > 0  # the corpus does contain near-dup fingerprints
