@@ -533,6 +533,16 @@ def _make_indexer(
             return
         tbl = pa.Table.from_batches(got)
         del got
+        if tbl.column("pid").null_count:
+            # a null warc_ts mints no time partition, and docIDs are
+            # minted per (pid, warc_us) -- fail loudly instead of
+            # producing an undefined 'null pid' segment (miru activities
+            # always carry a timestamp). sip_build(late='skip') drops
+            # and counts such rows before they reach the build.
+            raise ValueError(
+                "webtext rows with null warc_ts cannot be indexed; "
+                "drop or timestamp them first"
+            )
         # 64-bit offsets for the variable-width columns: a task slice whose
         # text (or url) bytes exceed 2 GiB would overflow 32-bit string
         # offsets at combine_chunks() time (ArrowCapacityError). Remaining
@@ -1136,9 +1146,15 @@ def _build_index_inner(
         # batched path (bounded-commit builds / crash tests): enumerate
         # pids with one narrow scan of the pre-window frame, then commit
         # `batch_partitions` pids at a time.
-        all_pids = sorted(
+        pid_rows = [
             r["pid"] for r in pid_df.select("pid").distinct().collect()
-        )
+        ]
+        if any(p is None for p in pid_rows):
+            raise ValueError(
+                "webtext rows with null warc_ts cannot be indexed; "
+                "drop or timestamp them first"
+            )
+        all_pids = sorted(pid_rows)
         todo = [p for p in all_pids if p not in done]
         report.pids_skipped = [p for p in all_pids if p in done]
         if not todo:

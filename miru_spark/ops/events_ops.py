@@ -272,6 +272,9 @@ def ev_trending_peaks(spark, sf_dir, max_candidates: int = 10_000):
             F.lit("2024-01-01").cast("date"),
         ).alias("day_idx"),
     ).agg(F.count("*").cast("long").alias("cnt"))
+    # scanned three times (maxd, grid, and through wf below) -- persist
+    # the per-day counts so the events table is read ONCE
+    daily = daily.persist()
     maxd = daily.agg(F.max("day_idx")).collect()[0][0] or 0
     days = spark.range(0, int(maxd) + 1).select(
         F.col("id").cast("int").alias("day_idx")
@@ -299,6 +302,9 @@ def ev_trending_peaks(spark, sf_dir, max_candidates: int = 10_000):
             ),
         )
     )
+    # the candidate collect AND the returned plan both read wf: persist
+    # so the grid/waveform aggregation runs once, not twice
+    wf = wf.persist()
     cand_rows = (
         wf.select("event_type", "highest_peak", "leader")
         .orderBy(F.desc("leader"), F.asc("event_type"))
@@ -443,7 +449,10 @@ WITH ev AS (
 )
 SELECT e.item, CAST(count(*) AS BIGINT) AS score
 FROM ev e JOIN contributors c USING (user_id)
-WHERE e.item NOT IN (SELECT item FROM my_items)
+-- NOT EXISTS, not NOT IN: with a NULL in my_items (an event lacking the
+-- sparse props key) NOT IN goes three-valued and drops EVERY row, while
+-- Spark's left_anti keeps non-matching rows; NOT EXISTS matches left_anti
+WHERE NOT EXISTS (SELECT 1 FROM my_items m WHERE m.item = e.item)
 GROUP BY e.item
 ORDER BY score DESC, item ASC
 LIMIT 50

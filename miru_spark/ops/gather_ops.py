@@ -271,8 +271,6 @@ def ev_inbox_aggregate_counts(spark, sf_dir):
     user's inbox (AggregateCountsInboxQuestion.java builds the answer
     from the inbox index, then the same gather/aggregate as the custom
     variant; filter/AggregateCounts.java latest-per-aggregate-term)."""
-    from pyspark.sql import Window
-
     inbox = _items(spark, sf_dir).filter(F.col("event_type") != "view")
     w = Window.partitionBy("user_id", "item").orderBy(
         F.desc("ts"), F.desc("event_id")
@@ -492,7 +490,10 @@ def ev_pagination_keyset(spark, sf_dir):
     # cursor = last row of page 1 (n desc, user_id asc), page size 10
     page1 = agg.orderBy(F.desc("n"), F.asc("user_id")).limit(10)
     cursor = page1.orderBy(F.asc("n"), F.desc("user_id")).limit(1)
-    c = cursor.collect()[0]
+    crows = cursor.collect()
+    if not crows:  # empty table: page 2 of nothing is nothing (the SQL
+        return agg.limit(0)  # oracle's join form degrades the same way)
+    c = crows[0]
     after = agg.filter(
         (F.col("n") < c["n"])
         | ((F.col("n") == c["n"]) & (F.col("user_id") > c["user_id"]))

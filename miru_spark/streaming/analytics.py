@@ -35,6 +35,21 @@ EVENTS_SCHEMA = (
 )
 
 
+def run_batches(q) -> int:
+    """Batches run by a finished availableNow query.
+
+    `recentProgress` retains only the last
+    spark.sql.streaming.numRecentProgressUpdates entries (default 100),
+    so `len(recentProgress)` silently undercounts long backlogs; the
+    final progress's batchId is exact. Per-batch SUMS over
+    recentProgress (e.g. dropped_late) still see only that window --
+    callers report them as at-least counts."""
+    last = q.lastProgress
+    if last is not None:
+        return int(last["batchId"]) + 1
+    return len(q.recentProgress)
+
+
 def waveform_stream(
     events: DataFrame,
     bucket: str = "1 day",
@@ -93,10 +108,8 @@ def stream_waveform(
         .start()
     )
     q.awaitTermination()
-    n_batches = 0
     dropped = 0
     for prog in q.recentProgress:
-        n_batches += 1
         op = (prog.get("stateOperators") or [{}])[0]
         dropped += int(op.get("numRowsDroppedByWatermark", 0) or 0)
-    return {"n_batches": n_batches, "dropped_late": dropped}
+    return {"n_batches": run_batches(q), "dropped_late": dropped}

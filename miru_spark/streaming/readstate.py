@@ -76,11 +76,7 @@ def _bucket_col(nb: int):
 
 
 def _load_manifest(state_dir: str) -> dict | None:
-    path = os.path.join(state_dir, _MANIFEST)
-    if not os.path.isfile(path):
-        return None
-    with open(path) as f:
-        return json.load(f)
+    return _load_manifest_file(os.path.join(state_dir, _MANIFEST))
 
 
 def _bucket_paths(state_dir: str, manifest: dict, buckets=None) -> list:
@@ -98,7 +94,11 @@ def read_state(spark: SparkSession, state_dir: str) -> DataFrame | None:
     """Current state table as a lazy relation (None = nothing merged
     yet). Readers resolve the manifest once; the files it names are
     immutable (epochs are write-once), so a held DataFrame stays
-    consistent across later batches."""
+    consistent for ONE further merge generation -- the vacuum keeps the
+    current and previous manifests' epochs and deletes older ones, so
+    re-resolve (call read_state again) rather than holding a DataFrame
+    across many batches. At scale the epoch dirs would get snapshot-
+    expiry retention like the index's commit units."""
     manifest = _load_manifest(state_dir)
     if manifest is None:
         return None

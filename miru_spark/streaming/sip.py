@@ -84,6 +84,20 @@ def sip_build(
     def handle(batch_df, batch_id: int) -> None:
         done = _read_done_pids(spark, IndexPaths(index_dir))
         with_pid = _with_pid(batch_df, partition_seconds)
+        # null warc_ts mints no time partition -- the build rejects such
+        # rows loudly (build_index's guard), so the sip policy decides
+        # here: error surfaces them, skip drops AND COUNTS them (they
+        # are not "late", they are untimestamped)
+        n_null = with_pid.filter(F.col("pid").isNull()).count()
+        if n_null:
+            if late == "error":
+                raise ValueError(
+                    f"sip batch {batch_id}: {n_null} rows have null "
+                    f"warc_ts (no time partition); drop or timestamp "
+                    f"them, or use late='skip'"
+                )
+            with_pid = with_pid.filter(F.col("pid").isNotNull())
+            batch_df = with_pid.drop("pid", "warc_us")
         if done:
             late_rows = with_pid.filter(
                 F.col("pid").isin([int(p) for p in done])
@@ -120,6 +134,7 @@ def sip_build(
                 "pids_built": rep.pids_built,
                 "pids_skipped": rep.pids_skipped,
                 "late_rows": n_late,
+                "null_ts_rows": n_null,
             }
         )
 

@@ -97,6 +97,17 @@ def latest_per_entity_stream(events) -> Any:
     )
 
 
+def write_changefeed_batch(batch_df, output_dir: str, batch_id: int) -> None:
+    """Idempotent changefeed sink under foreachBatch's at-least-once
+    replay: each batch owns its `batch_id=` partition dir, so a batch
+    re-run after a crash-before-checkpoint OVERWRITES itself instead of
+    appending duplicate rows (readers take max(batch_id) per key, which
+    duplicate appends would double)."""
+    batch_df.write.mode("overwrite").parquet(
+        f"{output_dir}/batch_id={batch_id}"
+    )
+
+
 def stream_latest_per_entity(
     spark: SparkSession,
     input_dir: str,
@@ -114,9 +125,7 @@ def stream_latest_per_entity(
     upserts = latest_per_entity_stream(events)
 
     def sink(batch_df, batch_id: int) -> None:
-        batch_df.withColumn(
-            "batch_id", F.lit(batch_id).cast("long")
-        ).write.mode("append").parquet(output_dir)
+        write_changefeed_batch(batch_df, output_dir, batch_id)
 
     q = (
         upserts.writeStream.outputMode("update")
@@ -126,4 +135,6 @@ def stream_latest_per_entity(
         .start()
     )
     q.awaitTermination()
-    return len(q.recentProgress)
+    from .analytics import run_batches
+
+    return run_batches(q)

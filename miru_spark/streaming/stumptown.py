@@ -132,9 +132,9 @@ def stream_stumptown(
     events = spark.readStream.schema(EVENTS_SCHEMA).parquet(input_dir)
 
     def sink(batch_df, batch_id: int) -> None:
-        batch_df.withColumn(
-            "batch_id", F.lit(batch_id).cast("long")
-        ).write.mode("append").parquet(f"{output_dir}/newest")
+        from .stateful import write_changefeed_batch
+
+        write_changefeed_batch(batch_df, f"{output_dir}/newest", batch_id)
 
     q1 = (
         newest_k_stream(events, k)
@@ -159,9 +159,11 @@ def stream_stumptown(
     )
     q1.awaitTermination()
     q2.awaitTermination()
+    from .analytics import run_batches
+
     return {
-        "newest_batches": len(q1.recentProgress),
-        "waveform_batches": len(q2.recentProgress),
+        "newest_batches": run_batches(q1),
+        "waveform_batches": run_batches(q2),
     }
 
 
