@@ -59,6 +59,7 @@ Scale notes (100 TB / 1000 executors):
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import time
@@ -789,6 +790,7 @@ def _with_pid(webtext: DataFrame, partition_seconds: int) -> DataFrame:
 
 
 def _read_done_pids(spark: SparkSession, paths: IndexPaths) -> set[int]:
+    _recover_lineage(paths)
     if not os.path.exists(paths.lineage):
         return set()
     rows = (
@@ -827,6 +829,19 @@ def _tags_as_of(
     # an epoch prefix means "everything committed through that epoch"
     cutoff = as_of if "_" in as_of else as_of + "_￿"
     tags = [t for t in valid if t <= cutoff]
+    # expired-snapshot check FIRST: a vacuumed tag the cutoff spans is
+    # only fatal when its replacement (the merged unit) lies PAST the
+    # cutoff -- at/after it, the data is covered by the replacement
+    gone = [
+        t for t, repl in _vacuumed_tags(paths).items()
+        if t <= cutoff and (repl is None or repl > cutoff)
+    ]
+    if gone:
+        raise ValueError(
+            f"snapshot {as_of!r} unreadable: commit units {gone} were "
+            f"merged or vacuumed by maintenance (expired snapshot -- "
+            f"read the current index, or a later as_of)"
+        )
     if not tags:
         raise ValueError(
             f"no committed snapshot at or before {as_of!r}; "
@@ -900,6 +915,7 @@ def read_lineage(spark: SparkSession, index_dir: str) -> DataFrame:
     (MiruPartitionState bookkeeping analog; north-star 'lineage rows
     written to a metrics table')."""
     paths = index_dir if isinstance(index_dir, IndexPaths) else IndexPaths(index_dir)
+    _recover_lineage(paths)
     return spark.read.parquet(paths.lineage)
 
 
@@ -923,7 +939,102 @@ def snapshots(spark: SparkSession, index_dir: str) -> DataFrame:
     )
 
 
+def _epoch_str(e: int) -> str:
+    """Order-safe commit epoch: 4-digit zero-pad through 9999, then an
+    'A'-prefixed 8-digit form. 'A' > '9' in ASCII, so lexicographic tag
+    order stays commit order across the rollover, and the 9-char A-form
+    can never collide with a 4-digit tag. Without this, epoch 10000's
+    5-digit head would sort BEFORE '0999' and silently corrupt every
+    as_of cutoff -- at sip cadence (one commit unit per micro-batch)
+    9999 lifetime commits is weeks, not forever."""
+    if e <= 9999:
+        return f"{e:04d}"
+    if e > 99_999_999:
+        raise ValueError(f"commit-epoch space exhausted: {e}")
+    return f"A{e:08d}"
+
+
+def _epoch_of(head: str) -> int | None:
+    """Inverse of _epoch_str for either form; None for foreign names."""
+    if head.startswith("A") and head[1:].isdigit():
+        return int(head[1:])
+    return int(head) if head.isdigit() else None
+
+
+def _record_vacuumed(paths: IndexPaths, tags, replacement=None) -> None:
+    """Record physically-deleted commit tags in <root>/vacuumed.json
+    (atomic rename) as {tag: replacement_tag_or_None} so an `as_of` read
+    that would MISS their data fails loudly instead of silently
+    returning a PARTIAL corpus. Compaction passes the merged unit's tag
+    as `replacement` (a cutoff at/after it still covers the data);
+    reopen_pids passes None (the data is gone until re-indexed, so every
+    spanning snapshot is expired). Without this ledger, a tiered
+    compaction moves merged units' rows under a higher-epoch tag and an
+    old cutoff resolves to only the kept units -- every dir it names
+    exists, nothing raises, and queries quietly miss data. The Iceberg
+    expire-snapshots analog."""
+    if not tags:
+        return
+    p = os.path.join(paths.root, "vacuumed.json")
+    cur: dict = {}
+    if os.path.exists(p):
+        with open(p) as f:
+            cur = json.load(f)
+    for t in tags:
+        cur[t] = replacement
+    tmp = p + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(cur, f)
+    os.replace(tmp, p)
+
+
+def _vacuumed_tags(paths: IndexPaths) -> dict:
+    p = os.path.join(paths.root, "vacuumed.json")
+    if not os.path.exists(p):
+        return {}
+    with open(p) as f:
+        return json.load(f)
+
+
+def _recover_lineage(paths: IndexPaths) -> None:
+    """Finish or roll back a crashed `_swap_lineage`. Every crash point
+    of the swap leaves a recoverable state: `.next` complete but not yet
+    renamed -> roll forward; old table renamed aside but new one not in
+    place -> the `.next` rename above covers it (and `.old` is the
+    fallback); stale `.next`/`.old` beside a live table -> delete."""
+    nxt, old = paths.lineage + ".next", paths.lineage + ".old"
+    if not os.path.exists(paths.lineage):
+        if os.path.exists(nxt):
+            os.rename(nxt, paths.lineage)
+        elif os.path.exists(old):
+            os.rename(old, paths.lineage)
+        return
+    for d in (nxt, old):
+        if os.path.exists(d):
+            shutil.rmtree(d)
+
+
+def _swap_lineage(spark: SparkSession, paths: IndexPaths, rows, schema) -> None:
+    """Crash-safe lineage replacement (used by compaction / reopen_pids):
+    write the new table BESIDE the live one, then swap via two renames.
+    A bare rmtree+rewrite has a window where lineage does not exist at
+    all -- after which `_cleanup_orphans` would see zero valid tags and
+    delete EVERY segment unit. With the swap, `_recover_lineage` can
+    roll every crash point forward or back."""
+    nxt = paths.lineage + ".next"
+    if os.path.exists(nxt):
+        shutil.rmtree(nxt)
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(nxt)
+    old = paths.lineage + ".old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(paths.lineage, old)
+    os.rename(nxt, paths.lineage)
+    shutil.rmtree(old)
+
+
 def _valid_tags(spark: SparkSession, paths: IndexPaths) -> set[str]:
+    _recover_lineage(paths)
     if not os.path.exists(paths.lineage):
         return set()
     return {
@@ -1180,9 +1291,9 @@ def _build_index_inner(
         if os.path.isdir(paths.segments)
         else set()
     ):
-        head = existing.split("_", 1)[0]
-        if head.isdigit():
-            epoch = max(epoch, int(head) + 1)
+        e = _epoch_of(existing.split("_", 1)[0])
+        if e is not None:
+            epoch = max(epoch, e + 1)
 
     for bi, batch_pids in enumerate(batches):
         if _fail_after_batches is not None and bi >= _fail_after_batches:
@@ -1199,7 +1310,7 @@ def _build_index_inner(
         # at all -- a head term's postings stay split across doc-range
         # blocks that live where their docs live.
         if batch_pids is None:
-            tag = f"{epoch + bi:04d}_all"
+            tag = f"{_epoch_str(epoch + bi)}_all"
             sub = pid_df
             if done:
                 sub = sub.filter(
@@ -1215,7 +1326,7 @@ def _build_index_inner(
                     report.wall_time_s = time.time() - t0
                     return report
         else:
-            tag = f"{epoch + bi:04d}_{int(batch_pids[0])}"
+            tag = f"{_epoch_str(epoch + bi)}_{int(batch_pids[0])}"
             sub = pid_df.filter(
                 F.col("pid").isin([int(p) for p in batch_pids])
             )

@@ -49,6 +49,8 @@ from .build import (
     IndexPaths,
     _cleanup_orphans,
     _read_parquet_dir,
+    _record_vacuumed,
+    _swap_lineage,
     _valid_tags,
     finalize_index,
 )
@@ -67,17 +69,13 @@ def compact_removals(spark: SparkSession, index_dir: str) -> dict:
     old_files = [
         f for f in os.listdir(paths.removals) if f.endswith(".parquet")
     ]
-    log = spark.read.parquet(paths.removals)
+    from .removals import _SCHEMA, resolve_log
+
+    log = spark.read.schema(_SCHEMA).parquet(paths.removals)
     rows_before = log.count()
-    latest = (
-        log.groupBy("pid", "doc_id")
-        .agg(F.max(F.struct("version", "removed")).alias("s"))
-        .select(
-            "pid", "doc_id",
-            F.col("s.version").alias("version"),
-            F.col("s.removed").alias("removed"),
-        )
-    )
+    # the ONE shared resolution (removals.resolve_log) -- query-time and
+    # compaction-time semantics cannot drift
+    latest = resolve_log(log)
     latest.coalesce(1).write.mode("append").parquet(paths.removals)
     for f in old_files:
         try:
@@ -162,11 +160,13 @@ def compact_index(
                 for d in os.listdir(paths.segments)
                 if d.startswith("b_")
             }
+        from .build import _epoch_of, _epoch_str
+
         for t in existing:
-            head = t.split("_", 1)[0]
-            if head.isdigit():
-                epoch = max(epoch, int(head) + 1)
-        new_tag = f"{epoch:04d}_compact"
+            e = _epoch_of(t.split("_", 1)[0])
+            if e is not None:
+                epoch = max(epoch, e + 1)
+        new_tag = f"{_epoch_str(epoch)}_compact"
         rep["tag"] = new_tag
 
         seg = _read_parquet_dir(spark, paths.segments, tags)
@@ -229,10 +229,8 @@ def compact_index(
                 F.col("batch_tag").isin(tags), F.lit(new_tag)
             ).otherwise(F.col("batch_tag")),
         ).collect()
-        shutil.rmtree(paths.lineage)
-        spark.createDataFrame(kept, lineage.schema).write.mode(
-            "overwrite"
-        ).parquet(paths.lineage)
+        _swap_lineage(spark, paths, kept, lineage.schema)
+        _record_vacuumed(paths, tags, replacement=new_tag)
         for t in tags:
             shutil.rmtree(
                 os.path.join(paths.segments, f"b_{t}"), ignore_errors=True

@@ -31,7 +31,6 @@ from __future__ import annotations
 
 import os
 import time
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -39,6 +38,24 @@ from pyspark.sql import functions as F
 from .build import IndexPaths
 
 _SCHEMA = "pid long, doc_id long, version long, removed boolean"
+
+
+def resolve_log(log: DataFrame) -> DataFrame:
+    """THE tombstone resolution, shared by every reader and by
+    compaction so their tie-break semantics can never drift: latest
+    version per (pid, doc_id) wins, ties toward removed (a same-version
+    remove+restore counts removed, matching the reference's "removed
+    unless strictly newer set" comparison). Returns one row per
+    (pid, doc_id) carrying the winning (version, removed)."""
+    return (
+        log.groupBy("pid", "doc_id")
+        .agg(F.max(F.struct("version", "removed")).alias("s"))
+        .select(
+            "pid", "doc_id",
+            F.col("s.version").alias("version"),
+            F.col("s.removed").alias("removed"),
+        )
+    )
 
 
 def _append(
@@ -122,10 +139,11 @@ def repair_docs(
     """Content-level repair (the MiruIndexer.set repair path,
     miru-service/.../stream/MiruIndexer.java:128-161: a strictly-newer
     version replaces the doc's field values). The immutable-postings
-    analog: tombstone every current (pid, doc_id) of each repaired url,
-    then append the new version as a FRESH doc through the normal
-    resumable build -- one tiny parquet append plus one bounded index
-    batch, never a partition rebuild (`reopen_pids` stays the bulk path).
+    analog: append the new version as a FRESH doc through the normal
+    resumable build, then tombstone every pre-repair (pid, doc_id) of
+    each repaired url -- one bounded index batch plus one tiny parquet
+    append, never a partition rebuild (`reopen_pids` stays the bulk
+    path). Build-first ordering fails OPEN on a mid-repair crash.
 
     `new_versions` is a webtext-shaped DataFrame (url, warc_ts, text,
     lang, optional html/authz). Its `warc_ts` must be NEW (the repair
@@ -160,8 +178,8 @@ def repair_docs(
     from .build import _read_done_pids
 
     done = _read_done_pids(spark, paths)
-    new_pids = sorted(
-        int(r["pid"])
+    pid_rows = [
+        r["pid"]
         for r in new_versions.select(
             F.floor(F.unix_micros("warc_ts") / (psec * 1_000_000)).alias(
                 "pid"
@@ -169,7 +187,13 @@ def repair_docs(
         )
         .distinct()
         .collect()
-    )
+    ]
+    if any(p is None for p in pid_rows):
+        raise ValueError(
+            "repair rows with null warc_ts cannot be indexed (no time "
+            "partition); timestamp them first"
+        )
+    new_pids = sorted(int(p) for p in pid_rows)
     clash = [p for p in new_pids if p in done]
     if clash:
         raise ValueError(
@@ -178,15 +202,17 @@ def repair_docs(
             f"use reopen_pids() for a bulk rebuild"
         )
 
+    # old ids are captured BEFORE the build (the fresh append must not
+    # tombstone itself), but the tombstones land AFTER it: if the build
+    # dies mid-way the repair fails OPEN (both versions briefly visible,
+    # retriable) instead of CLOSED (old version durably hidden, new one
+    # never indexed -- the document would simply vanish)
     old = (
         read_docmap(spark, paths)
         .filter(F.col("url").isin(urls))
         .select("pid", "doc_id")
         .distinct()
         .collect()
-    )
-    n_tomb = _append(
-        spark, paths, [(r["pid"], r["doc_id"]) for r in old], True, version
     )
     rep = build_index(
         spark,
@@ -196,6 +222,9 @@ def repair_docs(
         block_span=int(meta["block_span"]),
         resume=True,
         finalize=True,
+    )
+    n_tomb = _append(
+        spark, paths, [(r["pid"], r["doc_id"]) for r in old], True, version
     )
     return {"tombstoned": n_tomb, "appended": rep.n_docs, "pids": new_pids}
 
@@ -208,11 +237,8 @@ def read_removed(spark: SparkSession, paths: IndexPaths) -> DataFrame | None:
     "removed unless strictly newer set" comparison)."""
     if not os.path.exists(paths.removals):
         return None
-    log = spark.read.parquet(paths.removals)
-    latest = log.groupBy("pid", "doc_id").agg(
-        F.max_by(
-            F.col("removed"),
-            F.struct(F.col("version"), F.col("removed")),
-        ).alias("removed")
-    )
-    return latest.filter(F.col("removed")).select("pid", "doc_id")
+    # explicit schema: a crashed append can leave the dir with zero
+    # committed footers, and schema inference would then raise from
+    # every SearchEngine construction; with the schema it reads empty
+    log = spark.read.schema(_SCHEMA).parquet(paths.removals)
+    return resolve_log(log).filter(F.col("removed")).select("pid", "doc_id")

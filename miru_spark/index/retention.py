@@ -67,12 +67,13 @@ def set_retention(index_dir: str, min_us: int) -> int:
 
 def retention_pid_floor(index_dir: str) -> int:
     """First pid that retention KEEPS (pids strictly below are fully
-    expired). 0 when no watermark is set."""
+    expired). 0 when no watermark is set (or no meta.json yet, matching
+    get_retention's degrade)."""
+    min_us = get_retention(index_dir)
+    if min_us <= 0:
+        return 0
     meta_path = os.path.join(index_dir, "meta.json")
     with open(meta_path) as f:
         meta = json.load(f)
-    min_us = int(meta.get("retention_min_us", 0) or 0)
-    if min_us <= 0:
-        return 0
     psec_us = int(meta.get("partition_seconds", 86400)) * 1_000_000
     return min_us // psec_us

@@ -114,6 +114,11 @@ def sync_index(
         if os.path.isdir(sdir):
             _swap_in(sdir, os.path.join(dst_root, name))
     _swap_in_file(src_meta, dst_meta)
+    # the expired-snapshot ledger rides along: without it a replica
+    # would accept as_of reads the source knows are partial
+    src_vac = os.path.join(src_root, "vacuumed.json")
+    if os.path.exists(src_vac):
+        _swap_in_file(src_vac, os.path.join(dst_root, "vacuumed.json"))
     # the replica's retention watermark is forward-only, exactly like
     # set_retention's invariant: a src restored from an older backup
     # must not re-surface docs the replica already hid

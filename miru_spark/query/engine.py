@@ -1131,6 +1131,9 @@ class SearchEngine(FeatureOpsMixin):
             )
         self.n_docs = int(srow["n_docs"])
         self.avgdl = float(srow["avgdl"])
+        from ..index.build import _recover_lineage
+
+        _recover_lineage(self.paths)
         lineage = spark.read.parquet(self.paths.lineage)
         if as_of is not None:
             lineage = lineage.filter(

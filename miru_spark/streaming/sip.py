@@ -191,14 +191,18 @@ def reopen_pids(
         .distinct()
         .collect()
     )
+    from ..index.build import _record_vacuumed
+
+    _record_vacuumed(paths, tags)
     for tag in tags:
         shutil.rmtree(
             os.path.join(paths.segments, f"b_{tag}"), ignore_errors=True
         )
     kept_rows = lineage.filter(~F.col("batch_tag").isin(list(tags))).collect()
-    shutil.rmtree(paths.lineage)
     if kept_rows:
-        spark.createDataFrame(kept_rows, lineage.schema).write.mode(
-            "overwrite"
-        ).parquet(paths.lineage)
+        from ..index.build import _swap_lineage
+
+        _swap_lineage(spark, paths, kept_rows, lineage.schema)
+    else:
+        shutil.rmtree(paths.lineage)
     return affected

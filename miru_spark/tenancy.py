@@ -76,13 +76,17 @@ def build_tenant_indexes(
         str(r[0])
         for r in webtext.select(tenant_col).distinct().collect()
     )
+    # validate EVERY tenant id before building ANY: a bad id failing
+    # mid-loop would abandon earlier tenants' minutes of build work in a
+    # state the caller cannot distinguish from a crash
+    dirs = {t: tenant_dir(root, t) for t in tenants}
     reports = {}
     for t in tenants:
         sub = webtext.filter(F.col(tenant_col) == t).drop(tenant_col)
         reports[t] = build_index(
             spark,
             sub,
-            tenant_dir(root, t),
+            dirs[t],
             partition_seconds=partition_seconds,
             block_span=block_span,
             **build_kw,
