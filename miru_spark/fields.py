@@ -80,6 +80,14 @@ def doc_field_terms(
         out.append(compose("site", encode_num(int(m.group(1)))))
     out.append(compose("doclen", encode_num(int(doc_len))))
     if authz:
+        if isinstance(authz, (str, bytes)):
+            # a bare string iterates per CHARACTER -- one bogus
+            # single-char label per letter, and any grant sharing a
+            # character would then match the doc. Always a caller bug.
+            raise TypeError(
+                "authz must be an iterable of labels, not a bare "
+                "string; wrap it: authz=[label]"
+            )
         # dedupe (case-folded): a repeated label must not emit a
         # duplicate docID into the term's posting list
         out.extend(
@@ -106,6 +114,11 @@ def extra_field_terms(fields_map, declared: list[str]) -> list[str]:
     for f in declared:
         vals = fields_map.get(f)
         if vals:
+            if isinstance(vals, (str, bytes)):
+                raise TypeError(
+                    f"field {f!r} values must be a list of strings, "
+                    f"not a bare string (it would index per character)"
+                )
             out.extend(
                 compose(f, v)
                 for v in sorted({str(v).lower() for v in vals})

@@ -1423,7 +1423,9 @@ class SearchEngine(FeatureOpsMixin):
         # scoring terms come from the USER QUERY only (FullText.java
         # :99-170 termCollector walks the query, not the constraints)
         pos_terms, pos_prefixes, _ = collect_terms(tree)
-        tree = with_access(tree, constraints, authz, locale, allow_phrases)
+        tree = with_access(
+            tree, constraints, authz, locale, allow_phrases, use_stopwords
+        )
         return self._prep_tree(
             tree, time_range_us, pos_terms, pos_prefixes,
             max_expand=max_expand,
@@ -4142,6 +4144,7 @@ class SearchEngine(FeatureOpsMixin):
         use_blockmax: bool = True,
         constraints=None,
         authz=None,
+        use_stopwords: bool = True,
     ) -> dict[str, list]:
         """Batch N queries into ONE Spark job (the qps path -- the
         reference's stress harness fires queries concurrently,
@@ -4159,7 +4162,9 @@ class SearchEngine(FeatureOpsMixin):
         fetch_all: set = set()
         out: dict[str, list] = {}
         for qid, q in enumerate(queries):
-            prep = self._prep_query(q, locale, None, constraints, authz)
+            prep = self._prep_query(
+                q, locale, None, constraints, authz, use_stopwords
+            )
             if self._removed_df is not None and self._removed_map is None:
                 # unpinned tombstones need per-query 'x'-row co-partition;
                 # route through the individual kernel path
@@ -4189,7 +4194,8 @@ class SearchEngine(FeatureOpsMixin):
             out[q] = self.search_collect(q, k=k, locale=locale,
                                          use_blockmax=use_blockmax,
                                          constraints=constraints,
-                                         authz=authz)
+                                         authz=authz,
+                                         use_stopwords=use_stopwords)
         if not qterm_rows:
             for q in queries:
                 out.setdefault(q, [])
@@ -4291,6 +4297,21 @@ class SearchEngine(FeatureOpsMixin):
             out[q] = [(p, d, s, u) for _rn, p, d, s, u in rows]
         return out
 
+    def _newest_out(
+        self, df: DataFrame, query, locale, highlight_from, use_stopwords
+    ) -> DataFrame:
+        """newest()'s output shaping: optionally append summaries (the
+        TIME-strategy analog of search's highlight passthrough), keeping
+        the newest-first order -- _with_summaries re-sorts by score,
+        which is uniformly 0 here."""
+        if highlight_from is None:
+            return df
+        out = self._with_summaries(
+            df.withColumn("score", F.lit(0.0)),
+            query, locale, highlight_from, use_stopwords,
+        )
+        return out.drop("score").orderBy(F.desc("pid"), F.desc("doc_id"))
+
     def newest(
         self,
         k: int = 10,
@@ -4301,9 +4322,13 @@ class SearchEngine(FeatureOpsMixin):
         authz=None,
         use_stopwords: bool = True,
         max_expand: int | None = None,
+        highlight_from: DataFrame | None = None,
     ) -> DataFrame:
         """TIME strategy: newest-k, score 0 (FullText.collectTime
         :222-251 -- descending docID iterator), minus tombstoned docs.
+        `highlight_from` appends a `summary` column exactly as `search`
+        does (the wire adapter's TIME-strategy fulltext requests carry
+        the same passthrough).
 
         With `query` (or `constraints`/`authz`), newest-k among the
         FILTERED matches (the reference's FullTextQuery.Strategy.TIME
@@ -4336,11 +4361,14 @@ class SearchEngine(FeatureOpsMixin):
                     np.zeros(len(wrows), dtype=np.float64),
                 )
                 wdf = self._local_relation(rows)
-            return wdf.select(
-                "url",
-                F.timestamp_micros("warc_us").alias("warc_ts"),
-                "pid",
-                "doc_id",
+            return self._newest_out(
+                wdf.select(
+                    "url",
+                    F.timestamp_micros("warc_us").alias("warc_ts"),
+                    "pid",
+                    "doc_id",
+                ),
+                query, locale, highlight_from, use_stopwords,
             )
         dm = self.docmap
         # the bare (unfiltered) newest page bypasses _prep_tree, so the
@@ -4363,7 +4391,7 @@ class SearchEngine(FeatureOpsMixin):
                 else self._removed_df
             )
             dm = dm.join(rd, ["pid", "doc_id"], "anti")
-        return (
+        return self._newest_out(
             dm.select(
                 "url",
                 F.timestamp_micros("warc_us").alias("warc_ts"),
@@ -4371,5 +4399,6 @@ class SearchEngine(FeatureOpsMixin):
                 "doc_id",
             )
             .orderBy(F.desc("warc_us"), F.desc("pid"), F.desc("doc_id"))
-            .limit(k)
+            .limit(k),
+            None, locale, highlight_from, use_stopwords,
         )

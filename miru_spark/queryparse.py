@@ -65,6 +65,7 @@ _TOKEN_SPEC = re.compile(
       | (?P<minus>-)
       | (?P<quoted>"[^"]*")
       | (?P<fieldgroup>[A-Za-z_][A-Za-z0-9_]*:\()
+      | (?P<fieldphrase>[A-Za-z_][A-Za-z0-9_]*:"[^"]*")
       | (?P<fieldexpr>[A-Za-z_][A-Za-z0-9_]*:(?:\[[^\]]*\]|[^\s()]+))
       | (?P<bracket>\[[^\]]*\])
       | (?P<word>[^\s()\-][^\s()]*)
@@ -164,7 +165,7 @@ class _Parser:
         neg = [n for n in neg if n != ("dropped",)]
         if not pos and not neg:
             return ("dropped",)
-        pos = [p for p in pos if p != ("all",)] or []
+        pos = [p for p in pos if p != ("all",)]
         if any(p == ("none",) for p in pos):
             pos_node = ("none",)
         elif not pos:
@@ -233,6 +234,16 @@ class _Parser:
 
     def parse_atom(self):
         kind, val = self.next()
+        if kind == "fieldphrase":
+            # Lucene's field:"multi word" phrase scope -- the composed
+            # keyword fields hold single values, so a quoted span can
+            # never match one term; failing loudly beats the silent
+            # misparse (a quote-bearing composed term plus stray text
+            # terms) the generic fieldexpr token would produce
+            raise QueryParseError(
+                f"Unsupported query type: field-scoped phrase {val!r} "
+                f"(use field:value, or field:(a OR b))"
+            )
         if kind == "fieldexpr":
             if self._fields:
                 raise QueryParseError(
@@ -362,7 +373,11 @@ def collect_terms(node) -> tuple[set, set, set]:
 
     Positive terms/prefixes contribute BM25 score; negative terms only
     filter (reference scores only collected query terms,
-    FullText.java:99-170 termCollector side-channel).
+    FullText.java:99-170 termCollector side-channel). NOTE: negated
+    PREFIXES appear in the negative set with a trailing '*' marker --
+    they are NOT literal index terms; a consumer wanting the negated
+    match set must expand them (or walk the tree). No runtime path
+    consumes the negative set today (the engine filters via the tree).
     """
     pos_t: set[str] = set()
     pos_p: set[str] = set()
@@ -456,6 +471,7 @@ def with_access(
     authz=None,
     locale: str | None = None,
     allow_phrases: bool = False,
+    use_stopwords: bool = True,
 ):
     """AND an optional constraints filter and an authz label expression
     onto a parsed query tree -- the reference's fulltext question composes
@@ -471,11 +487,23 @@ def with_access(
     scoring terms from the original tree before wrapping."""
     extra = []
     if constraints is not None:
+        # constraints share the QUERY's analyzer configuration --
+        # findAnalyzer(locale, useStopWords) applies to the whole
+        # request, not just the scored clause
         extra.append(
             constraints if isinstance(constraints, tuple)
-            else parse_query(constraints, locale, allow_phrases)
+            else parse_query(
+                constraints, locale, allow_phrases, use_stopwords
+            )
         )
     if authz is not None:
+        if isinstance(authz, (str, bytes)):
+            # a bare string would iterate per CHARACTER, granting one
+            # single-char label per letter -- always a caller bug
+            raise TypeError(
+                "authz must be an iterable of labels, not a bare "
+                "string; wrap it: authz=[label]"
+            )
         labels = sorted({str(a).lower() for a in authz})
         if not labels:
             # an empty grant set matches nothing (the reference sends

@@ -82,7 +82,15 @@ def _compose_parts(field: str, parts: list[str]) -> str:
     if not parts:
         raise WireError(f"empty MiruValue for field {field!r}")
     if field in NUMERIC_FIELDS and len(parts) == 1:
-        return compose_value(field, parts[0])
+        try:
+            return compose_value(field, parts[0])
+        except ValueError as e:
+            # a non-numeric value for a numeric field is a malformed
+            # request, not an int-parse traceback
+            raise WireError(
+                f"non-numeric value {parts[0]!r} for numeric field "
+                f"{field!r}"
+            ) from e
     return compose(field, FIELD_SEP.join(str(p).lower() for p in parts))
 
 
@@ -150,6 +158,13 @@ def _filter_tree(f):
                 # abortIfEmpty: an `and` over a valueless field filter
                 # is implicitly empty (MiruAggregateUtil.java:1143,1177)
                 return ("none",)
+            if op == "pButNotQ":
+                # POSITION matters here: an empty FIRST operand empties
+                # the whole result, an empty exclusion is a no-op --
+                # keep a placeholder so operands stay aligned (skipping
+                # would promote the first exclusion into the positive
+                # slot and return the very docs meant to be subtracted)
+                operands.append(("none",))
             continue
         operands.append(nodes[0] if len(nodes) == 1 else ("or", nodes))
     for sub in f.get("subFilters") or []:
@@ -162,9 +177,12 @@ def _filter_tree(f):
     if op == "or":
         return operands[0] if len(operands) == 1 else ("or", operands)
     # pButNotQ: first AND NOT (OR of the rest)
-    if len(operands) == 1:
+    if operands[0] == ("none",):
+        return ("none",)
+    negs = [o for o in operands[1:] if o != ("none",)]
+    if not negs:
         return operands[0]
-    neg = operands[1] if len(operands) == 2 else ("or", operands[1:])
+    neg = negs[0] if len(negs) == 1 else ("or", negs)
     return ("not", operands[0], neg)
 
 
@@ -175,8 +193,10 @@ def time_range_us(tr) -> tuple[int, int] | None:
     """MiruTimeRange -> (lo_us, hi_us) or None for null/ALL_TIME."""
     if tr is None:
         return None
-    lo = int(tr.get("smallestTimestamp", 0))
-    hi = int(tr.get("largestTimestamp", _LONG_MAX))
+    # explicit JSON nulls mean "unbounded", same as an absent key
+    lo = int(tr.get("smallestTimestamp") or 0)
+    hi = tr.get("largestTimestamp")
+    hi = _LONG_MAX if hi is None else int(hi)
     if lo <= 0 and hi >= _LONG_MAX:
         return None
     return (lo, min(hi, _LONG_MAX))
@@ -605,6 +625,13 @@ def _strut(engine, q, authz, **kw):
         raise WireError("strut request without catwalk features")
     scalars = q.get("numeratorScalars")
     if scalars:
+        if len(scalars) < len(feats):
+            # silently wrapping would score features with the WRONG
+            # weights while the request appears to succeed
+            raise WireError(
+                f"numeratorScalars has {len(scalars)} entries for "
+                f"{len(feats)} catwalk features"
+            )
         feats = [
             (float(scalars[i % len(scalars)]), ff)
             for i, (_s, ff) in enumerate(feats)

@@ -169,3 +169,118 @@ def test_sip_skip_keeps_null_warc_ts_rows(spark, tmp_path):
             spark, bad, str(tmp_path / "idx_bad"),
             partition_seconds=600, block_span=64,
         )
+
+
+# -- fourth review wave: query-core findings --------------------------------
+
+
+def test_pbutnotq_valueless_first_operand_is_empty():
+    """Review finding: a valueless FIRST pButNotQ field filter must
+    empty the result, not promote the exclusion into the positive
+    slot."""
+    from miru_spark.wire import filter_tree
+
+    f = {
+        "operation": "pButNotQ",
+        "fieldFilters": [
+            {"fieldName": "lang", "values": []},
+            {"fieldName": "lang", "values": ["en"]},
+        ],
+    }
+    assert filter_tree(f) == ("none",)
+    # a valueless EXCLUSION is a no-op, leaving just the positive
+    f2 = {
+        "operation": "pButNotQ",
+        "fieldFilters": [
+            {"fieldName": "lang", "values": ["en"]},
+            {"fieldName": "lang", "values": []},
+        ],
+    }
+    assert filter_tree(f2) == ("term", "lang\x1fen")
+
+
+def test_with_access_threads_use_stopwords():
+    """Review finding: constraints share the query's analyzer config."""
+    from miru_spark.queryparse import parse_query, with_access
+
+    base = parse_query("press", "en", use_stopwords=False)
+    tree = with_access(
+        base, constraints="the office", locale="en", use_stopwords=False
+    )
+    # 'the' survives as a constraint conjunct with stopwords off
+    flat = repr(tree)
+    assert "'the'" in flat
+    on = with_access(base, constraints="the office", locale="en")
+    assert "'the'" not in repr(on)
+
+
+def test_bare_string_authz_rejected():
+    """Review finding: a bare string iterates per character -- one bogus
+    single-char label per letter. Reject loudly on both sides."""
+    from miru_spark.fields import doc_field_terms, extra_field_terms
+    from miru_spark.queryparse import parse_query, with_access
+
+    with pytest.raises(TypeError, match="bare.*string"):
+        doc_field_terms("http://site1.example/x", "en", 5, authz="admin")
+    with pytest.raises(TypeError, match="bare string"):
+        extra_field_terms({"tag": "news"}, ["tag"])
+    with pytest.raises(TypeError, match="bare.*string"):
+        with_access(parse_query("x", "en"), authz="admin")
+    # the list forms still work
+    assert doc_field_terms(
+        "http://site1.example/x", "en", 5, authz=["Admin"]
+    )[-1].endswith("admin")
+
+
+def test_field_scoped_phrase_rejected():
+    """Review finding: field:"multi word" silently misparsed into a
+    quote-bearing composed term plus stray scored terms."""
+    from miru_spark.queryparse import QueryParseError, parse_query
+
+    with pytest.raises(QueryParseError, match="field-scoped phrase"):
+        parse_query('lang:"en us" hello', "en")
+
+
+def test_wire_malformed_requests_raise_wire_error():
+    from miru_spark.wire import WireError, filter_tree, time_range_us
+
+    # non-numeric value for a numeric field
+    with pytest.raises(WireError, match="non-numeric"):
+        filter_tree({
+            "operation": "and",
+            "fieldFilters": [{"fieldName": "site", "values": ["abc"]}],
+        })
+    # explicit nulls mean unbounded
+    assert time_range_us(
+        {"smallestTimestamp": None, "largestTimestamp": 5}
+    ) == (0, 5)
+    assert time_range_us(
+        {"smallestTimestamp": None, "largestTimestamp": None}
+    ) is None
+
+
+def test_wire_time_strategy_highlight_passthrough(spark, tmp_path):
+    """Review finding: execute(..., highlight_from=) crashed for TIME
+    strategy; newest now supports the same summary passthrough."""
+    from miru_spark.index import build_index
+    from miru_spark.query.engine import SearchEngine
+    from miru_spark.webtext import webtext_df
+    from miru_spark.wire import execute
+
+    d = str(tmp_path / "idx_wt")
+    wt = webtext_df(spark, 80, parallelism=2)
+    build_index(spark, wt, d, partition_seconds=600, block_span=64)
+    eng = SearchEngine(spark, d)
+    req = {"query": {
+        "timeRange": None, "defaultField": "text", "locale": "en",
+        "useStopWords": True, "query": "w000001",
+        "constraintsFilter": None, "strategy": "TIME",
+        "desiredNumberOfResults": 5,
+    }}
+    out = execute(eng, "fulltext", req, highlight_from=wt)
+    rows = out.collect()
+    assert rows and "summary" in out.columns
+    assert any(r["summary"] for r in rows)
+    # newest-first order preserved under the summary wrap
+    ids = [(r["pid"], r["doc_id"]) for r in rows]
+    assert ids == sorted(ids, reverse=True)
