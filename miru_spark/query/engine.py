@@ -1130,6 +1130,11 @@ class SearchEngine(FeatureOpsMixin):
                 F.sum("n").alias("df"), F.sum("ctf").alias("ctf")
             )
         self.n_docs = int(srow["n_docs"])
+        if srow["avgdl"] is None:
+            raise ValueError(
+                f"snapshot {as_of!r} contains no documents (the tag "
+                f"pins zero commit units with docs)"
+            )
         self.avgdl = float(srow["avgdl"])
         from ..index.build import _recover_lineage
 
@@ -1448,15 +1453,19 @@ class SearchEngine(FeatureOpsMixin):
         phrase_terms = sorted({t for ph in phrases for t, _p in ph[1]})
         terms, prefixes, franges = all_referenced_terms(tree)
         # per-query FullTextQuery.maxWildcardExpansion override rides
-        # only the QUERY's own prefixes/ranges; facet/internal expansions
-        # keep the engine default
+        # only the QUERY's own scoring prefixes (pos_prefixes, collected
+        # before constraints/authz merged in); constraint-side and range
+        # expansions keep the engine default -- capping a constraint's
+        # value set would silently exclude matching docs
+        own = set(pos_prefixes)
         expansions = {
-            p: self.expand_prefix(p, cap=max_expand) for p in prefixes
+            p: self.expand_prefix(
+                p, cap=max_expand if p in own else None
+            )
+            for p in prefixes
         }
         for fr in franges:  # keyed by the node tuple itself
-            expansions[fr] = self.expand_range(
-                fr[1], fr[2], fr[3], cap=max_expand
-            )
+            expansions[fr] = self.expand_range(fr[1], fr[2], fr[3])
         scoring_terms = set(pos_terms)
         for p in pos_prefixes:
             scoring_terms.update(expansions[p])
@@ -1603,7 +1612,12 @@ class SearchEngine(FeatureOpsMixin):
 
         if fetch_terms:
             blocks = blocks.filter(F.col("term").isin(fetch_terms))
-        elif not has_all_node:
+        else:
+            # zero fetch terms: nothing the kernel needs lives in the
+            # posting blocks. A bare match-all (count(None)/waveform of
+            # everything) is answered entirely by the 'z' marker rows +
+            # 't' rows unioned below -- leaving blocks unfiltered here
+            # would exchange the ENTIRE postings table, blobs included
             blocks = blocks.filter(F.lit(False))
 
         # filter-only terms (field constraints, negations, frange
@@ -1671,9 +1685,17 @@ class SearchEngine(FeatureOpsMixin):
         if has_all_node and relevant_pids:
             # every relevant pid must reach the kernel even with zero
             # fetched blocks (it still matches, score 0): ship one tiny
-            # marker row per pid instead of probing which pids are present
+            # marker row per pid instead of probing which pids are
+            # present. Arrow-backed pandas frame -> LocalRelation, no
+            # job (a plain createDataFrame(list) takes the RDD path and
+            # costs a full Spark job per query, see _local_relation)
+            import pandas as pd
+
             markers = self.spark.createDataFrame(
-                [(int(p),) for p in relevant_pids], "pid long"
+                pd.DataFrame(
+                    {"pid": np.array(relevant_pids, dtype=np.int64)}
+                ),
+                schema="pid long",
             )
             blocks = blocks.unionByName(_pad_cols(markers, kcols, "z"))
         unpinned_removals = (
@@ -2815,9 +2837,14 @@ class SearchEngine(FeatureOpsMixin):
                 per_value[_decode(facet_terms[int(r["vidx"])])] = (
                     int(r["latest"]), int(r["n"])
                 )
-        # newest-first page over the distinct values
+        # newest-first page over the distinct values; ties break by
+        # COMPOSED-term order (vidx) -- the same key the distributed
+        # limit-cut used, so the page cannot differ by route (str() of
+        # a decoded numeric would order '10' before '9')
+        vrank = {_decode(t): j for j, t in enumerate(facet_terms)}
         ordered = sorted(
-            per_value.items(), key=lambda vc: (-vc[1][0], str(vc[0]))
+            per_value.items(),
+            key=lambda vc: (-vc[1][0], vrank.get(vc[0], 1 << 60)),
         )[int(start): int(start) + int(count)]
         if not ordered:
             return []
@@ -3978,7 +4005,22 @@ class SearchEngine(FeatureOpsMixin):
                 ),
                 query, locale, highlight_from, use_stopwords,
             )
-        theta0 = self._theta_seed(prep, k) if use_blockmax else 0.0
+        # the theta seed feeds ONLY the per-pid block-max kernel; plain
+        # scoring searches dispatch to the task-level composite kernel
+        # (exhaustive, ignores theta0), so seeding them is pure dead
+        # work on the serving node -- seed only the shapes that read it
+        composite_route = (
+            not prep["has_all_node"]
+            and not (prep.get("phrase_terms") or [])
+            and not (
+                self._removed_df is not None and self._removed_map is None
+            )
+        )
+        theta0 = (
+            self._theta_seed(prep, k)
+            if use_blockmax and not composite_route
+            else 0.0
+        )
         per_part = self.kernel_frame(
             query, k=k, locale=locale, time_range_us=time_range_us,
             use_blockmax=use_blockmax, prep=prep, theta0=theta0,
@@ -4098,7 +4140,10 @@ class SearchEngine(FeatureOpsMixin):
                         query, texts.get(r["url"]) or "", locale,
                         use_stopwords=use_stopwords,
                     )
-                    if query is not None
+                    # pre-parsed tuple trees carry no query TEXT to
+                    # re-lex; their results get no summary rather than
+                    # a TypeError from the highlighter's parser
+                    if isinstance(query, str)
                     else None,
                 )
                 for r in wrows
@@ -4177,10 +4222,19 @@ class SearchEngine(FeatureOpsMixin):
                 out[q] = [(p, d, s, u) for (u, _w, p, d, s) in rows]
                 specs.append(None)
                 continue
-            if prep["has_all_node"] or prep.get("phrase_terms"):
-                # match-all needs marker rows, phrases need pos blobs --
-                # neither rides the shared batched exchange; both answer
-                # through the individual kernel path
+            if (
+                prep["has_all_node"]
+                or prep.get("phrase_terms")
+                or prep["time_spec"] is not None
+                or prep["time_bounds"] is not None
+                or prep["pid_range"] is not None
+            ):
+                # match-all needs marker rows, phrases need pos blobs,
+                # and time-bounded preps (incl. the retention-watermark
+                # clamp) need their pid/bounds spec -- the shared
+                # batched exchange carries none of these, so all answer
+                # through the individual kernel path where results stay
+                # identical to sequential search_collect
                 fallback[q] = None
                 specs.append(None)
                 continue
@@ -4352,15 +4406,36 @@ class SearchEngine(FeatureOpsMixin):
                 wrows = per.orderBy(
                     F.desc("pid"), F.desc("doc_id")
                 ).limit(k).collect() if k > 0 else []
-                # same forward-index point gather the serving path uses
-                rows = self._gather_rows(
-                    self._dataset(),
-                    np.array([int(r["pid"]) for r in wrows], dtype=np.int64),
-                    np.array([int(r["doc_id"]) for r in wrows],
-                             dtype=np.int64),
-                    np.zeros(len(wrows), dtype=np.float64),
-                )
-                wdf = self._local_relation(rows)
+                # same forward-index point gather the serving path uses;
+                # same broadcast-docmap fallback as search() when the
+                # driver cannot read storage directly
+                try:
+                    rows = self._gather_rows(
+                        self._dataset(),
+                        np.array([int(r["pid"]) for r in wrows],
+                                 dtype=np.int64),
+                        np.array([int(r["doc_id"]) for r in wrows],
+                                 dtype=np.int64),
+                        np.zeros(len(wrows), dtype=np.float64),
+                    )
+                    wdf = self._local_relation(rows)
+                except Exception:
+                    import pandas as pd
+
+                    wdf = self.docmap.join(
+                        F.broadcast(
+                            self.spark.createDataFrame(
+                                pd.DataFrame(
+                                    [(int(r["pid"]), int(r["doc_id"]))
+                                     for r in wrows],
+                                    columns=["pid", "doc_id"],
+                                ),
+                                schema="pid long, doc_id long",
+                            )
+                        ),
+                        ["pid", "doc_id"],
+                        "inner",
+                    )
             return self._newest_out(
                 wdf.select(
                     "url",

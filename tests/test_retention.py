@@ -244,3 +244,18 @@ def test_bare_newest_honors_time_range(spark, idx):
     ]
     got = [(r["pid"], r["doc_id"]) for r in rows]
     assert got == want
+
+
+def test_search_many_matches_sequential_under_retention(spark, idx, tmp_path):
+    """Review finding: the batched kernel dropped the watermark clamp
+    (and any time bounds); such queries must fall back to the
+    per-query path so results stay identical to search_collect."""
+    import shutil
+
+    d = str(tmp_path / "ret_many")
+    shutil.copytree(idx, d)
+    set_retention(d, _cutoff_us(spark, d))
+    eng = SearchEngine(spark, d)
+    batched = eng.search_many(QUERIES, k=10)
+    for q in QUERIES:
+        assert batched[q] == eng.search_collect(q, k=10), q
