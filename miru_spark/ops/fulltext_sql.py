@@ -275,6 +275,21 @@ def _engine_for(spark: SparkSession, sf_dir: str):
             ),
             F.lit("stream"),
             F.array((F.col("doc_id") % 4).cast("string")),
+            # WIDE facet field: 5 tags per doc over a 1997-value space,
+            # so sf0.01 (500 docs) carries >1024 distinct values --
+            # the fixture that catches any wildcard-cap leak into facet
+            # enumeration (Distincts.gatherDirect streams the whole
+            # term range, Distincts.java:69-140)
+            F.lit("tag"),
+            F.array(
+                *[
+                    F.format_string(
+                        "t%04d",
+                        (F.col("doc_id") * 7 + F.lit(j) * 13) % 1997,
+                    )
+                    for j in range(5)
+                ]
+            ),
         ).alias("fields"),
     )
     index_dir = tempfile.mkdtemp(prefix="ft_engine_idx_")
@@ -285,7 +300,7 @@ def _engine_for(spark: SparkSession, sf_dir: str):
         partition_seconds=10**9,
         block_span=64,
         shuffle_partitions=max(8, spark.sparkContext.defaultParallelism),
-        extra_fields=["user", "item", "parent", "stream"],
+        extra_fields=["user", "item", "parent", "stream", "tag"],
     )
     eng = SearchEngine(spark, index_dir)
     _ENGINE_CACHE[key] = eng
@@ -759,9 +774,48 @@ SELECT kind, key_us, val FROM (
 """
 
 
+def ft_engine_distincts_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Facet distincts over a field with >1024 distinct values through
+    the REAL engine's DISTRIBUTED route (the streamed facet_prefixes
+    kernel mode -- no driver-side value list, no wildcard cap). The
+    engine corpus's `tag` field carries 5 values per doc over a
+    1997-value space (see _engine_for), so sf0.01 exceeds the old
+    MAX_WILDCARD_EXPANSION=1024 by ~400 values: a capped enumeration
+    CANNOT match this oracle. Reference semantics: Distincts
+    gatherDirect streams the field's whole term range
+    (miru-reco-plugins/.../distincts/Distincts.java:69-140). DuckDB
+    recomputes the per-tag match counts from the same doc_id formula."""
+    eng = _engine_for(spark, sf_dir)
+    rows = eng.distincts("tag", "spark", local=False)
+    return spark.createDataFrame(
+        [(v, int(c)) for v, c in rows], "value string, cnt long"
+    ).orderBy(F.desc("cnt"), F.asc("value"))
+
+
+FT_ENGINE_DISTINCTS_WIDE_SQL = """
+WITH m AS (
+  SELECT doc_id FROM documents
+  WHERE list_contains(string_split(text, ' '), 'spark')
+), tags AS (
+  SELECT m.doc_id,
+         printf('t%04d', (m.doc_id * 7 + j.j * 13) % 1997) AS value
+  FROM m CROSS JOIN (SELECT unnest(range(5)) AS j) j
+)
+SELECT value, CAST(count(DISTINCT doc_id) AS BIGINT) AS cnt
+FROM tags GROUP BY value
+ORDER BY cnt DESC, value ASC
+"""
+
+
 QUERIES = {
     "ft_term_stats": (ft_term_stats, FT_TERM_STATS_SQL),
-    "ft_bm25_and_topk": (ft_bm25_and_topk, FT_BM25_AND_SQL),
+    # ft_bm25_and_topk retired r5 (50-entry cap): its conjunctive BM25
+    # semantics are driver-gated by ft_engine_bm25 (the REAL engine's
+    # AND path); the SQL re-expression stays pytest-gated in
+    # tests/test_entry_oracle.py. Its slot now gates the wide-facet
+    # streamed distincts path (the r4 verdict's flagged flaw).
+    "ft_engine_distincts_wide": (
+        ft_engine_distincts_wide, FT_ENGINE_DISTINCTS_WIDE_SQL),
     "ft_bm25_or_topk": (ft_bm25_or_topk, FT_BM25_OR_SQL),
     "ft_conjunctive": (ft_conjunctive, FT_CONJUNCTIVE_SQL),
     # ft_disjunctive retired from the driver registry (50-entry cap):

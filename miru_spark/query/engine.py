@@ -374,9 +374,21 @@ def _make_kernel(
     facet_terms2: list | None = None,
     facet_terms3: list | None = None,
     tuple_specs: list | None = None,
+    facet_prefixes: list | None = None,
 ):
     """Build the per-partition applyInPandas kernel (closure ships to
     executors with the task -- all members are small).
+
+    `facet_prefixes` switches the distincts/aggregate/waveforms/metrics
+    facet modes from a driver-enumerated `facet_terms` LIST to streamed
+    prefix enumeration: the kernel identifies a task's facet terms by
+    composed-term prefix among its own posting rows and emits them as a
+    `term` string column, so the full (uncapped) value space of a field
+    flows through the exchange without EVER materializing a value list
+    on the driver -- the Spark rendering of Distincts.gatherDirect
+    streaming the whole term range (Distincts.java:69-140). At 100 TB a
+    `user`/`guid` facet has millions of values; this path's driver
+    footprint stays O(result), not O(value space).
 
     `agg` switches the kernel from top-k retrieval to match-set
     aggregation (no scoring, no heap): "count" emits one
@@ -400,6 +412,13 @@ def _make_kernel(
     import pandas as pd
 
     has_all = "all" in _tree_tags(tree)
+    fpfx = tuple(facet_prefixes) if facet_prefixes else None
+
+    def facet_keys(ids_out: dict) -> list:
+        """Streamed facet enumeration: THIS task's facet terms are the
+        prefix-matching terms among its own decoded posting rows --
+        sorted so value order (composed-term order) is deterministic."""
+        return sorted(t for t in ids_out if t.startswith(fpfx))
 
     def bucket_of(warc_vals: np.ndarray):
         """Histogram timestamps into buckets: epoch-aligned (default) or
@@ -568,7 +587,12 @@ def _make_kernel(
                 # its match count (AggregateCounts.java distinct-latest
                 # + count); one row per present value leaves the task
                 o_idx, o_doc, o_cnt = [], [], []
-                for i, t in enumerate(facet_terms or []):
+                o_term: list = []
+                fts = (
+                    facet_keys(ids_out) if fpfx is not None
+                    else (facet_terms or [])
+                )
+                for i, t in enumerate(fts):
                     c = ids_out.get(t)
                     if c is None or not c.size or not ids.size:
                         continue
@@ -580,14 +604,19 @@ def _make_kernel(
                         o_idx.append(float(i))
                         o_doc.append(int(inter[-1]))
                         o_cnt.append(int(inter.size))
-                return pd.DataFrame(
-                    {
-                        "pid": pid,
-                        "doc_id": np.array(o_doc, dtype=np.int64),
-                        "score": np.array(o_idx, dtype=np.float64),
-                        "cnt": np.array(o_cnt, dtype=np.int64),
-                    }
-                )
+                        o_term.append(t)
+                out = {
+                    "pid": pid,
+                    "doc_id": np.array(o_doc, dtype=np.int64),
+                    "score": np.array(o_idx, dtype=np.float64),
+                    "cnt": np.array(o_cnt, dtype=np.int64),
+                }
+                if fpfx is not None:
+                    out["score"] = np.zeros(
+                        len(o_term), dtype=np.float64
+                    )
+                    out["term"] = o_term
+                return pd.DataFrame(out)
             if agg == "pairs":
                 # feature-tuple doc-co-occurrence counts over the match
                 # set -- the counting core of gatherFeatures
@@ -636,8 +665,13 @@ def _make_kernel(
                 warc = np.concatenate(
                     [np.cumsum(decode_varint(b)) for b in tr["ids_bin"]]
                 )
+                fts = (
+                    facet_keys(ids_out) if fpfx is not None
+                    else (facet_terms or [])
+                )
                 o_b, o_v, o_c = [], [], []
-                for i, t in enumerate(facet_terms or []):
+                o_t: list = []
+                for i, t in enumerate(fts):
                     c = ids_out.get(t)
                     if c is None or not c.size:
                         continue
@@ -651,18 +685,23 @@ def _make_kernel(
                     o_b.append(ub)
                     o_v.append(np.full(ub.size, i, dtype=np.int64))
                     o_c.append(cnt)
+                    o_t.extend([t] * ub.size)
                 if not o_b:
                     return pd.DataFrame(
                         columns=["pid", "doc_id", "score", "cnt"]
                     )
-                return pd.DataFrame(
-                    {
-                        "pid": pid,
-                        "doc_id": np.concatenate(o_b),
-                        "score": np.concatenate(o_v).astype(np.float64),
-                        "cnt": np.concatenate(o_c).astype(np.int64),
-                    }
-                )
+                out = {
+                    "pid": pid,
+                    "doc_id": np.concatenate(o_b),
+                    "score": np.concatenate(o_v).astype(np.float64),
+                    "cnt": np.concatenate(o_c).astype(np.int64),
+                }
+                if fpfx is not None:
+                    out["score"] = np.zeros(
+                        len(o_t), dtype=np.float64
+                    )
+                    out["term"] = o_t
+                return pd.DataFrame(out)
             if agg == "metrics":
                 # per-bucket SUM of a numeric field over the match set
                 # (Metrics.metricingSum, Metrics.java:82-98: sum over
@@ -678,7 +717,20 @@ def _make_kernel(
                     [np.cumsum(decode_varint(b)) for b in tr["ids_bin"]]
                 )
                 acc: dict = {}
-                for t, v in zip(facet_terms or [], facet_values or []):
+                if fpfx is not None:
+                    # streamed numeric facet: the value is decodable
+                    # from the composed term itself (order-preserving
+                    # encoding, fields.encode_num) -- no driver list
+                    from ..fields import FIELD_SEP, decode_num
+
+                    fts = facet_keys(ids_out)
+                    fvs = [
+                        float(decode_num(t.split(FIELD_SEP, 1)[1]))
+                        for t in fts
+                    ]
+                else:
+                    fts, fvs = facet_terms or [], facet_values or []
+                for t, v in zip(fts, fvs):
                     c = ids_out.get(t)
                     if c is None or not c.size:
                         continue
@@ -709,7 +761,12 @@ def _make_kernel(
                 # gatherDistinctsForField) as per-pid intersection
                 # counts; only (value_idx, count) rows leave the task
                 out_idx, out_cnt = [], []
-                for i, t in enumerate(facet_terms or []):
+                out_t: list = []
+                fts = (
+                    facet_keys(ids_out) if fpfx is not None
+                    else (facet_terms or [])
+                )
+                for i, t in enumerate(fts):
                     c = ids_out.get(t)
                     if c is None or not c.size or not ids.size:
                         continue
@@ -720,13 +777,18 @@ def _make_kernel(
                     if n:
                         out_idx.append(i)
                         out_cnt.append(float(n))
-                return pd.DataFrame(
-                    {
-                        "pid": pid,
-                        "doc_id": np.array(out_idx, dtype=np.int64),
-                        "score": np.array(out_cnt, dtype=np.float64),
-                    }
-                )
+                        out_t.append(t)
+                out = {
+                    "pid": pid,
+                    "doc_id": np.array(out_idx, dtype=np.int64),
+                    "score": np.array(out_cnt, dtype=np.float64),
+                }
+                if fpfx is not None:
+                    out["doc_id"] = np.zeros(
+                        len(out_t), dtype=np.int64
+                    )
+                    out["term"] = out_t
+                return pd.DataFrame(out)
             if agg == "stumptown":
                 # ONE pass over this pid's match set yields BOTH outputs
                 # (Stumptown.stumptowning, Stumptown.java:37-73: newest-k
@@ -1322,6 +1384,61 @@ class SearchEngine(FeatureOpsMixin):
         )
         return [r["term"] for r in rows]
 
+    def field_terms(self, field: str, prefixes=None) -> list[str]:
+        """UNCAPPED composed-term enumeration of a metadata field's value
+        space -- the facet-family twin of `expand_prefix` WITHOUT the
+        wildcard-expansion cap. The reference's distincts gatherer streams
+        the field's FULL term range (Distincts.gatherDirect walks
+        termIndex.streamTermIdsForField with no value cap,
+        miru-reco-plugins/.../distincts/Distincts.java:69-140); sharing
+        MAX_WILDCARD_EXPANSION here would silently truncate facet counts
+        on any field with >1024 values. `prefixes` restricts the values
+        (DistinctsQuery.prefixes): a string or list of strings, values
+        matching ANY prefix.
+
+        Pinned-dictionary path: a bisect slice of the driver-resident
+        sorted term list -- free and exact. Unpinned path: ONE Spark
+        collect of the field's composed terms, output-sized (callers
+        that return the full value set are O(values) anyway; the
+        distributed facet kernels stream values through the exchange via
+        `facet_prefixes` and never need this list)."""
+        from ..fields import FIELD_SEP
+
+        if prefixes is None or isinstance(prefixes, str):
+            pfx = [prefixes or ""]
+        else:
+            pfx = list(prefixes) or [""]
+        keys = sorted({f"{field}{FIELD_SEP}{p}" for p in pfx})
+        if self._terms_sorted is not None:
+            import bisect
+
+            out: list[str] = []
+            seen: set[str] = set()
+            for kp in keys:
+                i = bisect.bisect_left(self._terms_sorted, kp)
+                while (
+                    i < len(self._terms_sorted)
+                    and self._terms_sorted[i].startswith(kp)
+                ):
+                    t = self._terms_sorted[i]
+                    if t not in seen:
+                        seen.add(t)
+                        out.append(t)
+                    i += 1
+            return sorted(out) if len(keys) > 1 else out
+        cond = None
+        for kp in keys:
+            c = F.col("term").startswith(kp)
+            cond = c if cond is None else (cond | c)
+        rows = (
+            self.termstats.filter(cond)
+            .select("term")
+            .distinct()
+            .orderBy("term")
+            .collect()
+        )
+        return [r["term"] for r in rows]
+
     def expand_range(
         self, field: str, lo: int, hi: int, cap: int | None = None
     ) -> list[str]:
@@ -1555,6 +1672,7 @@ class SearchEngine(FeatureOpsMixin):
         facet_terms2: list | None = None,
         facet_terms3: list | None = None,
         tuple_specs: list | None = None,
+        facet_prefixes: list | None = None,
     ) -> DataFrame:
         """Build the distributed match+score frame for a query: one
         mapInPandas kernel pass over the pruned posting blocks, yielding
@@ -1610,15 +1728,22 @@ class SearchEngine(FeatureOpsMixin):
                 (F.col("pid") >= pid_lo) & (F.col("pid") <= pid_hi)
             )
 
-        if fetch_terms:
-            blocks = blocks.filter(F.col("term").isin(fetch_terms))
-        else:
+        fcond = (
+            F.col("term").isin(fetch_terms) if fetch_terms
             # zero fetch terms: nothing the kernel needs lives in the
             # posting blocks. A bare match-all (count(None)/waveform of
             # everything) is answered entirely by the 'z' marker rows +
             # 't' rows unioned below -- leaving blocks unfiltered here
             # would exchange the ENTIRE postings table, blobs included
-            blocks = blocks.filter(F.lit(False))
+            else F.lit(False)
+        )
+        for kp in facet_prefixes or []:
+            # streamed facet mode: the facet field's WHOLE composed-term
+            # range rides to the kernel, selected by prefix (pushes to
+            # parquet as StringStartsWith -- term-major row groups prune
+            # on their term min/max like the isin path)
+            fcond = fcond | F.col("term").startswith(kp)
+        blocks = blocks.filter(fcond)
 
         # filter-only terms (field constraints, negations, frange
         # expansions) never score: their tf/dl blobs are dead weight on
@@ -1629,12 +1754,16 @@ class SearchEngine(FeatureOpsMixin):
         # phrase inside `constraints`): position decode segments by tf.
         keep_blobs = set(scoring_terms) | set(phrase_terms)
         nonscoring = sorted(set(fetch_terms) - keep_blobs)
-        if nonscoring and keep_blobs:
+        # prefix-selected facet rows are never scoring terms either --
+        # their tf/dl blobs must shed before the exchange just like
+        # list-enumerated filter-only terms
+        has_nonscoring = bool(nonscoring) or bool(facet_prefixes)
+        if has_nonscoring and keep_blobs:
             keep = F.col("term").isin(sorted(keep_blobs))
             blocks = blocks.withColumn(
                 "tfs_bin", F.when(keep, F.col("tfs_bin"))
             ).withColumn("dls_bin", F.when(keep, F.col("dls_bin")))
-        elif nonscoring:
+        elif has_nonscoring:
             blocks = blocks.withColumn(
                 "tfs_bin", F.lit(None).cast("binary")
             ).withColumn("dls_bin", F.lit(None).cast("binary"))
@@ -1743,6 +1872,7 @@ class SearchEngine(FeatureOpsMixin):
             facet_terms2=facet_terms2,
             facet_terms3=facet_terms3,
             tuple_specs=tuple_specs,
+            facet_prefixes=facet_prefixes,
         )
         # hash-co-locate each pid's fetched blocks on one task, then ONE
         # pandas call per task loops the pids it owns -- same semantics as
@@ -1778,8 +1908,17 @@ class SearchEngine(FeatureOpsMixin):
                 ),
             )
             src = blocks.repartition(nparts, "pid")
-        out_schema = _RESULT_SCHEMA + (
-            ", cnt long" if agg in ("aggregate", "waveforms") else ""
+        out_schema = (
+            _RESULT_SCHEMA
+            + (", cnt long" if agg in ("aggregate", "waveforms") else "")
+            # streamed facet mode emits the composed value term itself
+            # (metrics excepted: its values decode in-kernel and only
+            # per-bucket sums leave the task)
+            + (
+                ", term string"
+                if facet_prefixes and agg != "metrics"
+                else ""
+            )
         )
         if (
             agg is None
@@ -2249,25 +2388,39 @@ class SearchEngine(FeatureOpsMixin):
             ),
         }
         if field is not None:
-            from ..fields import FIELD_SEP
-
-            fterms = self.expand_prefix(f"{field}{FIELD_SEP}")
-            fest = sum(int(term_df.get(t, 0)) for t in fterms)
+            if self._terms_sorted is not None:
+                # UNCAPPED enumeration (field_terms): n_values is the
+                # field's true value count, never a dictionary cut
+                fterms = self.field_terms(field)
+                fest = sum(int(term_df.get(t, 0)) for t in fterms)
+                n_values: int | None = len(fterms)
+            else:
+                # unpinned dictionary: explain() stays zero-jobs, so the
+                # value count is unknown here; the facet ops themselves
+                # stream the full value space through the kernel
+                fterms, fest, n_values = None, None, None
             rep["facet"] = {
                 "field": field,
-                "n_values": len(fterms),
-                "facet_postings": int(fest),
+                "n_values": n_values,
+                # facet enumeration is uncapped by design (the wildcard
+                # cap applies ONLY to query-side prefix expansion) --
+                # reported explicitly so a reader can trust facet counts
+                "truncated": False,
+                "cap": None,
+                "facet_postings": fest,
                 "route": (
                     "serving-node"
                     if local
+                    and fest is not None
                     and est + fest <= self.local_max_postings
-                    else "distributed-kernel"
+                    else "distributed-kernel (streamed facet values)"
                 ),
                 "note": (
                     "distincts/metrics/trending/aggregate_counts probe "
                     "these values' postings against the match set; the "
                     "serving budget adds facet_postings to "
-                    "estimated_postings"
+                    "estimated_postings; the distributed kernel streams "
+                    "the field's whole composed-term range by prefix"
                 ),
             }
         return rep
@@ -2768,8 +2921,12 @@ class SearchEngine(FeatureOpsMixin):
         gather."""
         from ..fields import FIELD_SEP, NUMERIC_FIELDS, decode_num
 
-        facet_terms = self.expand_prefix(f"{field}{FIELD_SEP}")
-        if not facet_terms:
+        # UNCAPPED value enumeration (field_terms; the serving path
+        # probes the pinned list, the distributed kernel streams values
+        # by prefix -- no cap on either route)
+        pinned = self._terms_sorted is not None
+        facet_terms = self.field_terms(field) if pinned else None
+        if pinned and not facet_terms:
             return []
 
         def _decode(term: str):
@@ -2781,19 +2938,20 @@ class SearchEngine(FeatureOpsMixin):
         )
         if local is None:
             est_facets = sum(
-                (self._term_df or {}).get(t, 0) for t in facet_terms
+                (self._term_df or {}).get(t, 0) for t in facet_terms or []
             )
             local = (
-                self._local_eligible(prep)
+                pinned
+                and self._local_eligible(prep)
                 and self._estimated_postings(prep) + est_facets
                 <= self.local_max_postings
             )
-        elif local and not self._local_eligible(prep):
+        elif local and not (pinned and self._local_eligible(prep)):
             raise ValueError(
                 "local=True forced but this query is not eligible for "
                 "the serving-node path; use local=None for auto-routing"
             )
-        per_value: dict = {}  # value -> (latest_comp, count)
+        per_value: dict = {}  # value -> (latest_comp, count, composed)
         if local:
             matches = self._local_match_ids(prep)
             if matches.size:
@@ -2807,45 +2965,47 @@ class SearchEngine(FeatureOpsMixin):
                 np.maximum.at(latest, vh, matches[mp])
                 for i in np.flatnonzero(counts):
                     per_value[_decode(facet_terms[i])] = (
-                        int(latest[i]), int(counts[i])
+                        int(latest[i]), int(counts[i]), facet_terms[i]
                     )
         else:
             # merge per-pid partials IN SPARK (values x pids rows never
-            # reach the driver): one tiny groupBy over (value_idx) rows,
-            # then only the page's values collect
+            # reach the driver): one tiny groupBy over (value term)
+            # rows, then only the page's values collect
             rows = (
                 self.kernel_frame(
                     query, k=0, locale=locale,
                     time_range_us=time_range_us,
-                    prep=prep, agg="aggregate", facet_terms=facet_terms,
+                    prep=prep, agg="aggregate",
+                    facet_prefixes=[f"{field}{FIELD_SEP}"],
                 )
-                .groupBy(F.col("score").alias("vidx"))
+                .groupBy("term")
                 .agg(
                     F.max(
                         (F.col("pid") * F.lit(1 << 32)) + F.col("doc_id")
                     ).alias("latest"),
                     F.sum("cnt").alias("n"),
                 )
-                # vidx asc == composed-term order == value order: same
+                # term asc == composed-term order == value order: same
                 # tie-break as the serving path when two values share
                 # their newest doc (possible for multi-valued fields)
-                .orderBy(F.desc("latest"), F.asc("vidx"))
+                .orderBy(F.desc("latest"), F.asc("term"))
                 .limit(int(start) + int(count))
                 .collect()
             )
             for r in rows:
-                per_value[_decode(facet_terms[int(r["vidx"])])] = (
-                    int(r["latest"]), int(r["n"])
+                per_value[_decode(r["term"])] = (
+                    int(r["latest"]), int(r["n"]), r["term"]
                 )
         # newest-first page over the distinct values; ties break by
-        # COMPOSED-term order (vidx) -- the same key the distributed
-        # limit-cut used, so the page cannot differ by route (str() of
-        # a decoded numeric would order '10' before '9')
-        vrank = {_decode(t): j for j, t in enumerate(facet_terms)}
-        ordered = sorted(
-            per_value.items(),
-            key=lambda vc: (-vc[1][0], vrank.get(vc[0], 1 << 60)),
-        )[int(start): int(start) + int(count)]
+        # COMPOSED-term order -- the same key the distributed limit-cut
+        # used, so the page cannot differ by route (str() of a decoded
+        # numeric would order '10' before '9')
+        ordered = [
+            (v, (c, n))
+            for v, (c, n, ct) in sorted(
+                per_value.items(), key=lambda vc: (-vc[1][0], vc[1][2])
+            )
+        ][int(start): int(start) + int(count)]
         if not ordered:
             return []
         pids = np.array([c >> 32 for _v, (c, _n) in ordered], np.int64)
@@ -2880,7 +3040,7 @@ class SearchEngine(FeatureOpsMixin):
             # pruned by term)
             page = np.sort((pids << 32) + docs)
             for gf in gather_fields:
-                gterms = self.expand_prefix(f"{gf}{FIELD_SEP}")
+                gterms = self.field_terms(gf)
                 if not gterms:
                     continue
                 gmap, _t, _d = self._postings_maps(gterms, None)
@@ -2966,8 +3126,14 @@ class SearchEngine(FeatureOpsMixin):
         bucket_us, origin = self._bucket_spec(
             bucket_seconds, segments, time_range_us
         )
-        facet_terms = self.expand_prefix(f"{field}{FIELD_SEP}")
-        if not facet_terms:
+        # UNCAPPED value enumeration (field_terms; distributed route
+        # streams values by prefix, so candidate discovery sees the
+        # field's WHOLE value space before the leader bound applies --
+        # the reference's top-N restriction is an explicit, reported
+        # bound, never a silent dictionary cut)
+        pinned = self._terms_sorted is not None
+        facet_terms = self.field_terms(field) if pinned else None
+        if pinned and not facet_terms:
             return []
 
         def _decode(term: str):
@@ -2978,14 +3144,15 @@ class SearchEngine(FeatureOpsMixin):
             query, locale, time_range_us, constraints, authz
         )
         est_facets = sum(
-            (self._term_df or {}).get(t, 0) for t in facet_terms
+            (self._term_df or {}).get(t, 0) for t in facet_terms or []
         )
         local = (
-            self._local_eligible(prep)
+            pinned
+            and self._local_eligible(prep)
             and self._estimated_postings(prep) + est_facets
             <= self.local_max_postings
         )
-        # (value_idx, bucket) -> count, from one pass either way
+        # (composed value term, bucket) -> count, from one pass either way
         cell_counts: dict = {}
         if local:
             matches = self._local_match_ids(prep)
@@ -3013,7 +3180,7 @@ class SearchEngine(FeatureOpsMixin):
             for i, b, c in zip(
                 uk[0].tolist(), uk[1].tolist(), cnt.tolist()
             ):
-                cell_counts[(i, b)] = c
+                cell_counts[(facet_terms[i], b)] = c
         else:
             rows = (
                 self.kernel_frame(
@@ -3022,46 +3189,47 @@ class SearchEngine(FeatureOpsMixin):
                     prep=prep, agg="waveforms", bucket_us=bucket_us,
                     bucket_origin_us=origin,
                     bucket_count=segments or 0,
-                    facet_terms=facet_terms,
+                    facet_prefixes=[f"{field}{FIELD_SEP}"],
                 )
                 .groupBy(
-                    F.col("score").alias("vidx"),
+                    "term",
                     F.col("doc_id").alias("bucket"),
                 )
                 .agg(F.sum("cnt").alias("n"))
                 .collect()
             )
             for r in rows:
-                cell_counts[(int(r["vidx"]), int(r["bucket"]))] = int(
+                cell_counts[(r["term"], int(r["bucket"]))] = int(
                     r["n"]
                 )
         if not cell_counts:
             return []
-        # leader-bounded candidates (reference's top-N restriction)
+        # leader-bounded candidates (reference's top-N restriction);
+        # tie-break on the composed term = value order, same both routes
         leaders: dict = {}
-        for (i, _b), c in cell_counts.items():
-            leaders[i] = leaders.get(i, 0) + c
-        cand_idx = sorted(
-            leaders, key=lambda i: (-leaders[i], facet_terms[i])
+        for (t, _b), c in cell_counts.items():
+            leaders[t] = leaders.get(t, 0) + c
+        cand_terms = sorted(
+            leaders, key=lambda t: (-leaders[t], t)
         )[: int(max_candidates)]
-        cand_set = set(cand_idx)
+        cand_set = set(cand_terms)
         if segments:
             # reference shape: the waveform IS the requested range --
             # dense long[N] indexed from the range origin
             lo, n = 0, int(segments)
         else:
             buckets = sorted(
-                {b for (i, b) in cell_counts if i in cand_set}
+                {b for (t, b) in cell_counts if t in cand_set}
             )
             lo = buckets[0]
             n = buckets[-1] - lo + 1
         arrays = {}
-        for i in cand_idx:
+        for t in cand_terms:
             arr = np.zeros(int(n), dtype=np.float64)
-            arrays[_decode(facet_terms[i])] = arr
-        for (i, b), c in cell_counts.items():
-            if i in cand_set:
-                arrays[_decode(facet_terms[i])][b - lo] = c
+            arrays[_decode(t)] = arr
+        for (t, b), c in cell_counts.items():
+            if t in cand_set:
+                arrays[_decode(t)][b - lo] = c
         if strategy == "leader":
             scored = [(v, float(a.sum())) for v, a in arrays.items()]
         elif strategy == "highest_peak":
@@ -3191,7 +3359,11 @@ class SearchEngine(FeatureOpsMixin):
         bucket_us, origin = self._bucket_spec(
             bucket_seconds, segments, time_range_us
         )
-        facet_terms = self.expand_prefix(f"{field}{FIELD_SEP}")
+        # UNCAPPED value enumeration (field_terms on the pinned serving
+        # path; the distributed kernel streams the numeric field's
+        # composed terms by prefix and decodes values in-task)
+        pinned = self._terms_sorted is not None
+        facet_terms = self.field_terms(field) if pinned else []
         facet_values = [
             float(decode_num(t.split(FIELD_SEP, 1)[1])) for t in facet_terms
         ]
@@ -3203,11 +3375,12 @@ class SearchEngine(FeatureOpsMixin):
                 (self._term_df or {}).get(t, 0) for t in facet_terms
             )
             local = (
-                self._local_eligible(prep)
+                pinned
+                and self._local_eligible(prep)
                 and self._estimated_postings(prep) + est_facets
                 <= self.local_max_postings
             )
-        elif local and not self._local_eligible(prep):
+        elif local and not (pinned and self._local_eligible(prep)):
             raise ValueError(
                 "local=True forced but this query is not eligible for "
                 "the serving-node path; use local=None for auto-routing"
@@ -3273,7 +3446,7 @@ class SearchEngine(FeatureOpsMixin):
                 query, k=0, locale=locale, time_range_us=time_range_us,
                 prep=prep, agg="metrics", bucket_us=bucket_us,
                 bucket_origin_us=origin, bucket_count=segments or 0,
-                facet_terms=facet_terms, facet_values=facet_values,
+                facet_prefixes=[f"{field}{FIELD_SEP}"],
             )
             .groupBy("doc_id")
             .agg(F.sum("score").alias("s"))
@@ -3379,14 +3552,14 @@ class SearchEngine(FeatureOpsMixin):
             pfx = [prefix or ""]
         else:
             pfx = list(prefix) or [""]
-        facet_terms = sorted(
-            {
-                t
-                for p in pfx
-                for t in self.expand_prefix(f"{field}{FIELD_SEP}{p}")
-            }
-        )
-        if not facet_terms:
+        # UNCAPPED value enumeration (field_terms, never the wildcard
+        # cap -- Distincts.gatherDirect streams the whole term range).
+        # Pinned dictionary: free bisect slice, drives serving-path
+        # probing + routing estimates. Unpinned: the distributed kernel
+        # streams values by prefix and no driver list exists at all.
+        pinned = self._terms_sorted is not None
+        facet_terms = self.field_terms(field, pfx) if pinned else None
+        if pinned and not facet_terms:
             return []
 
         def _decode(term: str):
@@ -3399,14 +3572,15 @@ class SearchEngine(FeatureOpsMixin):
         if local is None:
             # facet postings ride the match pass: budget them too
             est_facets = sum(
-                (self._term_df or {}).get(t, 0) for t in facet_terms
+                (self._term_df or {}).get(t, 0) for t in facet_terms or []
             )
             local = (
-                self._local_eligible(prep)
+                pinned
+                and self._local_eligible(prep)
                 and self._estimated_postings(prep) + est_facets
                 <= self.local_max_postings
             )
-        elif local and not self._local_eligible(prep):
+        elif local and not (pinned and self._local_eligible(prep)):
             raise ValueError(
                 "local=True forced but this query is not eligible for "
                 "the serving-node path; use local=None for auto-routing"
@@ -3429,16 +3603,14 @@ class SearchEngine(FeatureOpsMixin):
         rows = (
             self.kernel_frame(
                 query, k=0, locale=locale, time_range_us=time_range_us,
-                prep=prep, agg="distincts", facet_terms=facet_terms,
+                prep=prep, agg="distincts",
+                facet_prefixes=[f"{field}{FIELD_SEP}{p}" for p in pfx],
             )
-            .groupBy("doc_id")
+            .groupBy("term")
             .agg(F.sum("score").alias("c"))
             .collect()
         )
-        out = [
-            (_decode(facet_terms[int(r["doc_id"])]), int(r["c"]))
-            for r in rows
-        ]
+        out = [(_decode(r["term"]), int(r["c"])) for r in rows]
         return sorted(out, key=lambda vc: (-vc[1], str(vc[0])))
 
     def _local_bounds(self, prep: dict, dset) -> dict:

@@ -181,19 +181,29 @@ class FeatureOpsMixin:
     # -- shared plumbing ---------------------------------------------------
 
     def _field_terms(self, field: str, values=None) -> list[str]:
-        """Composed terms of a field: the capped dictionary prefix scan
-        (every value that EXISTS in the index), or an explicit value
-        list composed + filtered to existing terms."""
+        """Composed terms of a field: the UNCAPPED dictionary prefix
+        scan (every value that EXISTS in the index; field_terms, never
+        the wildcard cap -- the reference's gather is uncapped,
+        CollaborativeFiltering.java:110-125 streams all distinct
+        parents), or an explicit value list composed + filtered to
+        existing terms."""
         if values is None:
-            return self.expand_prefix(f"{field}{FIELD_SEP}")
+            return self.field_terms(field)
         from ..fields import compose_value
 
-        df = self._term_df or {}
-        return sorted(
-            t
-            for t in {compose_value(field, v) for v in values}
-            if t in df
+        composed = {compose_value(field, v) for v in values}
+        if self._term_df is not None:
+            df = self._term_df
+            return sorted(t for t in composed if t in df)
+        # unpinned dictionary: existence-filter via one bounded
+        # termstats probe (|values|-sized isin, not a scan)
+        rows = (
+            self.termstats.filter(F.col("term").isin(sorted(composed)))
+            .select("term")
+            .distinct()
+            .collect()
         )
+        return sorted(r["term"] for r in rows)
 
     def _route_facets(self, prep: dict, groups: list, local) -> bool:
         """Serving-node vs distributed decision, same budget discipline

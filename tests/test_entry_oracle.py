@@ -123,6 +123,10 @@ def _retired_pairs():
         # retired r3: slot given to ft_engine_waveform; OR-path engine
         # semantics remain driver-gated by ft_engine_bm25_or
         "ft_disjunctive": (ft.ft_disjunctive, ft.FT_DISJUNCTIVE_SQL),
+        # retired r5: slot given to ft_engine_distincts_wide (streamed
+        # uncapped facet enumeration); conjunctive BM25 stays
+        # driver-gated by ft_engine_bm25 (the REAL engine's AND path)
+        "ft_bm25_and_topk": (ft.ft_bm25_and_topk, ft.FT_BM25_AND_SQL),
         "tx_token_count": (tx.tx_token_count, tx.TX_TOKEN_COUNT_SQL),
         "tx_quality": (tx.tx_quality, tx.TX_QUALITY_SQL),
         "tx_langid": (tx.tx_langid, tx.TX_LANGID_SQL),

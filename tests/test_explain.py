@@ -102,6 +102,9 @@ def test_explain_facet_view(eng):
     rep = eng.explain("w000001", field="lang")
     f = rep["facet"]
     assert f["n_values"] == len(eng.expand_prefix("lang\x1f")) >= 2
+    # facet enumeration is UNCAPPED by design and says so
+    assert f["truncated"] is False
+    assert f["cap"] is None
     assert f["facet_postings"] == sum(
         eng._term_df[t] for t in eng.expand_prefix("lang\x1f")
     )
@@ -111,7 +114,7 @@ def test_explain_facet_view(eng):
     try:
         eng.local_max_postings = rep["estimated_postings"] + 1
         f2 = eng.explain("w000001", field="lang")["facet"]
-        assert f2["route"] == "distributed-kernel"
+        assert f2["route"].startswith("distributed-kernel")
     finally:
         eng.local_max_postings = old
     assert "facet" not in eng.explain("w000001")

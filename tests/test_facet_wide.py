@@ -1,0 +1,256 @@
+"""Wide-field facet correctness: fields with >1024 distinct values.
+
+Round-4's flagged flaw: the facet family shared the wildcard-expansion
+cap (MAX_WILDCARD_EXPANSION=1024), silently truncating facet counts on
+any field with more values. The reference's distincts gatherer streams
+the field's FULL term range with no value cap (Distincts.gatherDirect,
+miru-reco-plugins/.../distincts/Distincts.java:69-140; paging happens at
+the answer layer), and collaborative filtering's gather is likewise
+uncapped (CollaborativeFiltering.java:110-125). These tests pin that on
+a `tag` field with ~1400 distinct values:
+
+- `field_terms` enumerates the whole value space (pinned bisect AND the
+  unpinned Spark path);
+- distincts / uniques / aggregate_counts / trending are EXACT against a
+  pure-Python recomputation on BOTH routes (serving-node and the
+  distributed kernel's streamed facet_prefixes mode);
+- gather_features over the wide field matches on both routes;
+- explain() reports the uncapped n_values with truncated=False;
+- an engine whose dictionary is NOT pinned (max_pinned_terms below the
+  vocab) still answers identically via the streamed kernel path.
+"""
+
+import collections
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from miru_spark.index.build import build_index
+from miru_spark.query.engine import SearchEngine
+from miru_spark.webtext import generate_rows, webtext_df
+
+N = 600
+TAG_SPACE = 1997  # prime; 600 docs x 4 tags ~> ~1400 distinct values
+TAGS_PER_DOC = 4
+ROWS = generate_rows(range(N))
+
+
+def tags_of(i: int) -> list[str]:
+    return [
+        f"t{(i * 7 + j * 13) % TAG_SPACE:04d}" for j in range(TAGS_PER_DOC)
+    ]
+
+
+def stream_of(i: int) -> str:
+    return str(i % 3)
+
+
+ALL_TAGS = sorted({t for i in range(N) for t in tags_of(i)})
+assert len(ALL_TAGS) > 1024, "fixture must exceed the old wildcard cap"
+
+
+def _wide_df(spark):
+    from pyspark.sql import functions as F
+
+    i = F.regexp_extract("url", r"/page/(\d+)$", 1).cast("long")
+    tags = F.array(
+        *[
+            F.format_string(
+                "t%04d", (i * 7 + F.lit(j) * 13) % TAG_SPACE
+            )
+            for j in range(TAGS_PER_DOC)
+        ]
+    )
+    return webtext_df(spark, N).withColumn(
+        "fields",
+        F.create_map(
+            F.lit("tag"), tags,
+            F.lit("stream"), F.array((i % 3).cast("string")),
+        ),
+    )
+
+
+@pytest.fixture(scope="module")
+def idx(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("widefacet") / "index")
+    build_index(
+        spark, _wide_df(spark), d,
+        partition_seconds=10**9, block_span=256,
+        extra_fields=["tag", "stream"],
+    )
+    return d
+
+
+@pytest.fixture(scope="module")
+def eng(spark, idx):
+    e = SearchEngine(spark, idx).cache()
+    yield e
+    e.close()
+
+
+@pytest.fixture(scope="module")
+def eng_unpinned(spark, idx):
+    # dictionary too large to pin: every facet op must stream values
+    # through the kernel exchange (no driver-side value list)
+    e = SearchEngine(spark, idx, max_pinned_terms=10)
+    assert e._terms_sorted is None
+    yield e
+    e.close()
+
+
+def _matching(term):
+    if term is None:
+        return list(range(N))
+    return [i for i in range(N) if term in ROWS[i]["text"].split()]
+
+
+def _expected_distincts(term):
+    cnt = collections.Counter(
+        t for i in _matching(term) for t in set(tags_of(i))
+    )
+    return sorted(cnt.items(), key=lambda vc: (-vc[1], vc[0]))
+
+
+def test_field_terms_uncapped_both_dictionary_modes(eng, eng_unpinned):
+    want = [f"tag\x1f{t}" for t in ALL_TAGS]
+    assert eng.field_terms("tag") == want
+    assert len(want) > 1024
+    # unpinned: one Spark enumeration job, same exact result
+    assert eng_unpinned.field_terms("tag") == want
+    # prefix restriction still works and stays uncapped inside range
+    sub = [t for t in want if t.startswith("tag\x1ft1")]
+    assert eng.field_terms("tag", "t1") == sub
+    assert eng_unpinned.field_terms("tag", "t1") == sub
+
+
+def test_distincts_exact_beyond_cap_both_routes(eng):
+    want = _expected_distincts("w000001")
+    assert len({v for v, _ in _expected_distincts(None)}) > 1024
+    got_local = eng.distincts("tag", "w000001", local=True)
+    got_dist = eng.distincts("tag", "w000001", local=False)
+    assert got_local == want
+    assert got_dist == want
+    # match-all facet: every doc, full value space -- the exact case
+    # the 1024 cap used to truncate
+    want_all = _expected_distincts(None)
+    assert eng.distincts("tag", None, local=False) == want_all
+    assert eng.distincts("tag", None, local=True) == want_all
+    assert eng.uniques("tag", None) == len(want_all)
+    assert len(want_all) > 1024
+
+
+def test_distincts_prefix_restriction_wide(eng):
+    want = [
+        (v, c) for v, c in _expected_distincts(None)
+        if v.startswith("t19")
+    ]
+    want.sort(key=lambda vc: (-vc[1], vc[0]))
+    assert eng.distincts("tag", None, prefix="t19", local=False) == want
+    assert eng.distincts("tag", None, prefix="t19", local=True) == want
+
+
+def test_aggregate_counts_wide_both_routes(eng):
+    matching = _matching("w000001")
+    per_value: dict = {}
+    for i in matching:
+        for t in set(tags_of(i)):
+            latest, n = per_value.get(t, (-1, 0))
+            per_value[t] = (max(latest, i), n + 1)
+    ordered = sorted(
+        per_value.items(), key=lambda vc: (-vc[1][0], vc[0])
+    )[:25]
+    want = [(v, n, latest) for v, (latest, n) in ordered]
+    for local in (True, False):
+        got = eng.aggregate_counts(
+            "tag", query="w000001", count=25, local=local,
+            gather_urls=False,
+        )
+        assert [
+            (r["value"], r["count"], r["doc_id"]) for r in got
+        ] == want, f"route local={local}"
+
+
+def test_trending_wide_routes_identical(eng):
+    kw = dict(
+        field="tag", query=None, bucket_seconds=600,
+        strategy="leader", top_n=2200, max_candidates=2200,
+    )
+    dist = eng.trending(**kw)
+    old = eng.local_max_postings
+    try:
+        eng.local_max_postings = 1 << 62
+        loc = eng.trending(**kw)
+    finally:
+        eng.local_max_postings = old
+    assert dist == loc
+    # leader score == total match count per value: exact vs python
+    want = {v: float(c) for v, c in _expected_distincts(None)}
+    assert dict(dist) == want
+    assert len(dist) > 1024
+
+
+def test_gather_features_wide_both_routes(eng):
+    want: collections.Counter = collections.Counter()
+    for i in range(N):
+        for t in sorted(set(tags_of(i))):
+            want[(t, stream_of(i))] += 1
+    expect = sorted(
+        ((kv, c) for kv, c in want.items()),
+        key=lambda vc: (-vc[1], vc[0]),
+    )
+    got_dist = eng.gather_features(("tag", "stream"), local=False)
+    got_local = eng.gather_features(("tag", "stream"), local=True)
+    assert got_dist == expect
+    assert got_local == expect
+    assert len({kv[0] for kv, _ in expect}) > 1024
+
+
+def test_explain_reports_uncapped_values(eng, eng_unpinned):
+    rep = eng.explain("w000001", field="tag")
+    f = rep["facet"]
+    assert f["n_values"] == len(ALL_TAGS) > 1024
+    assert f["truncated"] is False
+    assert f["cap"] is None
+    # unpinned: zero-job explain cannot know the count; says so rather
+    # than reporting a truncated number
+    f2 = eng_unpinned.explain("w000001", field="tag")["facet"]
+    assert f2["n_values"] is None
+    assert f2["truncated"] is False
+    assert f2["route"].startswith("distributed-kernel")
+
+
+def test_unpinned_dictionary_streams_exact(eng_unpinned):
+    want = _expected_distincts("w000001")
+    assert eng_unpinned.distincts("tag", "w000001") == want
+    want_all = _expected_distincts(None)
+    assert eng_unpinned.distincts("tag", None) == want_all
+    got = eng_unpinned.aggregate_counts(
+        "tag", query="w000001", count=10, gather_urls=False
+    )
+    got_pinned_shape = [(r["value"], r["count"], r["doc_id"]) for r in got]
+    matching = _matching("w000001")
+    per_value: dict = {}
+    for i in matching:
+        for t in set(tags_of(i)):
+            latest, n = per_value.get(t, (-1, 0))
+            per_value[t] = (max(latest, i), n + 1)
+    ordered = sorted(
+        per_value.items(), key=lambda vc: (-vc[1][0], vc[0])
+    )[:10]
+    assert got_pinned_shape == [
+        (v, n, latest) for v, (latest, n) in ordered
+    ]
+    # wide gather_features on the unpinned path (field_terms falls back
+    # to the one-job enumeration; the pairs kernel ships the full lists)
+    got_gf = eng_unpinned.gather_features(("stream", "tag"), top_n=5)
+    want_gf: collections.Counter = collections.Counter()
+    for i in range(N):
+        for t in sorted(set(tags_of(i))):
+            want_gf[(stream_of(i), t)] += 1
+    expect = sorted(
+        want_gf.items(), key=lambda vc: (-vc[1], vc[0])
+    )[:5]
+    assert got_gf == expect
