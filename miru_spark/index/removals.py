@@ -158,6 +158,15 @@ def repair_docs(
     snapshot at construction (the reference analog: a query routes to a
     replica that has caught up).
 
+    Retry-safe: if a prior repair_docs call died after its build
+    committed but before the tombstone append, re-running with the same
+    `new_versions` detects the already-indexed (url, warc_ts) rows,
+    skips (or resumes) the build, and completes the append -- the
+    fail-OPEN window is closed by retrying this same API. Rows whose
+    (url, warc_ts) already exist in the index are treated as indexed
+    (idempotent retry); a content-only change must carry a new warc_ts
+    or go through reopen_pids().
+
     Returns {"tombstoned": n, "appended": n, "pids": [...]}.
     """
     import json
@@ -194,39 +203,74 @@ def repair_docs(
             "partition); timestamp them first"
         )
     new_pids = sorted(int(p) for p in pid_rows)
-    clash = [p for p in new_pids if p in done]
-    if clash:
-        raise ValueError(
-            f"repair rows fall into already-complete pids {clash}; give "
-            f"the new versions a current warc_ts (append-side repair) or "
-            f"use reopen_pids() for a bulk rebuild"
-        )
 
-    # old ids are captured BEFORE the build (the fresh append must not
-    # tombstone itself), but the tombstones land AFTER it: if the build
-    # dies mid-way the repair fails OPEN (both versions briefly visible,
-    # retriable) instead of CLOSED (old version durably hidden, new one
-    # never indexed -- the document would simply vanish)
-    old = (
+    # stale ids (the pre-repair versions to tombstone) are captured
+    # BEFORE the build, keyed by (url, warc_us) so a RETRY of a crashed
+    # repair -- whose new versions are already in the docmap -- never
+    # tombstones them: a previous repair_docs can die AFTER its build
+    # committed but BEFORE the tombstone append (the documented
+    # fail-OPEN window), and re-running must then skip straight to the
+    # append instead of raising on the pid clash forever
+    new_keys = {
+        (r["url"], int(r["warc_us"]))
+        for r in new_versions.select(
+            "url", F.unix_micros("warc_ts").alias("warc_us")
+        ).collect()
+    }
+    have = (
         read_docmap(spark, paths)
         .filter(F.col("url").isin(urls))
-        .select("pid", "doc_id")
+        .select("pid", "doc_id", "url", "warc_us")
         .distinct()
         .collect()
     )
-    rep = build_index(
-        spark,
-        new_versions,
-        index_dir,
-        partition_seconds=psec,
-        block_span=int(meta["block_span"]),
-        resume=True,
-        finalize=True,
+    stale = sorted(
+        {
+            (int(r["pid"]), int(r["doc_id"]))
+            for r in have
+            if (r["url"], int(r["warc_us"])) not in new_keys
+        }
     )
-    n_tomb = _append(
-        spark, paths, [(r["pid"], r["doc_id"]) for r in old], True, version
-    )
-    return {"tombstoned": n_tomb, "appended": rep.n_docs, "pids": new_pids}
+    missing = new_keys - {(r["url"], int(r["warc_us"])) for r in have}
+    if not missing and not stale:
+        # nothing to build and nothing to mask: every "new" version is
+        # byte-for-byte the indexed (url, warc_ts) row. This is a
+        # content-only edit aimed at an already-indexed timestamp (its
+        # pid is complete), NOT a retry -- raise instead of silently
+        # no-opping a repair the caller believes changed content
+        raise ValueError(
+            "new versions carry already-indexed (url, warc_ts) keys "
+            "and no prior version needs tombstoning; a content-only "
+            "repair must carry a new warc_ts (append-side repair) or "
+            "use reopen_pids() for a bulk rebuild"
+        )
+    appended = 0
+    if missing:
+        # versions still to index; their pids must be appendable (a
+        # clash on a pid with NO missing version is the retry case and
+        # passes through -- build resume skips committed pids anyway)
+        missing_pids = sorted(
+            {int(us // (psec * 1_000_000)) for _u, us in missing}
+        )
+        clash = [p for p in missing_pids if p in done]
+        if clash:
+            raise ValueError(
+                f"repair rows fall into already-complete pids {clash}; "
+                f"give the new versions a current warc_ts (append-side "
+                f"repair) or use reopen_pids() for a bulk rebuild"
+            )
+        rep = build_index(
+            spark,
+            new_versions,
+            index_dir,
+            partition_seconds=psec,
+            block_span=int(meta["block_span"]),
+            resume=True,
+            finalize=True,
+        )
+        appended = rep.n_docs
+    n_tomb = _append(spark, paths, stale, True, version)
+    return {"tombstoned": n_tomb, "appended": appended, "pids": new_pids}
 
 
 def read_removed(spark: SparkSession, paths: IndexPaths) -> DataFrame | None:

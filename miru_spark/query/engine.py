@@ -1545,6 +1545,26 @@ class SearchEngine(FeatureOpsMixin):
         # scoring terms come from the USER QUERY only (FullText.java
         # :99-170 termCollector walks the query, not the constraints)
         pos_terms, pos_prefixes, _ = collect_terms(tree)
+        # a prefix used by BOTH the query and the constraints must not
+        # inherit the per-query max_expand cap in its CONSTRAINT role
+        # (capping a constraint's value set would silently exclude
+        # matching docs). The expansion map is keyed by prefix string,
+        # so the constraint tree's dual-role prefix nodes are rewritten
+        # into explicit term-OR nodes at the ENGINE-DEFAULT expansion
+        # before the merge -- the query's own node keeps the override
+        if constraints is not None and max_expand is not None:
+            ctree = (
+                constraints if isinstance(constraints, tuple)
+                else parse_query(
+                    constraints, locale, allow_phrases, use_stopwords
+                )
+            )
+            _ct, con_prefixes, _cf = all_referenced_terms(ctree)
+            dual = con_prefixes & set(pos_prefixes)
+            if dual:
+                constraints = self._expand_dual_prefixes(ctree, dual)
+            else:
+                constraints = ctree
         tree = with_access(
             tree, constraints, authz, locale, allow_phrases, use_stopwords
         )
@@ -1552,6 +1572,30 @@ class SearchEngine(FeatureOpsMixin):
             tree, time_range_us, pos_terms, pos_prefixes,
             max_expand=max_expand,
         )
+
+    def _expand_dual_prefixes(self, node, dual: set):
+        """Replace constraint-side ("prefix", p) nodes for p in `dual`
+        with an OR of the engine-default expansion's term nodes, so the
+        shared expansion map's per-query-capped entry never narrows the
+        constraint's match set."""
+        tag = node[0]
+        if tag == "prefix" and node[1] in dual:
+            exp = self.expand_prefix(node[1])
+            if not exp:
+                return ("none",)
+            return ("or", [("term", t) for t in exp])
+        if tag in ("and", "or"):
+            return (
+                tag,
+                [self._expand_dual_prefixes(c, dual) for c in node[1]],
+            )
+        if tag == "not":
+            return (
+                "not",
+                self._expand_dual_prefixes(node[1], dual),
+                self._expand_dual_prefixes(node[2], dual),
+            )
+        return node
 
     def _prep_tree(
         self,
@@ -1573,7 +1617,9 @@ class SearchEngine(FeatureOpsMixin):
         # only the QUERY's own scoring prefixes (pos_prefixes, collected
         # before constraints/authz merged in); constraint-side and range
         # expansions keep the engine default -- capping a constraint's
-        # value set would silently exclude matching docs
+        # value set would silently exclude matching docs (dual-role
+        # prefixes were already rewritten to term-OR nodes in
+        # _prep_query, so this keying by prefix string is unambiguous)
         own = set(pos_prefixes)
         expansions = {
             p: self.expand_prefix(
@@ -4378,6 +4424,14 @@ class SearchEngine(FeatureOpsMixin):
         qterm_rows = []  # (qid, term)
         fetch_all: set = set()
         out: dict[str, list] = {}
+        # the retention watermark clamps EVERY query identically
+        # (search_many carries no per-query time range), so the batch
+        # carries ONE shared time spec + its boundary 't' rows instead
+        # of abandoning the single-job path the moment retention is set
+        ret_us = int(self.meta.get("retention_min_us", 0) or 0)
+        shared_spec = None
+        shared_boundary: list[int] = []
+        shared_pid_range = None
         for qid, q in enumerate(queries):
             prep = self._prep_query(
                 q, locale, None, constraints, authz, use_stopwords
@@ -4394,19 +4448,29 @@ class SearchEngine(FeatureOpsMixin):
                 out[q] = [(p, d, s, u) for (u, _w, p, d, s) in rows]
                 specs.append(None)
                 continue
+            batch_time_ok = (
+                prep["time_spec"] is None
+                and prep["time_bounds"] is None
+                and prep["pid_range"] is None
+            )
+            if ret_us > 0 and prep["time_bounds"] is None:
+                # format>=2 retention clamp: identical spec for every
+                # query in the batch, carried on the shared exchange
+                shared_spec = prep["time_spec"]
+                shared_boundary = prep["boundary_pids"]
+                shared_pid_range = prep["pid_range"]
+                batch_time_ok = True
             if (
                 prep["has_all_node"]
                 or prep.get("phrase_terms")
-                or prep["time_spec"] is not None
-                or prep["time_bounds"] is not None
-                or prep["pid_range"] is not None
+                or not batch_time_ok
             ):
                 # match-all needs marker rows, phrases need pos blobs,
-                # and time-bounded preps (incl. the retention-watermark
-                # clamp) need their pid/bounds spec -- the shared
-                # batched exchange carries none of these, so all answer
-                # through the individual kernel path where results stay
-                # identical to sequential search_collect
+                # and per-query/format-1 time bounds need their own
+                # pid/bounds spec -- the shared batched exchange carries
+                # none of these, so these answer through the individual
+                # kernel path where results stay identical to sequential
+                # search_collect
                 fallback[q] = None
                 specs.append(None)
                 continue
@@ -4428,6 +4492,12 @@ class SearchEngine(FeatureOpsMixin):
             return out
 
         blocks = self.postings.filter(F.col("term").isin(sorted(fetch_all)))
+        if shared_pid_range is not None:
+            # retention prunes pre-watermark pids off the exchange
+            blocks = blocks.filter(
+                (F.col("pid") >= shared_pid_range[0])
+                & (F.col("pid") <= shared_pid_range[1])
+            )
         # filter-only terms across the whole batch never score: drop
         # their tf/dl blobs before the exchange (same saving as the
         # single-query kernel path)
@@ -4442,6 +4512,7 @@ class SearchEngine(FeatureOpsMixin):
                 "tfs_bin", F.when(keep, F.col("tfs_bin"))
             ).withColumn("dls_bin", F.when(keep, F.col("dls_bin")))
         pinned = self._term_df is not None
+        kcols = list(_POSTING_COLS)
         if not pinned:
             blocks = blocks.join(
                 F.broadcast(
@@ -4452,11 +4523,32 @@ class SearchEngine(FeatureOpsMixin):
                 "term",
                 "left",
             )
+            kcols.append("df")
         qmap = self.spark.createDataFrame(
             pd.DataFrame(qterm_rows, columns=["qid", "term"]),
             schema="qid int, term string",
         )
-        tagged = blocks.join(F.broadcast(qmap), "term")
+        tagged = _pad_cols(blocks, kcols, "p").join(
+            F.broadcast(qmap), "term"
+        )
+        if shared_spec is not None and shared_boundary:
+            # the shared retention boundary pid's 't' rows ride to EVERY
+            # batched query's (qid, pid) group so each kernel resolves
+            # the same exact [lo, hi) interval in-task (one boundary pid
+            # x n_queries tiny rows -- broadcast-sized)
+            bq = [int(i) for i, s in enumerate(specs) if s is not None]
+            trows = _pad_cols(
+                self.timeindex.filter(F.col("pid").isin(shared_boundary)),
+                kcols,
+                "t",
+            ).crossJoin(
+                F.broadcast(
+                    self.spark.createDataFrame(
+                        pd.DataFrame({"qid": bq}), schema="qid int"
+                    )
+                )
+            )
+            tagged = tagged.unionByName(trows)
 
         n_docs, avgdl, pid_counts = self.n_docs, self.avgdl, self.pid_counts
         idf_map = None
@@ -4476,6 +4568,7 @@ class SearchEngine(FeatureOpsMixin):
             kernels[qid] = _make_kernel(
                 tree, scoring, n_docs, avgdl, k, pid_counts,
                 expansions, None, use_blockmax, idf_map=idf_map,
+                time_spec=shared_spec,
                 removed_map=self._removed_map,
             )
 
@@ -4607,7 +4700,10 @@ class SearchEngine(FeatureOpsMixin):
                         ),
                         ["pid", "doc_id"],
                         "inner",
-                    )
+                    ).orderBy(F.desc("pid"), F.desc("doc_id"))
+                    # re-sorted: the join result is unordered and the
+                    # newest-first contract must hold on this fallback
+                    # exactly as search()'s equivalent does
             return self._newest_out(
                 wdf.select(
                     "url",

@@ -36,18 +36,26 @@ EVENTS_SCHEMA = (
 
 
 def run_batches(q) -> int:
-    """Batches run by a finished availableNow query.
+    """Batches run by THIS RUN of a finished availableNow query.
 
-    `recentProgress` retains only the last
-    spark.sql.streaming.numRecentProgressUpdates entries (default 100),
-    so `len(recentProgress)` silently undercounts long backlogs; the
-    final progress's batchId is exact. Per-batch SUMS over
-    recentProgress (e.g. dropped_late) still see only that window --
-    callers report them as at-least counts."""
+    batchId is cumulative across restarts of the same checkpoint, so
+    `lastProgress.batchId + 1` would report every prior run's batches
+    too on a resumed query. `recentProgress` is per-run (a fresh buffer
+    per StreamingQuery start), so this run's batch count is
+    last.batchId - recentProgress[0].batchId + 1 -- exact whenever the
+    run fits the progress retention window
+    (spark.sql.streaming.numRecentProgressUpdates, default 100), an
+    at-least count beyond it. Per-batch SUMS over recentProgress (e.g.
+    dropped_late) likewise see only that window -- callers report them
+    as at-least counts."""
+    rp = q.recentProgress
     last = q.lastProgress
-    if last is not None:
-        return int(last["batchId"]) + 1
-    return len(q.recentProgress)
+    if last is None:
+        return len(rp)
+    last_id = int(last["batchId"])
+    if rp:
+        return last_id - int(rp[0]["batchId"]) + 1
+    return 1
 
 
 def waveform_stream(

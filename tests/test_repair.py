@@ -146,5 +146,53 @@ def test_repair_into_complete_pid_raises(spark, repaired, corpus, tmp_path):
         "url", F.timestamp_micros("warc_us").alias("warc_ts"),
         F.lit(None).cast("binary").alias("html"), "text", "lang",
     )
-    with pytest.raises(ValueError, match="already-complete"):
+    with pytest.raises(ValueError, match="already-indexed"):
         repair_docs(spark, eng.paths.root, nv)
+
+
+def test_repair_retry_after_crashed_append(spark, corpus, tmp_path_factory):
+    """ADVICE r4: a repair that dies AFTER its build committed but
+    BEFORE the tombstone append must be completable by re-running
+    repair_docs with the same rows -- the retry detects the indexed
+    new versions and skips straight to the append (no pid-clash
+    raise, no double index)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    index_dir = str(tmp_path_factory.mktemp("repair_retry"))
+    wt = webtext_df(spark, 60, parallelism=2)
+    build_index(
+        spark, wt, index_dir,
+        partition_seconds=PARTITION_SECONDS, block_span=64,
+    )
+    url = corpus[5]["url"]
+    new_ts = corpus[59]["warc_us"] + PARTITION_SECONDS * 10**6
+    nv = spark.createDataFrame(
+        [(url, new_ts, "retry body w000001", "en")],
+        "url string, warc_us long, text string, lang string",
+    ).select(
+        "url", F.timestamp_micros("warc_us").alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"), "text", "lang",
+    )
+    rep1 = repair_docs(spark, index_dir, nv)
+    assert rep1 == {
+        "tombstoned": 1, "appended": 1, "pids": rep1["pids"]
+    }
+    # simulate the crash window: the build committed, the tombstone
+    # append never happened
+    shutil.rmtree(IndexPaths(index_dir).removals)
+    rep2 = repair_docs(spark, index_dir, nv)
+    assert rep2["tombstoned"] == 1
+    assert rep2["appended"] == 0  # no double index of the new version
+    eng = SearchEngine(spark, index_dir)
+    try:
+        rows = eng.docmap.filter(eng.docmap.url == url).collect()
+        # both versions in the docmap, exactly one visible after masking
+        assert len(rows) == 2
+        hits = eng.search("w000001", k=60).filter(
+            F.col("url") == url
+        ).collect()
+        assert len(hits) == 1
+    finally:
+        eng.close()

@@ -77,6 +77,47 @@ def test_watermark_clamps_both_paths(spark, idx, tmp_path):
     assert eng.explain("w000001")["retention_min_us"] == cut
 
 
+def test_watermark_keeps_batched_path_live(spark, idx, tmp_path):
+    """ADVICE r4: search_many's single-job batched exchange must carry
+    the shared retention clamp instead of silently routing every query
+    through the individual fallback path. Equality with sequential
+    search_collect is exact; the batched route is proven live by
+    forbidding the per-query fallback during the call."""
+    import shutil
+
+    d = str(tmp_path / "ret_batch")
+    shutil.copytree(idx, d)
+    cut = _cutoff_us(spark, d)
+    set_retention(d, cut)
+    eng = SearchEngine(spark, d)
+    want = {
+        q: eng.search_collect(q, k=10, local=False) for q in QUERIES
+    }
+    # make every query route distributed so the batch is exercised
+    old = eng.local_max_postings
+    eng.local_max_postings = 0
+
+    def _no_fallback(*a, **kw):
+        raise AssertionError(
+            "search_many fell back to per-query search_collect under "
+            "retention -- the batched exchange should carry the clamp"
+        )
+
+    eng.search_collect = _no_fallback
+    try:
+        got = eng.search_many(QUERIES, k=10)
+    finally:
+        eng.local_max_postings = old
+        del eng.search_collect
+    for q in QUERIES:
+        assert got[q] == want[q], q
+    # every returned doc is within retention
+    psec_us = PARTITION_SECONDS * 1_000_000
+    floor_pid = cut // psec_us
+    for q, rows in got.items():
+        assert all(p >= floor_pid for p, _d, _s, _u in rows), q
+
+
 def test_watermark_only_advances(spark, idx, tmp_path):
     import shutil
 
