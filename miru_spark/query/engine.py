@@ -494,6 +494,25 @@ def _make_kernel(
         sorted removed-docID array (tombstone mask, the query-side
         andNot(removalIndex) of MiruIndexer.remove). `ids_out` (distincts
         mode) receives the decoded per-term docID arrays."""
+        if bounds is not None and len(rows):
+            lo, hi = bounds
+            if lo > 0 or hi < int(pid_counts.get(pid, 1 << 62)):
+                # considerIfLastIdGreaterThanN, block-granular: a block
+                # whose docID span misses [lo, hi) cannot contribute a
+                # bounded match, a bounded score, or a bounded facet
+                # hit -- drop it BEFORE the varint decode (the
+                # reference skips whole terms whose lastId <= N during
+                # multi-term walks, LabFieldIndex.multiTxIndex:339-419;
+                # blocks are delta-encoded per block, so per-block
+                # dropping is decode-safe). Admissible for every node
+                # kind: matches are bound-filtered before scoring, and
+                # a dropped negation block could only remove docs the
+                # bound drops anyway.
+                keep = (rows["last_doc"].to_numpy() >= lo) & (
+                    rows["first_doc"].to_numpy() < hi
+                )
+                if not keep.all():
+                    rows = rows[keep]
         term_ids, term_tfs, term_dls, term_pos = decode_terms(rows)
         if ids_out is not None:
             ids_out.update(term_ids)
@@ -1384,7 +1403,9 @@ class SearchEngine(FeatureOpsMixin):
         )
         return [r["term"] for r in rows]
 
-    def field_terms(self, field: str, prefixes=None) -> list[str]:
+    def field_terms(
+        self, field: str, prefixes=None, min_df: int = 0
+    ) -> list[str]:
         """UNCAPPED composed-term enumeration of a metadata field's value
         space -- the facet-family twin of `expand_prefix` WITHOUT the
         wildcard-expansion cap. The reference's distincts gatherer streams
@@ -1401,7 +1422,15 @@ class SearchEngine(FeatureOpsMixin):
         collect of the field's composed terms, output-sized (callers
         that return the full value set are O(values) anyway; the
         distributed facet kernels stream values through the exchange via
-        `facet_prefixes` and never need this list)."""
+        `facet_prefixes` and never need this list).
+
+        `min_df` is an EXPLICIT opt-in floor (never a silent default):
+        skip values whose document frequency is below it -- the
+        cost knob for wide-field plugin walks (the reference's analog
+        is term skipping during multi-term index transactions,
+        LabFieldIndex.multiTxIndex considerIfLastIdGreaterThanN,
+        LabFieldIndex.java:339-419). Non-zero min_df changes results by
+        construction; callers surface it in their own API."""
         from ..fields import FIELD_SEP
 
         if prefixes is None or isinstance(prefixes, str):
@@ -1414,6 +1443,7 @@ class SearchEngine(FeatureOpsMixin):
 
             out: list[str] = []
             seen: set[str] = set()
+            df = self._term_df or {}
             for kp in keys:
                 i = bisect.bisect_left(self._terms_sorted, kp)
                 while (
@@ -1421,7 +1451,9 @@ class SearchEngine(FeatureOpsMixin):
                     and self._terms_sorted[i].startswith(kp)
                 ):
                     t = self._terms_sorted[i]
-                    if t not in seen:
+                    if t not in seen and (
+                        min_df <= 0 or df.get(t, 0) >= min_df
+                    ):
                         seen.add(t)
                         out.append(t)
                     i += 1
@@ -1430,9 +1462,11 @@ class SearchEngine(FeatureOpsMixin):
         for kp in keys:
             c = F.col("term").startswith(kp)
             cond = c if cond is None else (cond | c)
+        src = self.termstats.filter(cond)
+        if min_df > 0:
+            src = src.filter(F.col("df") >= int(min_df))
         rows = (
-            self.termstats.filter(cond)
-            .select("term")
+            src.select("term")
             .distinct()
             .orderBy("term")
             .collect()

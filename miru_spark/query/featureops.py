@@ -180,15 +180,18 @@ class FeatureOpsMixin:
 
     # -- shared plumbing ---------------------------------------------------
 
-    def _field_terms(self, field: str, values=None) -> list[str]:
+    def _field_terms(
+        self, field: str, values=None, min_df: int = 0
+    ) -> list[str]:
         """Composed terms of a field: the UNCAPPED dictionary prefix
         scan (every value that EXISTS in the index; field_terms, never
         the wildcard cap -- the reference's gather is uncapped,
         CollaborativeFiltering.java:110-125 streams all distinct
         parents), or an explicit value list composed + filtered to
-        existing terms."""
+        existing terms. `min_df` is the callers' EXPLICIT opt-in
+        low-value-term floor (default off = exact)."""
         if values is None:
-            return self.field_terms(field)
+            return self.field_terms(field, min_df=min_df)
         from ..fields import compose_value
 
         composed = {compose_value(field, v) for v in values}
@@ -354,6 +357,7 @@ class FeatureOpsMixin:
         authz=None,
         local: bool | None = None,
         top_n: int | None = None,
+        min_value_df: int = 0,
     ) -> list[tuple]:
         """Doc-co-occurrence counts of feature value tuples over the
         docs matching a query (+constraints/authz/time) -- the counting
@@ -366,7 +370,9 @@ class FeatureOpsMixin:
         fields = tuple(fields)
         if not 2 <= len(fields) <= 3:
             raise ValueError("gather_features takes 2 or 3 fields")
-        groups = [self._field_terms(f) for f in fields]
+        groups = [
+            self._field_terms(f, min_df=min_value_df) for f in fields
+        ]
         if not all(groups):
             return []
         prep = self._prep_query(
@@ -414,6 +420,7 @@ class FeatureOpsMixin:
         authz=None,
         remove_distincts=None,
         local: bool | None = None,
+        min_value_df: int = 0,
     ) -> list[tuple]:
         """The reference's collaborative filtering, hop for hop
         (CollaborativeFiltering.java:75-213) over the inverted index:
@@ -435,6 +442,14 @@ class FeatureOpsMixin:
         6. Top-k parents by (score desc, value asc). field2 == field3
            short-circuits to the contributor heap (:170-173).
 
+        `min_value_df` (default 0 = exact) is the EXPLICIT cost knob
+        for wide value spaces: every hop's candidate values skip terms
+        with df below the floor BEFORE their postings are fetched --
+        the engine-side rendering of the reference's multi-term-walk
+        term skipping (LabFieldIndex.multiTxIndex
+        considerIfLastIdGreaterThanN, LabFieldIndex.java:339-419).
+        Non-zero floors drop rare parents/contributors by construction.
+
         Serving path: zero Spark jobs (three match evaluations).
         Distributed path: one kernel job per hop, three total."""
         allow_ph = bool(self.meta.get("positions", False))
@@ -443,12 +458,12 @@ class FeatureOpsMixin:
             ("term", my_term), constraints, authz, locale, allow_ph
         )
         prep_my = self._prep_tree(my_tree, time_range_us)
-        f1_terms = self._field_terms(field1)
+        f1_terms = self._field_terms(field1, min_df=min_value_df)
         if not f1_terms:
             return []
         run_local = self._route_facets(
             prep_my,
-            [f1_terms, self._field_terms(field2)],
+            [f1_terms, self._field_terms(field2, min_df=min_value_df)],
             local,
         )
         # hop 1+2: distinct field1 parents of my ok activity
@@ -466,7 +481,7 @@ class FeatureOpsMixin:
             my_tree,
         )
         prep_other = self._prep_tree(other_tree, time_range_us)
-        f2_terms = self._field_terms(field2)
+        f2_terms = self._field_terms(field2, min_df=min_value_df)
         ccounts = self._facet_presence(prep_other, f2_terms, run_local)
         ranked = sorted(
             (
@@ -491,7 +506,7 @@ class FeatureOpsMixin:
             constraints, authz, locale, allow_ph,
         )
         prep_c = self._prep_tree(contrib_tree, time_range_us)
-        f3_terms = self._field_terms(field3)
+        f3_terms = self._field_terms(field3, min_df=min_value_df)
         if not f3_terms:
             return []
         groups = [contrib_terms, f3_terms]
@@ -534,6 +549,7 @@ class FeatureOpsMixin:
         authz=None,
         local: bool | None = None,
         include_features: bool = False,
+        min_value_df: int = 0,
     ) -> list[tuple]:
         """Model-weighted feature scoring of candidate terms
         (Strut.yourStuff, Strut.java:82-236): candidates are the
@@ -571,6 +587,7 @@ class FeatureOpsMixin:
                 tuple((s, f) for s, f in feats), strategy, k, query,
                 locale, time_range_us, repr(constraints),
                 tuple(authz) if authz else None, include_features,
+                int(min_value_df),
                 (int(rem.size), int(rem[0]), int(rem[-1]))
                 if rem is not None and rem.size else None,
             )
@@ -578,14 +595,16 @@ class FeatureOpsMixin:
             if hit is not None:
                 self.strut_cache_hits += 1
                 return hit
-        cand_terms = self._field_terms(candidate_field)
+        cand_terms = self._field_terms(
+            candidate_field, min_df=min_value_df
+        )
         if not cand_terms:
             return []
         prep = self._prep_query(
             query, locale, time_range_us, constraints, authz
         )
         field_groups = {
-            f: self._field_terms(f)
+            f: self._field_terms(f, min_df=min_value_df)
             for _s, ff in feats
             for f in ff
         }

@@ -208,6 +208,35 @@ def test_gather_features_wide_both_routes(eng):
     assert len({kv[0] for kv, _ in expect}) > 1024
 
 
+def test_min_value_df_floor_is_explicit_and_exact(eng):
+    """The df floor (reference: considerIfLastIdGreaterThanN term
+    skipping during multi-term walks) is an EXPLICIT opt-in: default 0
+    is exact over the whole value space; a floor restricts the value
+    space to df >= floor, recomputed here in pure Python."""
+    value_df = collections.Counter(
+        t for i in range(N) for t in set(tags_of(i))
+    )
+    keep = {t for t, c in value_df.items() if c >= 2}
+    assert 0 < len(keep) < len(value_df)
+    want: collections.Counter = collections.Counter()
+    for i in range(N):
+        for t in sorted(set(tags_of(i))):
+            if t in keep:
+                want[(t, stream_of(i))] += 1
+    expect = sorted(
+        want.items(), key=lambda vc: (-vc[1], vc[0])
+    )
+    for local in (True, False):
+        got = eng.gather_features(
+            ("tag", "stream"), local=local, min_value_df=2
+        )
+        assert got == expect, f"route local={local}"
+    # field_terms floor agrees with the pure recomputation
+    assert eng.field_terms("tag", min_df=2) == sorted(
+        f"tag\x1f{t}" for t in keep
+    )
+
+
 def test_explain_reports_uncapped_values(eng, eng_unpinned):
     rep = eng.explain("w000001", field="tag")
     f = rep["facet"]

@@ -83,6 +83,57 @@ def test_newest_fallback_is_ordered(eng, monkeypatch):
     assert got == want
 
 
+def test_kernel_block_recency_prune_engages_and_is_exact(eng, monkeypatch):
+    """considerIfLastIdGreaterThanN analog (LabFieldIndex.multiTxIndex
+    :339-419): with doc-range bounds the kernel drops posting blocks
+    whose span misses [lo, hi) BEFORE decode. Identical results, fewer
+    varint decodes."""
+    import numpy as np
+    import pandas as pd
+
+    import miru_spark.query.engine as E
+
+    pid = max(eng.pid_counts, key=lambda p: eng.pid_counts[p])
+    pdf = (
+        eng.postings.filter(
+            (E.F.col("term") == "w000001") & (E.F.col("pid") == pid)
+        )
+        .toPandas()
+    )
+    assert len(pdf) >= 3, "need a multi-block term for the scenario"
+    pdf["rk"] = "p"
+    n = int(eng.pid_counts[pid])
+    lo = int(pdf["first_doc"].iloc[len(pdf) // 2])
+    bounds = {pid: (lo, n)}
+
+    calls = {"n": 0}
+    real = E.decode_postings
+
+    def counting(b):
+        calls["n"] += 1
+        return real(b)
+
+    monkeypatch.setattr(E, "decode_postings", counting)
+
+    def run(tb):
+        return E._make_kernel(
+            ("term", "w000001"), ["w000001"], eng.n_docs, eng.avgdl,
+            0, eng.pid_counts, {}, tb, False,
+            idf_map={"w000001": 1.0},
+        )(pdf.copy())
+
+    unbounded = run(None)
+    n_unbounded = calls["n"]
+    calls["n"] = 0
+    bounded = run(bounds)
+    n_bounded = calls["n"]
+    assert n_bounded < n_unbounded  # blocks below lo never decoded
+    want = unbounded[unbounded["doc_id"] >= lo].reset_index(drop=True)
+    got = bounded.reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert np.allclose(got["score"], want["score"])
+
+
 def test_run_batches_counts_this_run_only():
     """batchId is cumulative across checkpoint restarts; run_batches
     must report THIS run's count (ADVICE r4)."""
