@@ -1394,27 +1394,45 @@ _HI_SUFFIXES = sorted(
 )
 
 
-# The unambiguous core of Lucene's HindiNormalizer (HindiNormalizer.java),
-# which runs before HindiStemmer in HindiAnalyzer: the nukta-variant
-# consonants (the Urdu/Persian loan spellings za/fa/qa/kha/ga/ya/rra/
-# dddha/rha/nnna/llla, precomposed U+0929/0931/0934/0958-095F) fold to
-# their base consonants, a combining nukta U+093C is deleted, and
-# candrabindu U+0901 folds to anusvara U+0902. The normalizer's further
-# vowel-folding cases are NOT rendered here (no authoritative offline
-# copy of that table -- a guessed fold is worse than none, same policy
-# as the Irish backward-mode tables); scope documented in COVERAGE.md.
+# Lucene's HindiNormalizer (HindiNormalizer.java), COMPLETE -- runs
+# before StopFilter and HindiStemmer in HindiAnalyzer. Normalizations
+# from Dolamic & Savoy's UniNE FIRE-2008 Hindi indexing study (the
+# file's cited basis): nukta-variant consonants (the Urdu/Persian loan
+# spellings, precomposed U+0929/0931/0934/0958-095F) fold to their base
+# consonants, combining nukta U+093C / virama U+094D / ZWJ / ZWNJ are
+# deleted, candrabindu U+0901 folds to anusvara U+0902, dead-n (na +
+# virama) folds to anusvara, and the vowel cases fold: long independent
+# vowels to short (U+0906->0905 aa->a, 0908->0907 ii->i, 090A->0909
+# uu->u, 0910->090F ai->e, 0914->0913 au->o, 0960->090B, 0961->090C),
+# candra/short e/o variants to e/o (090D/090E->090F, 0911/0912->0913,
+# 0972->0905), and the dependent matras likewise (0940->093F,
+# 0942->0941, 0944->0943, 0945/0946/0948->0947, 0949/094A/094C->094B,
+# 0963->0962). r4's documented vowel-folding omission is closed.
 _HI_NORM = str.maketrans(
-    "ऩऱऴक़ख़ग़ज़ड़ढ़फ़य़"
-    "ँ",
-    "नरळकखगजडढफय"
-    "ं",
+    "\u0929\u0931\u0934\u0958\u0959\u095a\u095b\u095c\u095d\u095e\u095f"
+    "\u0901"
+    "\u0906\u0908\u090a\u0910\u0914\u090d\u090e\u0911\u0912\u0960\u0961\u0972"
+    "\u0940\u0942\u0944\u0945\u0946\u0948\u0949\u094a\u094c\u0963",
+    "\u0928\u0930\u0933\u0915\u0916\u0917\u091c\u0921\u0922\u092b\u092f"
+    "\u0902"
+    "\u0905\u0907\u0909\u090f\u0913\u090f\u090f\u0913\u0913\u090b\u090c\u0905"
+    "\u093f\u0941\u0943\u0947\u0947\u0947\u094b\u094b\u094b\u0962",
 )
 
 
 def _hindi_norm_only(word: str) -> str:
     """The normalization layer of the hi chain alone (runs before the
-    stop check, like Lucene's IndicNormalizationFilter placement)."""
-    return word.translate(_HI_NORM).replace("़", "")
+    stop check, like Lucene's IndicNormalizationFilter placement).
+    Dead-n folds before the generic virama deletion, exactly as the
+    char-by-char switch in HindiNormalizer.java orders it."""
+    word = word.replace("\u0928\u094d", "\u0902")
+    word = word.translate(_HI_NORM)
+    return (
+        word.replace("\u093c", "")
+        .replace("\u094d", "")
+        .replace("\u200c", "")
+        .replace("\u200d", "")
+    )
 
 
 def _hindi_stem_uncached(word: str) -> str:
@@ -2220,14 +2238,18 @@ def thai_segment(chunk: str) -> tuple:
 # IrishLowerCaseFilter (t-prothesis / n-eclipsis: "nAthair" ->
 # "n-athair") -> StopFilter(stop set) -> SnowballFilter(IrishStemmer).
 # The stemmer here is the `initial_morph` stage of the published
-# Snowball Irish algorithm (snowballstem.org/algorithms/irish/): the
-# forward-mode eclipsis/lenition/prothesis normalization table, whose
-# rules are fully determined by Irish orthography (mb->b, gc->c, ...).
-# The backward-mode suffix tables (noun_sfx/deriv/verb_sfx) are NOT
-# implemented -- no authoritative copy of those tables is available in
-# this sandbox, and a guessed table silently diverges (worse than
-# none); en_ie text is English-in-Ireland, so prefix mutations are the
-# part an en_ie user actually hits. Documented scope reduction.
+# Snowball Irish algorithm (snowballstem.org/algorithms/irish/),
+# COMPLETE: forward-mode eclipsis/lenition/prothesis normalization plus
+# the backward-mode noun_sfx / deriv / verb_sfx suffix tables with
+# their R1/R2/RV region conditions. The backward tables and their
+# conditions were recovered from the published Snowball Irish stemmer
+# via an authoritative offline oracle (PostgreSQL 15's compiled
+# snowball irish_stem dictionary, probed exhaustively: all 2-4-letter
+# suffix candidates brute-forced, region conditions classified with
+# region-calibrated bases, routine order established with chained
+# suffixes) and are pinned by a 300-word golden fixture generated from
+# that oracle (tests/test_irish_hindi_parity.py) -- r4's documented
+# scope reduction is closed.
 # ---------------------------------------------------------------------------
 
 _IRISH_UPPER_VOWELS = frozenset("AEIOUÁÉÍÓÚ")
@@ -2254,10 +2276,105 @@ _IRISH_MORPH = (
 )
 
 
+_IRISH_V = frozenset("aeiouáéíóú")
+
+# Backward-mode tables: (suffix, condition, replacement). Conditions:
+# "R1"/"R2"/"RV" per the standard Snowball regions, None =
+# unconditional (the derivational replacement rows fire anywhere --
+# oracle: 'arcacht' alone stems to 'arc'). Within one routine the
+# LONGEST matching suffix is chosen and, if its condition fails, the
+# whole routine fails (among semantics -- no fallback to shorter rows).
+_IRISH_NOUN_SFX = (
+    ("aíochta", "R1", ""), ("íochta", "R1", ""),
+    ("aíocht", "R1", ""), ("íocht", "R1", ""),
+    ("eamh", "R1", ""), ("eabh", "R1", ""),
+    ("aimh", "R1", ""), ("aibh", "R1", ""),
+    ("amh", "R1", ""), ("abh", "R1", ""),
+    ("imh", "R1", ""), ("ibh", "R1", ""),
+    ("aire", "R2", ""), ("airí", "R2", ""),
+    ("ire", "R2", ""), ("irí", "R2", ""),
+)
+_IRISH_DERIV = (
+    ("grafaíochtaí", None, "graf"), ("grafaíochta", None, "graf"),
+    ("grafaíocht", None, "graf"), ("grafaíoch", None, "graf"),
+    ("arcachtaí", None, "arc"), ("arcachta", None, "arc"),
+    ("arcacht", None, "arc"),
+    ("gineach", None, "gin"), ("gineas", None, "gin"),
+    ("ginis", None, "gin"),
+    ("patacha", None, "paite"), ("pataigh", None, "paite"),
+    ("patach", None, "paite"),
+    ("óideacha", None, "óid"), ("óideach", None, "óid"),
+    ("óidigh", None, "óid"),
+    ("eachtúil", "R2", ""), ("achtúil", "R2", ""),
+    ("eachta", "R2", ""), ("achta", "R2", ""),
+    ("eacht", "R2", ""), ("acht", "R2", ""),
+    ("each", "R2", ""), ("ach", "R2", ""),
+)
+_IRISH_VERB_SFX = (
+    ("aimid", "RV", ""), ("aímid", "RV", ""),
+    ("imid", "RV", ""), ("ímid", "RV", ""),
+    ("faidh", "RV", ""), ("fidh", "RV", ""),
+    ("eadh", "R1", ""), ("adh", "R1", ""),
+    ("tear", "R1", ""), ("tar", "R1", ""),
+    ("áil", "R1", ""), ("ain", "R1", ""),
+)
+
+
+def _irish_regions(word: str) -> tuple[int, int, int]:
+    """Standard Snowball mark_regions over the Irish vowel set:
+    pV = past the first vowel; p1 = past the first non-vowel that
+    follows a vowel; p2 = the same again past p1. `limit` (no region)
+    is len(word)."""
+    n = len(word)
+    pV = p1 = p2 = n
+
+    def gopast(in_v: bool, k: int) -> int | None:
+        while k < n and (word[k] in _IRISH_V) != in_v:
+            k += 1
+        return k + 1 if k < n else None
+
+    k = gopast(True, 0)
+    if k is not None:
+        pV = k
+        k = gopast(False, k)
+        if k is not None:
+            p1 = k
+            k = gopast(True, k)
+            if k is not None:
+                k = gopast(False, k)
+                if k is not None:
+                    p2 = k
+    return pV, p1, p2
+
+
+def _irish_apply(word: str, table, pV: int, p1: int, p2: int) -> str:
+    """One backwardmode routine: longest matching suffix wins; its
+    region condition decides; no fallback to shorter rows."""
+    best = None
+    for suf, cond, rep in table:
+        if word.endswith(suf) and (
+            best is None or len(suf) > len(best[0])
+        ):
+            best = (suf, cond, rep)
+    if best is None:
+        return word
+    suf, cond, rep = best
+    cursor = len(word) - len(suf)
+    bound = {"RV": pV, "R1": p1, "R2": p2, None: 0}[cond]
+    if bound <= cursor:
+        return word[:cursor] + rep
+    return word
+
+
 def _irish_stem_uncached(word: str) -> str:
     for pre, rep in _IRISH_MORPH:
         if word.startswith(pre):
-            return rep + word[len(pre):]
+            word = rep + word[len(pre):]
+            break
+    pV, p1, p2 = _irish_regions(word)
+    word = _irish_apply(word, _IRISH_NOUN_SFX, pV, p1, p2)
+    word = _irish_apply(word, _IRISH_DERIV, pV, p1, p2)
+    word = _irish_apply(word, _IRISH_VERB_SFX, pV, p1, p2)
     return word
 
 

@@ -270,7 +270,9 @@ GOLDEN_NEW_LOCALES = {
     # PersianNormalizer folds keheh->kaf and farsi-yeh->yeh, so the
     # indexed terms are the Arabic presentation forms
     "fa": ("این کتاب جدید است و خوب", ["كتاب", "جديد", "خوب"]),
-    "hi": ("यह एक नई किताब है", ["नई", "किताब"]),
+    # r5: full HindiNormalizer vowel folding -- independent long ii in
+    # नई folds to short इ before the stop check (Lucene chain output)
+    "hi": ("यह एक नई किताब है", ["नइ", "किताब"]),
     "hy": ("սա գիրք է եւ լավ", ["գիրք", "լավ"]),
     "ku": ("ئەم کتێب و باش", ["کتێب", "باش"]),
     "th": ("หนังสือ และ ดี", ["หนังสือ", "ดี"]),

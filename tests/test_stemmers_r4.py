@@ -294,7 +294,12 @@ def test_id_hi_bg_conflation():
         # conflated head is the nukta-free form (Lucene chain order)
         "लडक": ["लड़का", "लड़के", "लड़कों"],
         "किताब": ["किताब", "किताबें"],
-        "चल": ["चलता", "चलती"],
+        "चल": ["चलता"],
+        # r5: full HindiNormalizer vowel folding -- ii-matra folds to
+        # i-matra BEFORE the stemmer, so चलती normalizes to चलति and
+        # the 1-char ि rule fires (the reference chain's own output:
+        # HindiNormalizer.java runs before HindiStemmer.java)
+        "चलत": ["चलती"],
     }
     bg_fams = {
         "книг": ["книга", "книгата", "книги", "книгите"],
@@ -575,7 +580,10 @@ def test_irish_en_ie_chain():
 
     # IrishLowerCaseFilter prothesis fires on ORIGINAL case only
     assert analyze("nAthair", "en_ie") == ["athair"]
-    assert analyze("tSeachtain", "en_ie") == ["seachtain"]
+    # r5: the full backward-mode suffix tables landed -- 'seachtain'
+    # now also loses the R1 'ain' verb suffix, matching the published
+    # Snowball Irish stemmer end to end
+    assert analyze("tSeachtain", "en_ie") == ["seacht"]
     # prefix-only table: lowercase 'a' is no prothesis trigger and no
     # initial_morph row matches "na...", so the word passes through
     assert analyze("nathair", "en_ie") == ["nathair"]
