@@ -3114,24 +3114,24 @@ class SearchEngine(FeatureOpsMixin):
             }
         doc_fields: dict = {}
         if gather_fields:
-            # gatherTermsForFields: probe each field's composed-term
-            # postings against the k page composites (one searchsorted
-            # pass per field; pages are k docs, postings row-group
-            # pruned by term)
+            # gatherTermsForFields: block-span-bounded probe of each
+            # field's composed-term postings against the k page docs --
+            # reads only posting rows whose (pid, doc span) can contain
+            # a page doc, so the cost is bounded by the PAGE, never by
+            # the field's value count (a 100-TB-wide gather field must
+            # not scan its whole posting range for a k-doc page)
             page = np.sort((pids << 32) + docs)
             for gf in gather_fields:
-                gterms = self.field_terms(gf)
-                if not gterms:
-                    continue
-                gmap, _t, _d = self._postings_maps(gterms, None)
-                vh, mp = self._facet_hits(page, gterms, gmap)
-                for i, p_ in zip(vh.tolist(), mp.tolist()):
-                    val = gterms[i].split(FIELD_SEP, 1)[1]
-                    if gf in NUMERIC_FIELDS:
-                        val = decode_num(val)
-                    doc_fields.setdefault(
-                        int(page[p_]), {}
-                    ).setdefault(gf, []).append(val)
+                for comp, terms in self._probe_field_values(
+                    gf, page
+                ).items():
+                    vals = [
+                        decode_num(t.split(FIELD_SEP, 1)[1])
+                        if gf in NUMERIC_FIELDS
+                        else t.split(FIELD_SEP, 1)[1]
+                        for t in terms
+                    ]
+                    doc_fields.setdefault(comp, {})[gf] = vals
         out = []
         for v, (comp, n) in ordered:
             p, d = comp >> 32, comp & 0xFFFFFFFF
@@ -3816,6 +3816,59 @@ class SearchEngine(FeatureOpsMixin):
         np.empty(0, dtype=np.int64),
         np.empty(0, dtype=np.int64),
     )
+
+    def _probe_field_values(
+        self, field: str, page: np.ndarray
+    ) -> dict[int, list[str]]:
+        """Composed-term values of `field` carried by the page's docs,
+        via a block-span-bounded posting read: only rows whose
+        (pid, [first_doc, last_doc]) span can contain a page composite
+        are fetched -- a point op bounded by the PAGE size, independent
+        of the field's value count (the gatherTermsForFields analog of
+        the reference's per-activity term gather). Returns
+        {composite_id: [composed terms, value order]}."""
+        import pyarrow.dataset as pads
+
+        from ..fields import FIELD_SEP
+
+        out: dict[int, list[str]] = {}
+        if not page.size:
+            return out
+        lo_t = f"{field}{FIELD_SEP}"
+        hi_t = field + chr(ord(FIELD_SEP) + 1)
+        per_pid: dict[int, tuple[int, int]] = {}
+        for c in page.tolist():
+            p, d = c >> 32, c & 0xFFFFFFFF
+            lo, hi = per_pid.get(p, (d, d))
+            per_pid[p] = (min(lo, d), max(hi, d))
+        span = None
+        for p, (lo, hi) in per_pid.items():
+            cond = (
+                (pads.field("pid") == p)
+                & (pads.field("first_doc") <= hi)
+                & (pads.field("last_doc") >= lo)
+            )
+            span = cond if span is None else (span | cond)
+        tbl = self._dataset().to_table(
+            filter=(
+                (pads.field("row_type") == "p")
+                & (pads.field("term") >= lo_t)
+                & (pads.field("term") < hi_t)
+                & span
+            ),
+            columns=["pid", "term", "blk", "n", "ids_bin"],
+        )
+        dec = self._decode_posting_table(tbl)
+        for t in sorted(dec):  # composed-term order == value order
+            cids = dec[t][0]
+            if not cids.size:
+                continue
+            idx = np.minimum(
+                np.searchsorted(cids, page), cids.size - 1
+            )
+            for comp in page[cids[idx] == page].tolist():
+                out.setdefault(int(comp), []).append(t)
+        return out
 
     def _postings_maps(
         self, fetch_terms, pid_range

@@ -208,6 +208,21 @@ def test_gather_features_wide_both_routes(eng):
     assert len({kv[0] for kv, _ in expect}) > 1024
 
 
+def test_gather_fields_page_probe_wide_field(eng):
+    """gatherTermsForFields over the WIDE field: the page probe must
+    return each page doc's exact tag values (block-span-bounded read,
+    never a scan of the 1400-value posting range)."""
+    got = eng.aggregate_counts(
+        "stream", query="w000001", count=3, gather_urls=False,
+        gather_fields=["tag", "lang"],
+    )
+    assert got
+    for row in got:
+        i = row["doc_id"]  # single pid: doc_id == corpus index
+        assert sorted(row["fields"]["tag"]) == sorted(set(tags_of(i)))
+        assert row["fields"]["lang"] == [ROWS[i]["lang"]]
+
+
 def test_min_value_df_floor_is_explicit_and_exact(eng):
     """The df floor (reference: considerIfLastIdGreaterThanN term
     skipping during multi-term walks) is an EXPLICIT opt-in: default 0

@@ -158,3 +158,21 @@ def test_agg_kernel_plans_shed_all_blobs(engine):
     assert "BatchEvalPython" not in splan
     assert "null AS tfs_bin" in splan and "null AS dls_bin" in splan
     assert splan.count("Exchange") == 1, splan
+
+
+def test_streamed_facet_prefix_pushdown_and_blob_shed(engine):
+    """r5 streamed facet mode (facet_prefixes): the facet field's
+    composed-term range must reach the parquet scan as a pushed
+    StartsWith filter (term-major row groups prune on term min/max),
+    every blob must shed before the exchange, and the plan stays
+    Arrow-batched with no row-Python and ONE exchange."""
+    df = engine.kernel_frame(
+        "w000001", k=0, agg="distincts",
+        facet_prefixes=["lang\x1f"],
+    )
+    plan = _plan(df)
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" in plan
+    assert "StartsWith" in plan.split("PushedFilters")[1][:400], plan
+    assert "null AS tfs_bin" in plan and "null AS dls_bin" in plan
+    assert plan.count("Exchange") == 1, plan
