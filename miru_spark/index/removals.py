@@ -245,6 +245,15 @@ def repair_docs(
             "use reopen_pids() for a bulk rebuild"
         )
     appended = 0
+    if not missing:
+        # pure retry (every new version already committed): the crashed
+        # run may ALSO have died between its last segment commit and
+        # finalize_index, leaving stats/termstats stale -- refinalize
+        # (idempotent overwrite) so n_docs/avgdl/df include the
+        # repaired docs before the tombstone append completes the repair
+        from .build import finalize_index
+
+        finalize_index(spark, index_dir)
     if missing:
         # versions still to index; their pids must be appendable (a
         # clash on a pid with NO missing version is the retry case and

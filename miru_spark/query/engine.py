@@ -1374,6 +1374,28 @@ class SearchEngine(FeatureOpsMixin):
             )
         return self._postings_pos
 
+    def _prefix_scan(
+        self, prefix: str, cap: int | None, min_df: int = 0
+    ) -> list[str]:
+        """Lexicographic term-dictionary range scan over the PINNED
+        sorted dictionary -- the one scan both `expand_prefix` (capped,
+        wildcard semantics) and `field_terms` (uncapped facet
+        enumeration, optional df floor) are views of."""
+        import bisect
+
+        ts = self._terms_sorted
+        df = self._term_df or {}
+        out: list[str] = []
+        i = bisect.bisect_left(ts, prefix)
+        while i < len(ts) and ts[i].startswith(prefix):
+            if cap is not None and len(out) >= cap:
+                break
+            t = ts[i]
+            if min_df <= 0 or df.get(t, 0) >= min_df:
+                out.append(t)
+            i += 1
+        return out
+
     def expand_prefix(self, prefix: str, cap: int | None = None) -> list[str]:
         """Wildcard expansion: term-dictionary range scan, lexicographic,
         capped (MiruAggregateUtil.java:1154-1167 maxWildcardExpansion;
@@ -1382,18 +1404,7 @@ class SearchEngine(FeatureOpsMixin):
         if cap is None:
             cap = MAX_WILDCARD_EXPANSION
         if self._terms_sorted is not None:
-            import bisect
-
-            out = []
-            i = bisect.bisect_left(self._terms_sorted, prefix)
-            while (
-                i < len(self._terms_sorted)
-                and len(out) < cap
-                and self._terms_sorted[i].startswith(prefix)
-            ):
-                out.append(self._terms_sorted[i])
-                i += 1
-            return out
+            return self._prefix_scan(prefix, cap)
         rows = (
             self.termstats.filter(F.col("term").startswith(prefix))
             .select("term")
@@ -1439,25 +1450,12 @@ class SearchEngine(FeatureOpsMixin):
             pfx = list(prefixes) or [""]
         keys = sorted({f"{field}{FIELD_SEP}{p}" for p in pfx})
         if self._terms_sorted is not None:
-            import bisect
-
-            out: list[str] = []
-            seen: set[str] = set()
-            df = self._term_df or {}
+            if len(keys) == 1:
+                return self._prefix_scan(keys[0], None, min_df)
+            out_set: set[str] = set()
             for kp in keys:
-                i = bisect.bisect_left(self._terms_sorted, kp)
-                while (
-                    i < len(self._terms_sorted)
-                    and self._terms_sorted[i].startswith(kp)
-                ):
-                    t = self._terms_sorted[i]
-                    if t not in seen and (
-                        min_df <= 0 or df.get(t, 0) >= min_df
-                    ):
-                        seen.add(t)
-                        out.append(t)
-                    i += 1
-            return sorted(out) if len(keys) > 1 else out
+                out_set.update(self._prefix_scan(kp, None, min_df))
+            return sorted(out_set)
         cond = None
         for kp in keys:
             c = F.col("term").startswith(kp)
@@ -1775,22 +1773,16 @@ class SearchEngine(FeatureOpsMixin):
             use_blockmax = False
             theta0 = 0.0
         fetch_terms = p["fetch_terms"]
-        if (
-            agg in ("distincts", "metrics", "aggregate", "waveforms",
-                    "pairs")
-            and (facet_terms or tuple_specs)
-        ):
-            spec_terms = {
-                t
-                for _off, groups in (tuple_specs or [])
-                for g in groups
-                for t in g
-            }
-            fetch_terms = sorted(
-                set(fetch_terms) | set(facet_terms or [])
-                | set(facet_terms2 or []) | set(facet_terms3 or [])
-                | spec_terms
-            )
+        facet_groups: list[list] = []
+        if agg in ("distincts", "metrics", "aggregate", "waveforms",
+                   "pairs"):
+            for g in (facet_terms, facet_terms2, facet_terms3):
+                if g:
+                    facet_groups.append(sorted(set(g)))
+            for _off, groups in tuple_specs or []:
+                for g in groups:
+                    if g:
+                        facet_groups.append(sorted(set(g)))
         has_all_node = p["has_all_node"]
         relevant_pids = p["relevant_pids"]
         time_bounds = p["time_bounds"]
@@ -1823,6 +1815,19 @@ class SearchEngine(FeatureOpsMixin):
             # parquet as StringStartsWith -- term-major row groups prune
             # on their term min/max like the isin path)
             fcond = fcond | F.col("term").startswith(kp)
+        for g in facet_groups:
+            if len(g) <= self.FACET_ISIN_MAX:
+                fcond = fcond | F.col("term").isin(g)
+            else:
+                # wide value list (uncapped field enumeration): a
+                # million-literal Catalyst In would blow up planning, so
+                # select by the group's contiguous dictionary range --
+                # pushes as two range predicates; in-range terms outside
+                # the exact list (a floored enumeration) ride along and
+                # are ignored by the kernel's per-group lists
+                fcond = fcond | (
+                    (F.col("term") >= g[0]) & (F.col("term") <= g[-1])
+                )
         blocks = blocks.filter(fcond)
 
         # filter-only terms (field constraints, negations, frange
@@ -1834,10 +1839,12 @@ class SearchEngine(FeatureOpsMixin):
         # phrase inside `constraints`): position decode segments by tf.
         keep_blobs = set(scoring_terms) | set(phrase_terms)
         nonscoring = sorted(set(fetch_terms) - keep_blobs)
-        # prefix-selected facet rows are never scoring terms either --
-        # their tf/dl blobs must shed before the exchange just like
-        # list-enumerated filter-only terms
-        has_nonscoring = bool(nonscoring) or bool(facet_prefixes)
+        # prefix- and group-selected facet rows are never scoring terms
+        # either -- their tf/dl blobs must shed before the exchange just
+        # like list-enumerated filter-only terms
+        has_nonscoring = (
+            bool(nonscoring) or bool(facet_prefixes) or bool(facet_groups)
+        )
         if has_nonscoring and keep_blobs:
             keep = F.col("term").isin(sorted(keep_blobs))
             blocks = blocks.withColumn(
@@ -2065,6 +2072,11 @@ class SearchEngine(FeatureOpsMixin):
     # each owning a partition subset, as the reference shards partitions
     # across MiruHosts) -- fall back to the pyarrow-dataset filter path.
     MAX_CATALOG_ROW_GROUPS = 1_000_000
+    # facet/pair group term lists at or below this size select blocks
+    # via an exact isin; above it the plan uses the group's contiguous
+    # dictionary range instead (a million-literal Catalyst In stalls
+    # planning and bloats the task binary)
+    FACET_ISIN_MAX = 4096
 
     def _io_pool(self):
         """Persistent reader thread pool (Arrow releases the GIL during
@@ -2274,6 +2286,32 @@ class SearchEngine(FeatureOpsMixin):
         if len(rows) < k:
             return 0.0
         return float(rows[k - 1][4])
+
+    def _route_facet_local(
+        self, prep: dict, facet_terms, local, pinned: bool
+    ) -> bool:
+        """Serving-node vs distributed route for one facet op, the
+        single copy of the budget rule every facet family member used
+        to repeat: facet postings ride the match pass, so they count
+        against the serving budget too; an unpinned dictionary always
+        distributes (the streamed facet kernel needs no value list)."""
+        eligible = pinned and self._local_eligible(prep)
+        if local is None:
+            est_facets = sum(
+                (self._term_df or {}).get(t, 0)
+                for t in facet_terms or []
+            )
+            return (
+                eligible
+                and self._estimated_postings(prep) + est_facets
+                <= self.local_max_postings
+            )
+        if local and not eligible:
+            raise ValueError(
+                "local=True forced but this query is not eligible for "
+                "the serving-node path; use local=None for auto-routing"
+            )
+        return bool(local)
 
     def _local_eligible(self, prep: dict) -> bool:
         return (
@@ -3016,21 +3054,7 @@ class SearchEngine(FeatureOpsMixin):
         prep = self._prep_query(
             query, locale, time_range_us, constraints, authz
         )
-        if local is None:
-            est_facets = sum(
-                (self._term_df or {}).get(t, 0) for t in facet_terms or []
-            )
-            local = (
-                pinned
-                and self._local_eligible(prep)
-                and self._estimated_postings(prep) + est_facets
-                <= self.local_max_postings
-            )
-        elif local and not (pinned and self._local_eligible(prep)):
-            raise ValueError(
-                "local=True forced but this query is not eligible for "
-                "the serving-node path; use local=None for auto-routing"
-            )
+        local = self._route_facet_local(prep, facet_terms, local, pinned)
         per_value: dict = {}  # value -> (latest_comp, count, composed)
         if local:
             matches = self._local_match_ids(prep)
@@ -3223,15 +3247,7 @@ class SearchEngine(FeatureOpsMixin):
         prep = self._prep_query(
             query, locale, time_range_us, constraints, authz
         )
-        est_facets = sum(
-            (self._term_df or {}).get(t, 0) for t in facet_terms or []
-        )
-        local = (
-            pinned
-            and self._local_eligible(prep)
-            and self._estimated_postings(prep) + est_facets
-            <= self.local_max_postings
-        )
+        local = self._route_facet_local(prep, facet_terms, None, pinned)
         # (composed value term, bucket) -> count, from one pass either way
         cell_counts: dict = {}
         if local:
@@ -3450,21 +3466,7 @@ class SearchEngine(FeatureOpsMixin):
         prep = self._prep_query(
             query, locale, time_range_us, constraints, authz
         )
-        if local is None:
-            est_facets = sum(
-                (self._term_df or {}).get(t, 0) for t in facet_terms
-            )
-            local = (
-                pinned
-                and self._local_eligible(prep)
-                and self._estimated_postings(prep) + est_facets
-                <= self.local_max_postings
-            )
-        elif local and not (pinned and self._local_eligible(prep)):
-            raise ValueError(
-                "local=True forced but this query is not eligible for "
-                "the serving-node path; use local=None for auto-routing"
-            )
+        local = self._route_facet_local(prep, facet_terms, local, pinned)
         if local:
             matches = self._local_match_ids(prep)
             if matches.size == 0:
@@ -3649,22 +3651,7 @@ class SearchEngine(FeatureOpsMixin):
         prep = self._prep_query(
             query, locale, time_range_us, constraints, authz
         )
-        if local is None:
-            # facet postings ride the match pass: budget them too
-            est_facets = sum(
-                (self._term_df or {}).get(t, 0) for t in facet_terms or []
-            )
-            local = (
-                pinned
-                and self._local_eligible(prep)
-                and self._estimated_postings(prep) + est_facets
-                <= self.local_max_postings
-            )
-        elif local and not (pinned and self._local_eligible(prep)):
-            raise ValueError(
-                "local=True forced but this query is not eligible for "
-                "the serving-node path; use local=None for auto-routing"
-            )
+        local = self._route_facet_local(prep, facet_terms, local, pinned)
         if local:
             matches = self._local_match_ids(prep)
             out = []
@@ -3834,6 +3821,9 @@ class SearchEngine(FeatureOpsMixin):
         out: dict[int, list[str]] = {}
         if not page.size:
             return out
+        # two facet values can share their newest doc (multi-valued
+        # fields) -- dedupe so a term is appended once per DOC
+        page = np.unique(page)
         lo_t = f"{field}{FIELD_SEP}"
         hi_t = field + chr(ord(FIELD_SEP) + 1)
         per_pid: dict[int, tuple[int, int]] = {}

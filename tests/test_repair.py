@@ -194,5 +194,10 @@ def test_repair_retry_after_crashed_append(spark, corpus, tmp_path_factory):
             F.col("url") == url
         ).collect()
         assert len(hits) == 1
+        # the retry path re-finalizes (idempotent): global stats include
+        # the repaired doc even if the crashed run died pre-finalize
+        assert eng.n_docs == 61
+        # the new version's unique term (en chain stems retry -> retri)
+        assert "retri" in eng._term_df
     finally:
         eng.close()
