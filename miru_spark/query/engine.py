@@ -3376,13 +3376,40 @@ class SearchEngine(FeatureOpsMixin):
         the counted values, matching the query's prefixes list -- a
         single string or a LIST (any-prefix union), applied term-side
         before any postings are probed. Built on the same distincts
-        pass; same routing."""
-        return len(
-            self.distincts(
-                field, query, locale, time_range_us, constraints, authz,
-                local, prefix=prefix,
-            )
+        pass; same routing -- except the DISTRIBUTED route counts the
+        distinct values IN SPARK (one countDistinct over the streamed
+        facet rows), so a million-value field answers with a single
+        long on the driver, never a value list."""
+        pinned = self._terms_sorted is not None
+        prep = self._prep_query(
+            query, locale, time_range_us, constraints, authz
         )
+        facet_terms = (
+            self.field_terms(field, prefix) if pinned else None
+        )
+        if self._route_facet_local(prep, facet_terms, local, pinned):
+            return len(
+                self.distincts(
+                    field, query, locale, time_range_us, constraints,
+                    authz, True, prefix=prefix,
+                )
+            )
+        from ..fields import FIELD_SEP
+
+        if prefix is None or isinstance(prefix, str):
+            pfx = [prefix or ""]
+        else:
+            pfx = list(prefix) or [""]
+        row = (
+            self.kernel_frame(
+                query, k=0, locale=locale, time_range_us=time_range_us,
+                prep=prep, agg="distincts",
+                facet_prefixes=[f"{field}{FIELD_SEP}{p}" for p in pfx],
+            )
+            .agg(F.countDistinct("term").alias("n"))
+            .collect()
+        )
+        return int(row[0]["n"])
 
     def metrics(
         self,
@@ -3605,6 +3632,7 @@ class SearchEngine(FeatureOpsMixin):
         authz=None,
         local: bool | None = None,
         prefix: str | None = None,
+        top_n: int | None = None,
     ) -> list[tuple]:
         """Distinct values of a metadata field among the docs matching a
         query (+constraints/authz/time range), WITH counts -- the
@@ -3622,12 +3650,18 @@ class SearchEngine(FeatureOpsMixin):
         postings are probed, so a typeahead over a wide field only
         touches the matching values' postings. Returns
         [(value, count)] sorted by count desc then value asc; numeric
-        fields decode back to ints.
+        fields decode back to ints. `top_n` (explicit, reported --
+        never a silent cut) bounds the answer to the N highest-count
+        values; on the distributed route the cut happens IN SPARK
+        (sort-limit before collect), so the driver materializes
+        O(top_n) rows even when the field has millions of values --
+        the answer-layer paging the reference applies over its
+        streamed gather.
 
         Serving path: zero Spark jobs -- one match pass, then one sorted
         intersection per value. Distributed path: ONE job; facet-term
         postings ride the same kernel exchange as the query's (all tf/dl
-        blobs shed) and each pid task emits only (value_idx, count)."""
+        blobs shed) and each pid task emits only (value term, count)."""
         from ..fields import FIELD_SEP, NUMERIC_FIELDS, decode_num
 
         if prefix is None or isinstance(prefix, str):
@@ -3661,13 +3695,19 @@ class SearchEngine(FeatureOpsMixin):
                 )
                 vh, _mp = self._facet_hits(matches, facet_terms, fmap)
                 counts = np.bincount(vh, minlength=len(facet_terms))
-                out = [
-                    (_decode(t), int(n))
+                trip = [
+                    (t, _decode(t), int(n))
                     for t, n in zip(facet_terms, counts)
                     if n
                 ]
+                if top_n is not None:
+                    # same (count desc, composed-term asc) cut the
+                    # distributed route's Spark-side limit makes
+                    trip.sort(key=lambda x: (-x[2], x[0]))
+                    trip = trip[: int(top_n)]
+                out = [(v, n) for _t, v, n in trip]
             return sorted(out, key=lambda vc: (-vc[1], str(vc[0])))
-        rows = (
+        merged = (
             self.kernel_frame(
                 query, k=0, locale=locale, time_range_us=time_range_us,
                 prep=prep, agg="distincts",
@@ -3675,10 +3715,18 @@ class SearchEngine(FeatureOpsMixin):
             )
             .groupBy("term")
             .agg(F.sum("score").alias("c"))
-            .collect()
         )
+        if top_n is not None:
+            # bound IN SPARK: composed-term asc == value order, so this
+            # is the same (count desc, value asc) cut the driver-side
+            # sort would make -- but only top_n rows ever collect
+            merged = merged.orderBy(
+                F.desc("c"), F.asc("term")
+            ).limit(int(top_n))
+        rows = merged.collect()
         out = [(_decode(r["term"]), int(r["c"])) for r in rows]
-        return sorted(out, key=lambda vc: (-vc[1], str(vc[0])))
+        out.sort(key=lambda vc: (-vc[1], str(vc[0])))
+        return out[:top_n] if top_n is not None else out
 
     def _local_bounds(self, prep: dict, dset) -> dict:
         """Exact per-boundary-pid [lo, hi) docID interval from the 't'

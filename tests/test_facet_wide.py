@@ -208,6 +208,25 @@ def test_gather_features_wide_both_routes(eng):
     assert len({kv[0] for kv, _ in expect}) > 1024
 
 
+def test_distincts_top_n_and_sparkside_uniques(eng, eng_unpinned):
+    """Answer-layer paging over the wide field: top_n bounds the
+    distributed collect IN SPARK (driver sees O(top_n) rows); uniques
+    counts distinct values Spark-side (a single long on the driver)."""
+    want_all = _expected_distincts(None)
+    want_top = sorted(
+        want_all, key=lambda vc: (-vc[1], vc[0])
+    )[:20]
+    want_top.sort(key=lambda vc: (-vc[1], str(vc[0])))
+    assert eng.distincts("tag", None, local=False, top_n=20) == want_top
+    assert eng.distincts("tag", None, local=True, top_n=20) == want_top
+    # uniques: exact count on both dictionary modes, no value list
+    assert eng.uniques("tag", None, local=False) == len(want_all)
+    assert eng_unpinned.uniques("tag", None) == len(want_all)
+    assert eng.uniques("tag", "w000001", local=False) == len(
+        _expected_distincts("w000001")
+    )
+
+
 def test_gather_fields_page_probe_wide_field(eng):
     """gatherTermsForFields over the WIDE field: the page probe must
     return each page doc's exact tag values (block-span-bounded read,
