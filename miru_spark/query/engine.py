@@ -3278,7 +3278,7 @@ class SearchEngine(FeatureOpsMixin):
             ):
                 cell_counts[(facet_terms[i], b)] = c
         else:
-            rows = (
+            cells = (
                 self.kernel_frame(
                     query, k=0, locale=locale,
                     time_range_us=time_range_us,
@@ -3292,8 +3292,22 @@ class SearchEngine(FeatureOpsMixin):
                     F.col("doc_id").alias("bucket"),
                 )
                 .agg(F.sum("cnt").alias("n"))
-                .collect()
             )
+            # leader cut IN SPARK: only the top-max_candidates values'
+            # cells ever reach the driver (max_candidates x buckets
+            # rows), not the full value x bucket matrix -- on a
+            # million-value field the driver stays O(answer). Same
+            # (leader desc, composed term asc) order as the in-memory
+            # cut below, so routes can't diverge.
+            leaders_df = (
+                cells.groupBy("term")
+                .agg(F.sum("n").alias("leader"))
+                .orderBy(F.desc("leader"), F.asc("term"))
+                .limit(int(max_candidates))
+            )
+            rows = cells.join(
+                F.broadcast(leaders_df.select("term")), "term", "inner"
+            ).collect()
             for r in rows:
                 cell_counts[(r["term"], int(r["bucket"]))] = int(
                     r["n"]
