@@ -345,6 +345,41 @@ class FeatureOpsMixin:
                 counts[int(r["doc_id"])] = int(r["c"])
         return counts
 
+    def _present_field_terms(
+        self, prep: dict, field: str, local: bool, min_df: int = 0
+    ) -> list[tuple[str, int]]:
+        """(composed term, match count) for every value of `field`
+        PRESENT in the match set -- the streamed form of
+        `_facet_presence` for whole-field gathers: the distributed
+        route ships no value list at all (facet_prefixes kernel mode;
+        the exchange and the collect are bounded by present values,
+        never by the field's value space). Sorted by composed term.
+        `min_df` floors against the pinned dictionary; on an unpinned
+        dictionary the floor falls back to the list path's semantics
+        via the enumerated terms."""
+        if local or (min_df > 0 and self._term_df is None):
+            terms = self._field_terms(field, min_df=min_df)
+            counts = self._facet_presence(prep, terms, local)
+            return [
+                (t, int(c))
+                for t, c in zip(terms, counts.tolist())
+                if c
+            ]
+        rows = (
+            self.kernel_frame(
+                None, k=0, prep=prep, agg="distincts",
+                facet_prefixes=[f"{field}{FIELD_SEP}"],
+            )
+            .groupBy("term")
+            .agg(F.sum("score").alias("c"))
+            .collect()
+        )
+        out = sorted((r["term"], int(r["c"])) for r in rows)
+        if min_df > 0:
+            df = self._term_df
+            out = [(t, c) for t, c in out if df.get(t, 0) >= min_df]
+        return out
+
     # -- gatherFeatures ----------------------------------------------------
 
     def gather_features(
@@ -466,9 +501,14 @@ class FeatureOpsMixin:
             [f1_terms, self._field_terms(field2, min_df=min_value_df)],
             local,
         )
-        # hop 1+2: distinct field1 parents of my ok activity
-        pcounts = self._facet_presence(prep_my, f1_terms, run_local)
-        parents = [t for t, c in zip(f1_terms, pcounts) if c]
+        # hop 1+2: distinct field1 parents of my ok activity -- the
+        # streamed gather: distributed route ships no parent value
+        # list, the collect is bounded by MY distinct parents
+        parents = [
+            t for t, _c in self._present_field_terms(
+                prep_my, field1, run_local, min_value_df
+            )
+        ]
         if not parents:
             return []
         # hop 3+4: other ok activity on those parents -> contributors
@@ -481,13 +521,12 @@ class FeatureOpsMixin:
             my_tree,
         )
         prep_other = self._prep_tree(other_tree, time_range_us)
-        f2_terms = self._field_terms(field2, min_df=min_value_df)
-        ccounts = self._facet_presence(prep_other, f2_terms, run_local)
         ranked = sorted(
             (
                 (int(c), t)
-                for t, c in zip(f2_terms, ccounts)
-                if c
+                for t, c in self._present_field_terms(
+                    prep_other, field2, run_local, min_value_df
+                )
             ),
             key=lambda ct: (-ct[0], ct[1]),
         )[: max(k, 1)]
