@@ -242,6 +242,27 @@ def test_gather_fields_page_probe_wide_field(eng):
         assert row["fields"]["lang"] == [ROWS[i]["lang"]]
 
 
+def test_facet_group_range_selection_path(eng):
+    """Above FACET_ISIN_MAX a facet/pair group selects posting blocks
+    by its contiguous dictionary range instead of a giant Catalyst In;
+    results must be identical. Forced here by dropping the threshold
+    below the tag group size."""
+    want = eng.gather_features(("tag", "stream"), local=False, top_n=40)
+    wantd = eng.distincts("tag", "w000001", local=False)
+    old = eng.FACET_ISIN_MAX
+    eng.FACET_ISIN_MAX = 8  # instance attr shadows the class default
+    try:
+        got = eng.gather_features(
+            ("tag", "stream"), local=False, top_n=40
+        )
+        gotd = eng.distincts("tag", "w000001", local=False)
+    finally:
+        del eng.FACET_ISIN_MAX
+        assert eng.FACET_ISIN_MAX == old  # class default restored
+    assert got == want
+    assert gotd == wantd
+
+
 def test_min_value_df_floor_is_explicit_and_exact(eng):
     """The df floor (reference: considerIfLastIdGreaterThanN term
     skipping during multi-term walks) is an EXPLICIT opt-in: default 0
