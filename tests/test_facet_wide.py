@@ -242,6 +242,76 @@ def test_gather_fields_page_probe_wide_field(eng):
         assert row["fields"]["lang"] == [ROWS[i]["lang"]]
 
 
+def test_streamed_facet_route_identity_fuzz(eng):
+    """Randomized route identity for the streamed facet kernel: for a
+    bag of query shapes (terms, booleans, prefixes, constraints, time
+    ranges, match-all), distincts serving == distincts distributed ==
+    pure-Python recomputation over the wide field."""
+    import random
+
+    rng = random.Random(20240821)
+    t0 = ROWS[0]["warc_us"]
+    t1 = ROWS[-1]["warc_us"]
+    vocab = ["w000001", "w000004", "w000009", "w000013", "w000031"]
+
+    def rand_query():
+        shape = rng.randrange(5)
+        if shape == 0:
+            return rng.choice(vocab)
+        if shape == 1:
+            return f"{rng.choice(vocab)} AND {rng.choice(vocab)}"
+        if shape == 2:
+            return f"{rng.choice(vocab)} OR {rng.choice(vocab)}"
+        if shape == 3:
+            return f"{rng.choice(vocab)} AND NOT {rng.choice(vocab)}"
+        return None  # match-all
+
+    for _ in range(12):
+        q = rand_query()
+        tr = None
+        if rng.random() < 0.5:
+            a = rng.randrange(N)
+            b = rng.randrange(N)
+            lo, hi = sorted((a, b))
+            tr = (t0 + lo * 7_000_000, t0 + hi * 7_000_000)
+        cons = "lang:en" if rng.random() < 0.3 else None
+        kw = dict(time_range_us=tr, constraints=cons)
+        got_d = eng.distincts("tag", q, local=False, **kw)
+        got_l = eng.distincts("tag", q, local=True, **kw)
+        # pure recomputation
+        docs = _matching(None) if q is None else None
+        if docs is None:
+            toks = lambda i: set(ROWS[i]["text"].split())
+            if " AND NOT " in q:
+                a, b = q.split(" AND NOT ")
+                docs = [i for i in range(N)
+                        if a in toks(i) and b not in toks(i)]
+            elif " AND " in q:
+                a, b = q.split(" AND ")
+                docs = [i for i in range(N)
+                        if a in toks(i) and b in toks(i)]
+            elif " OR " in q:
+                a, b = q.split(" OR ")
+                docs = [i for i in range(N)
+                        if a in toks(i) or b in toks(i)]
+            else:
+                docs = [i for i in range(N) if q in toks(i)]
+        if cons:
+            docs = [i for i in docs if ROWS[i]["lang"] == "en"]
+        if tr:
+            docs = [i for i in docs
+                    if tr[0] <= ROWS[i]["warc_us"] <= tr[1]]
+        cnt = collections.Counter(
+            t for i in docs for t in set(tags_of(i))
+        )
+        want = sorted(
+            cnt.items(), key=lambda vc: (-vc[1], vc[0])
+        )
+        assert got_d == want, (q, tr, cons)
+        assert got_l == want, (q, tr, cons)
+    assert t1 > t0  # corpus sanity
+
+
 def test_facet_group_range_selection_path(eng):
     """Above FACET_ISIN_MAX a facet/pair group selects posting blocks
     by its contiguous dictionary range instead of a giant Catalyst In;
