@@ -327,7 +327,23 @@ def main() -> None:
         "sf": sf,
     }
     out.update(extras)
+    out["host_mem_bw_gbps"] = _mem_bw_probe()
     print(json.dumps(out))
+
+
+def _mem_bw_probe() -> float:
+    """Single-process NumPy copy bandwidth, GB/s -- a 0.3 s host-health
+    datum embedded in every bench record so a degraded reading carries
+    its own adjudication (this sandbox's shared VM intermittently
+    throttles guest memory ~7x; quiet readings are ~5-10 GB/s,
+    throttled ~0.4 -- see BENCH/BASELINE.md box-pathology closures)."""
+    import numpy as np
+
+    a = np.empty(25_000_000, dtype=np.float64)  # 200 MB
+    t0 = time.time()
+    for _ in range(3):
+        a.copy()
+    return round(3 * a.nbytes * 2 / (time.time() - t0) / 1e9, 2)
 
 
 if __name__ == "__main__":
