@@ -4738,16 +4738,41 @@ class SearchEngine(FeatureOpsMixin):
         topk = per.withColumn("rn", F.row_number().over(w)).filter(
             F.col("rn") <= k
         )
-        winners = (
-            self.docmap.select("pid", "doc_id", "url")
-            .join(F.broadcast(topk), ["pid", "doc_id"], "inner")
-            .collect()
-        )
-        by_qid: dict[int, list] = {}
-        for r in winners:
-            by_qid.setdefault(int(r["qid"]), []).append(
-                (r["rn"], r["pid"], r["doc_id"], r["score"], r["url"])
+        trows = topk.collect()  # <= n_queries x k tiny rows
+        # url resolution is a POINT gather on the serving node (zero
+        # extra Spark jobs -- the same forward-index lookup search()
+        # uses); the broadcast-docmap join remains the fallback when
+        # the driver cannot read storage directly
+        try:
+            pids_a = np.array([int(r["pid"]) for r in trows], np.int64)
+            docs_a = np.array(
+                [int(r["doc_id"]) for r in trows], np.int64
             )
+            gathered = self._gather_rows(
+                self._dataset(), pids_a, docs_a,
+                np.zeros(len(trows), dtype=np.float64),
+            )
+            url_of = {(p, d): u for u, _w, p, d, _s in gathered}
+            by_qid: dict[int, list] = {}
+            for r in trows:
+                by_qid.setdefault(int(r["qid"]), []).append(
+                    (
+                        r["rn"], r["pid"], r["doc_id"], r["score"],
+                        url_of.get((int(r["pid"]), int(r["doc_id"]))),
+                    )
+                )
+        except Exception:
+            winners = (
+                self.docmap.select("pid", "doc_id", "url")
+                .join(F.broadcast(topk), ["pid", "doc_id"], "inner")
+                .collect()
+            )
+            by_qid = {}
+            for r in winners:
+                by_qid.setdefault(int(r["qid"]), []).append(
+                    (r["rn"], r["pid"], r["doc_id"], r["score"],
+                     r["url"])
+                )
         for qid, q in enumerate(queries):
             if specs[qid] is None:
                 continue
