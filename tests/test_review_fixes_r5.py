@@ -134,6 +134,27 @@ def test_kernel_block_recency_prune_engages_and_is_exact(eng, monkeypatch):
     assert np.allclose(got["score"], want["score"])
 
 
+def test_search_many_gather_fallback(eng, monkeypatch):
+    """search_many's point-gather url resolution falls back to the
+    broadcast-docmap join when the driver cannot read storage, with
+    identical results."""
+    qs = ["w000001 AND w000004", "w000002"]
+    old = eng.local_max_postings
+    eng.local_max_postings = 0
+    try:
+        want = eng.search_many(qs, k=5)
+
+        def boom(*a, **kw):
+            raise OSError("driver cannot read storage")
+
+        monkeypatch.setattr(eng, "_gather_rows", boom)
+        got = eng.search_many(qs, k=5)
+    finally:
+        eng.local_max_postings = old
+    assert got == want
+    assert all(rows for rows in got.values())
+
+
 def test_run_batches_counts_this_run_only():
     """batchId is cumulative across checkpoint restarts; run_batches
     must report THIS run's count (ADVICE r4)."""
