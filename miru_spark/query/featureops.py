@@ -650,6 +650,23 @@ class FeatureOpsMixin:
         run_local = self._route_facets(
             prep, [cand_terms, *field_groups.values()], local
         )
+        if not run_local and len(cand_terms) > self.FACET_ISIN_MAX:
+            # wide candidate space: ONE streamed presence pre-pass
+            # narrows the candidate list to values PRESENT in the match
+            # set (exact -- absent candidates contribute zero tuples),
+            # so the pairs exchange ships |present| candidates'
+            # postings instead of the field's whole range. This is the
+            # distributed rendering of the reference rescoring only
+            # gathered candidates (StrutQuestion gathers first,
+            # StrutQuestion.java:136-210)
+            present = {
+                t for t, _c in self._present_field_terms(
+                    prep, candidate_field, False, min_value_df
+                )
+            }
+            cand_terms = [t for t in cand_terms if t in present]
+            if not cand_terms:
+                return []
         # every feature's tuple counts come out of ONE gather: the
         # serving path shares one match evaluation + postings fetch
         # across features; the distributed path batches all features

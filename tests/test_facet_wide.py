@@ -333,6 +333,28 @@ def test_facet_group_range_selection_path(eng):
     assert gotd == wantd
 
 
+def test_strut_wide_candidate_presence_prepass(eng):
+    """strut over the wide candidate field: above FACET_ISIN_MAX a
+    streamed presence pre-pass narrows candidates to those present in
+    the match set -- exact (absent candidates contribute zero tuples),
+    identical to the unfiltered path and to the serving route."""
+    kw = dict(
+        candidate_field="tag", features=[(1.0, ("stream",))],
+        k=15, query="w000001",
+    )
+    want = eng.strut(local=True, **kw)
+    baseline = eng.strut(local=False, **kw)  # isin path (1430 < 4096)
+    old = eng.FACET_ISIN_MAX
+    eng.FACET_ISIN_MAX = 8  # force the pre-pass + range selection
+    try:
+        got = eng.strut(local=False, **kw)
+    finally:
+        del eng.FACET_ISIN_MAX
+        assert eng.FACET_ISIN_MAX == old
+    assert got == baseline == want
+    assert len(got) == 15
+
+
 def test_min_value_df_floor_is_explicit_and_exact(eng):
     """The df floor (reference: considerIfLastIdGreaterThanN term
     skipping during multi-term walks) is an EXPLICIT opt-in: default 0
