@@ -380,6 +380,36 @@ class FeatureOpsMixin:
             out = [(t, c) for t, c in out if df.get(t, 0) >= min_df]
         return out
 
+    def _narrow_wide_groups(
+        self, prep: dict, fields: list, groups: list
+    ) -> list:
+        """Presence pre-pass for tuple gathers over WIDE value spaces:
+        for every group larger than FACET_ISIN_MAX, ONE streamed kernel
+        job (all wide fields share it via multiple facet prefixes)
+        narrows the group to values PRESENT in the match set -- exact
+        by construction, a tuple needs every member present. Returns
+        the narrowed groups, original list objects where narrow."""
+        wide = [
+            i for i, g in enumerate(groups)
+            if len(g) > self.FACET_ISIN_MAX
+        ]
+        if not wide:
+            return groups
+        prefixes = [f"{fields[i]}{FIELD_SEP}" for i in wide]
+        rows = (
+            self.kernel_frame(
+                None, k=0, prep=prep, agg="distincts",
+                facet_prefixes=prefixes,
+            )
+            .select("term")
+            .collect()
+        )
+        present = {r["term"] for r in rows}
+        out = list(groups)
+        for i in wide:
+            out[i] = [t for t in groups[i] if t in present]
+        return out
+
     # -- gatherFeatures ----------------------------------------------------
 
     def gather_features(
@@ -414,6 +444,13 @@ class FeatureOpsMixin:
             query, locale, time_range_us, constraints, authz
         )
         run_local = self._route_facets(prep, groups, local)
+        if not run_local:
+            # wide value spaces: one shared presence pre-pass narrows
+            # each oversized group to present values (exact -- a tuple
+            # needs every member present)
+            groups = self._narrow_wide_groups(prep, list(fields), groups)
+            if not all(groups):
+                return []
         keys, counts = (
             self._tuple_counts_local(prep, groups)
             if run_local
@@ -548,6 +585,15 @@ class FeatureOpsMixin:
         f3_terms = self._field_terms(field3, min_df=min_value_df)
         if not f3_terms:
             return []
+        if not run_local:
+            # wide field3: ship only parents PRESENT in the
+            # contributors' activity (hop 5 scores presence; absent
+            # parents contribute nothing)
+            _c, f3_terms = self._narrow_wide_groups(
+                prep_c, [field2, field3], [contrib_terms, f3_terms]
+            )
+            if not f3_terms:
+                return []
         groups = [contrib_terms, f3_terms]
         keys, _counts = (
             self._tuple_counts_local(prep_c, groups)

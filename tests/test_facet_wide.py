@@ -333,6 +333,24 @@ def test_facet_group_range_selection_path(eng):
     assert gotd == wantd
 
 
+def test_reco_wide_f3_presence_prepass(eng):
+    """reco hop 5 over the wide parent space: forcing the threshold
+    makes field3 ship only parents present in the contributors'
+    activity -- identical result."""
+    kw = dict(
+        my=("stream", "1"), field1="tag", field2="stream",
+        field3="tag", k=8,
+    )
+    want = eng.reco(local=False, **kw)
+    eng.FACET_ISIN_MAX = 8
+    try:
+        got = eng.reco(local=False, **kw)
+    finally:
+        del eng.FACET_ISIN_MAX
+    assert got == want
+    assert got  # the walk produces recommendations on this corpus
+
+
 def test_strut_wide_candidate_presence_prepass(eng):
     """strut over the wide candidate field: above FACET_ISIN_MAX a
     streamed presence pre-pass narrows candidates to those present in
