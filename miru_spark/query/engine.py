@@ -1374,6 +1374,22 @@ class SearchEngine(FeatureOpsMixin):
             )
         return self._postings_pos
 
+    def _range_dense(self, g: list) -> bool:
+        """Does the sorted term group cover at least half the pinned
+        dictionary's [g[0], g[-1]] span? Dense groups range-select;
+        sparse ones (floored enumerations) keep exact isin so their
+        holes' postings never ship. Unpinned dictionaries only produce
+        whole-field enumerations here -- dense by construction."""
+        ts = self._terms_sorted
+        if ts is None:
+            return True
+        import bisect
+
+        span = bisect.bisect_right(ts, g[-1]) - bisect.bisect_left(
+            ts, g[0]
+        )
+        return 2 * len(g) >= span
+
     def _prefix_scan(
         self, prefix: str, cap: int | None, min_df: int = 0
     ) -> list[str]:
@@ -1816,15 +1832,20 @@ class SearchEngine(FeatureOpsMixin):
             # on their term min/max like the isin path)
             fcond = fcond | F.col("term").startswith(kp)
         for g in facet_groups:
-            if len(g) <= self.FACET_ISIN_MAX:
+            if len(g) <= self.FACET_ISIN_MAX or not self._range_dense(g):
+                # exact list selection; above the isin threshold only a
+                # SPARSE group (e.g. a min_df-floored enumeration whose
+                # holes would make a range over-fetch most of the field)
+                # still pays the big InSet -- correctness of the cost
+                # knob beats plan size
                 fcond = fcond | F.col("term").isin(g)
             else:
-                # wide value list (uncapped field enumeration): a
+                # wide DENSE value list (uncapped field enumeration): a
                 # million-literal Catalyst In would blow up planning, so
                 # select by the group's contiguous dictionary range --
-                # pushes as two range predicates; in-range terms outside
-                # the exact list (a floored enumeration) ride along and
-                # are ignored by the kernel's per-group lists
+                # pushes as two range predicates; the few in-range terms
+                # outside the exact list ride along and are ignored by
+                # the kernel's per-group lists
                 fcond = fcond | (
                     (F.col("term") >= g[0]) & (F.col("term") <= g[-1])
                 )
@@ -3395,11 +3416,13 @@ class SearchEngine(FeatureOpsMixin):
         facet rows), so a million-value field answers with a single
         long on the driver, never a value list."""
         pinned = self._terms_sorted is not None
-        prep = self._prep_query(
-            query, locale, time_range_us, constraints, authz
-        )
         facet_terms = (
             self.field_terms(field, prefix) if pinned else None
+        )
+        if pinned and not facet_terms:
+            return 0  # no such values exist: zero jobs, zero prep
+        prep = self._prep_query(
+            query, locale, time_range_us, constraints, authz
         )
         if self._route_facet_local(prep, facet_terms, local, pinned):
             return len(
@@ -4742,7 +4765,9 @@ class SearchEngine(FeatureOpsMixin):
         # url resolution is a POINT gather on the serving node (zero
         # extra Spark jobs -- the same forward-index lookup search()
         # uses); the broadcast-docmap join remains the fallback when
-        # the driver cannot read storage directly
+        # the driver cannot read storage directly. The try wraps ONLY
+        # the storage read, never the dict building.
+        url_of = None
         try:
             pids_a = np.array([int(r["pid"]) for r in trows], np.int64)
             docs_a = np.array(
@@ -4753,21 +4778,24 @@ class SearchEngine(FeatureOpsMixin):
                 np.zeros(len(trows), dtype=np.float64),
             )
             url_of = {(p, d): u for u, _w, p, d, _s in gathered}
-            by_qid: dict[int, list] = {}
-            for r in trows:
-                by_qid.setdefault(int(r["qid"]), []).append(
-                    (
-                        r["rn"], r["pid"], r["doc_id"], r["score"],
-                        url_of.get((int(r["pid"]), int(r["doc_id"]))),
-                    )
-                )
         except Exception:
+            url_of = None
+        by_qid: dict[int, list] = {}
+        if url_of is not None:
+            for r in trows:
+                key = (int(r["pid"]), int(r["doc_id"]))
+                if key not in url_of:
+                    continue  # same drop the docmap inner join makes
+                by_qid.setdefault(int(r["qid"]), []).append(
+                    (r["rn"], r["pid"], r["doc_id"], r["score"],
+                     url_of[key])
+                )
+        else:
             winners = (
                 self.docmap.select("pid", "doc_id", "url")
                 .join(F.broadcast(topk), ["pid", "doc_id"], "inner")
                 .collect()
             )
-            by_qid = {}
             for r in winners:
                 by_qid.setdefault(int(r["qid"]), []).append(
                     (r["rn"], r["pid"], r["doc_id"], r["score"],

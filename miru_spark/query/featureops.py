@@ -210,22 +210,15 @@ class FeatureOpsMixin:
 
     def _route_facets(self, prep: dict, groups: list, local) -> bool:
         """Serving-node vs distributed decision, same budget discipline
-        as `distincts`: the facet groups' postings ride the match pass,
-        so they count against the local postings budget too."""
-        if local is not None:
-            if local and not self._local_eligible(prep):
-                raise ValueError(
-                    "local=True forced but this query is not eligible "
-                    "for the serving-node path; use local=None"
-                )
-            return bool(local)
-        est = sum(
-            (self._term_df or {}).get(t, 0) for g in groups for t in g
-        )
-        return (
-            self._local_eligible(prep)
-            and self._estimated_postings(prep) + est
-            <= self.local_max_postings
+        as `distincts` -- delegates to the engine's single copy of the
+        rule (`_route_facet_local`): the facet groups' postings ride
+        the match pass, so they count against the local postings budget
+        too; unpinned dictionaries always distribute."""
+        return self._route_facet_local(
+            prep,
+            [t for g in groups for t in g or []],
+            local,
+            self._terms_sorted is not None,
         )
 
     def _tuple_counts_local(
@@ -357,7 +350,10 @@ class FeatureOpsMixin:
         `min_df` floors against the pinned dictionary; on an unpinned
         dictionary the floor falls back to the list path's semantics
         via the enumerated terms."""
-        if local or (min_df > 0 and self._term_df is None):
+        if local or min_df > 0:
+            # a non-zero floor ships the FLOORED enumeration (isin /
+            # dense-range selection), so sub-floor values' postings are
+            # never fetched -- the documented point of the knob
             terms = self._field_terms(field, min_df=min_df)
             counts = self._facet_presence(prep, terms, local)
             return [
@@ -374,11 +370,7 @@ class FeatureOpsMixin:
             .agg(F.sum("score").alias("c"))
             .collect()
         )
-        out = sorted((r["term"], int(r["c"])) for r in rows)
-        if min_df > 0:
-            df = self._term_df
-            out = [(t, c) for t, c in out if df.get(t, 0) >= min_df]
-        return out
+        return sorted((r["term"], int(r["c"])) for r in rows)
 
     def _narrow_wide_groups(
         self, prep: dict, fields: list, groups: list
@@ -402,8 +394,9 @@ class FeatureOpsMixin:
                 facet_prefixes=prefixes,
             )
             .select("term")
-            .collect()
-        )
+            .distinct()  # per-pid rows dedupe IN SPARK: the driver
+            .collect()   # receives one row per present value, never
+        )                # values x pids
         present = {r["term"] for r in rows}
         out = list(groups)
         for i in wide:
@@ -589,8 +582,8 @@ class FeatureOpsMixin:
             # wide field3: ship only parents PRESENT in the
             # contributors' activity (hop 5 scores presence; absent
             # parents contribute nothing)
-            _c, f3_terms = self._narrow_wide_groups(
-                prep_c, [field2, field3], [contrib_terms, f3_terms]
+            [f3_terms] = self._narrow_wide_groups(
+                prep_c, [field3], [f3_terms]
             )
             if not f3_terms:
                 return []
@@ -696,23 +689,25 @@ class FeatureOpsMixin:
         run_local = self._route_facets(
             prep, [cand_terms, *field_groups.values()], local
         )
-        if not run_local and len(cand_terms) > self.FACET_ISIN_MAX:
-            # wide candidate space: ONE streamed presence pre-pass
-            # narrows the candidate list to values PRESENT in the match
-            # set (exact -- absent candidates contribute zero tuples),
-            # so the pairs exchange ships |present| candidates'
-            # postings instead of the field's whole range. This is the
-            # distributed rendering of the reference rescoring only
-            # gathered candidates (StrutQuestion gathers first,
-            # StrutQuestion.java:136-210)
-            present = {
-                t for t, _c in self._present_field_terms(
-                    prep, candidate_field, False, min_value_df
-                )
-            }
-            cand_terms = [t for t in cand_terms if t in present]
+        if not run_local:
+            # wide candidate/feature spaces: ONE shared streamed
+            # presence pre-pass narrows every oversized group to values
+            # PRESENT in the match set (exact -- absent values
+            # contribute zero tuples), so the pairs exchange ships
+            # |present| values' postings instead of whole field ranges.
+            # This is the distributed rendering of the reference
+            # rescoring only gathered candidates (StrutQuestion gathers
+            # first, StrutQuestion.java:136-210)
+            fnames = list(field_groups)
+            narrowed = self._narrow_wide_groups(
+                prep,
+                [candidate_field] + fnames,
+                [cand_terms] + [field_groups[f] for f in fnames],
+            )
+            cand_terms = narrowed[0]
             if not cand_terms:
                 return []
+            field_groups = dict(zip(fnames, narrowed[1:]))
         # every feature's tuple counts come out of ONE gather: the
         # serving path shares one match evaluation + postings fetch
         # across features; the distributed path batches all features
