@@ -333,6 +333,26 @@ def test_facet_group_range_selection_path(eng):
     assert gotd == wantd
 
 
+def test_sparse_floored_group_keeps_exact_isin(eng):
+    """A min_df-floored enumeration is SPARSE in the dictionary span:
+    above the isin threshold it must still select blocks by exact isin
+    (a range would over-fetch the holes), with identical results."""
+    want = eng.gather_features(
+        ("tag", "stream"), local=False, min_value_df=2
+    )
+    floored = eng.field_terms("tag", min_df=2)
+    assert len(floored) > 8
+    assert eng._range_dense(floored) is False  # holes everywhere
+    eng.FACET_ISIN_MAX = 8
+    try:
+        got = eng.gather_features(
+            ("tag", "stream"), local=False, min_value_df=2
+        )
+    finally:
+        del eng.FACET_ISIN_MAX
+    assert got == want
+
+
 def test_reco_wide_f3_presence_prepass(eng):
     """reco hop 5 over the wide parent space: forcing the threshold
     makes field3 ship only parents present in the contributors'
